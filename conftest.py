@@ -1,0 +1,29 @@
+"""Root conftest: force a virtual 8-device CPU mesh before JAX imports.
+
+Sharding tests run on a host-platform mesh (the driver validates the real
+multi-chip path separately via __graft_entry__.dryrun_multichip).
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# Persistent compilation cache across pytest runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+# The axon TPU plugin ignores the JAX_PLATFORMS env var and grabs the remote
+# TPU (every XLA compile then takes a ~30 s tunnel round trip).  Setting the
+# config explicitly before any backend is initialized forces the local CPU.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(__file__))

@@ -1,0 +1,250 @@
+"""Negacyclic NTT: host table precompute + device transform (JAX/XLA).
+
+TPU-native rework of the fork's rewritten NTT kernel
+(reference: native/src/seal/util/ntt.{h,cpp}).  The table layout is
+bit-identical to the reference's ``NTTTables``:
+
+- ``root_powers``: powers of the minimal primitive 2N-th root psi in
+  bit-scrambled order (ntt.cpp:101-111); entry m+i drives stage m.
+- ``scaled_root_powers``: Shoup duals floor(w * 2^64 / p) (ntt.cpp:113-119).
+- ``inv_root_powers``: psi^{-1} powers, *reordered for sequential access*
+  (stage m = n/2 first), with n^{-1} merged into the last entry
+  (ntt.cpp:85-98).
+- ``reduce_precomp``: floor(2^64 / p) (ntt.h:176).
+
+The device transform reproduces the SlothfulNTT lazy dataflow
+(ntt.cpp:213-282): Shoup butterflies, forward output lazy in [0, 4p),
+inverse output lazy in [0, 2p), with a Barrett pre-reduction of the x0 lane
+in the last forward stage keeping every intermediate below 2^64 for moduli
+up to 59 bits (the fork's SEAL_USER_MOD_BIT_COUNT_MAX).  Instead of the
+reference's pointer-walking scalar loops, each stage is one vectorized
+butterfly over the reshaped ``[..., L, m, 2, h]`` view — XLA fuses the
+elementwise chains; a fully-fused Pallas VMEM kernel is the upgrade path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..utils import numth
+from ..modulus import Modulus
+from . import modops
+
+__all__ = ["NTTTables", "build_ntt_tables", "ntt_forward", "ntt_inverse",
+           "ntt_forward_lazy", "ntt_inverse_lazy"]
+
+U64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _shoupify(x: int, p: int) -> int:
+    """floor(x * 2^64 / p) (reference: ntt.cpp:18-24)."""
+    return ((x << 64) // p) & U64
+
+
+@dataclass
+class NTTTables:
+    """Per-modulus-set NTT tables, stacked over the limb axis.
+
+    All arrays are uint64 with shape [L, N] (per-limb scalars are [L]).
+    Host-built with exact integers; moved to device lazily by the context.
+    """
+
+    coeff_count_power: int
+    coeff_count: int
+    moduli: List[int]
+    roots: np.ndarray                 # [L] minimal primitive 2N-th roots
+    root_powers: np.ndarray           # [L, N]
+    scaled_root_powers: np.ndarray    # [L, N]
+    inv_root_powers: np.ndarray       # [L, N] (reordered, n^-1 merged)
+    scaled_inv_root_powers: np.ndarray
+    inv_degree_modulo: np.ndarray     # [L]
+    scaled_inv_degree: np.ndarray     # [L]
+    reduce_precomp: np.ndarray        # [L] floor(2^64/p)
+    modulus: np.ndarray               # [L]
+
+    @property
+    def n(self) -> int:
+        return self.coeff_count
+
+
+def _powers_of_root_bit_scrambled(root: int, n: int, log_n: int, p: int) -> np.ndarray:
+    """Powers of `root` laid out in bit-reversed order (ntt.cpp:101-111).
+
+    destination[reverse_bits(i)] = root^i, built by the reference's chained
+    walk: each step multiplies the previously-written value.
+    """
+    out = np.zeros(n, dtype=np.uint64)
+    out[0] = 1
+    prev = 1
+    for i in range(1, n):
+        idx = numth.reverse_bits(i, log_n)
+        prev = (prev * root) % p
+        out[idx] = prev
+    return out
+
+
+def build_ntt_tables(coeff_count_power: int, moduli: Sequence) -> NTTTables:
+    """Build NTT tables for each modulus, matching NTTTables::initialize
+    (reference: ntt.cpp:37-99) bit-for-bit."""
+    n = 1 << coeff_count_power
+    mods = [m.value if isinstance(m, Modulus) else int(m) for m in moduli]
+    L = len(mods)
+
+    roots = np.zeros(L, dtype=np.uint64)
+    root_powers = np.zeros((L, n), dtype=np.uint64)
+    scaled_root_powers = np.zeros((L, n), dtype=np.uint64)
+    inv_root_powers = np.zeros((L, n), dtype=np.uint64)
+    scaled_inv_root_powers = np.zeros((L, n), dtype=np.uint64)
+    inv_degree = np.zeros(L, dtype=np.uint64)
+    scaled_inv_degree = np.zeros(L, dtype=np.uint64)
+    reduce_precomp = np.zeros(L, dtype=np.uint64)
+
+    for j, p in enumerate(mods):
+        root = numth.try_minimal_primitive_root(2 * n, p)
+        if root is None:
+            raise ValueError(f"modulus {p:#x} does not support NTT of size {n}")
+        inv_root = numth.try_invert_uint_mod(root, p)
+        inv_n = numth.try_invert_uint_mod(n, p)
+        if inv_root is None or inv_n is None:
+            raise ValueError("invalid modulus")
+
+        roots[j] = root
+        inv_degree[j] = inv_n
+        scaled_inv_degree[j] = _shoupify(inv_n, p)
+        reduce_precomp[j] = _shoupify(1, p)
+
+        fwd = _powers_of_root_bit_scrambled(root, n, coeff_count_power, p)
+        root_powers[j] = fwd
+        scaled_root_powers[j] = np.array(
+            [_shoupify(int(w), p) for w in fwd], dtype=np.uint64
+        )
+
+        inv = _powers_of_root_bit_scrambled(inv_root, n, coeff_count_power, p)
+        # Reorder for sequential inverse access (ntt.cpp:85-95): walk stages
+        # m = n/2 down to 1, emitting entries [m, 2m).
+        reordered = np.zeros(n, dtype=np.uint64)
+        pos = 1
+        m = n >> 1
+        while m > 0:
+            reordered[pos : pos + m] = inv[m : 2 * m]
+            pos += m
+            m >>= 1
+        # Merge n^{-1} into the last entry (ntt.cpp:96-98).
+        reordered[n - 1] = (int(reordered[n - 1]) * inv_n) % p
+        inv_root_powers[j] = reordered
+        scaled_inv_root_powers[j] = np.array(
+            [_shoupify(int(w), p) for w in reordered], dtype=np.uint64
+        )
+
+    return NTTTables(
+        coeff_count_power=coeff_count_power,
+        coeff_count=n,
+        moduli=mods,
+        roots=roots,
+        root_powers=root_powers,
+        scaled_root_powers=scaled_root_powers,
+        inv_root_powers=inv_root_powers,
+        scaled_inv_root_powers=scaled_inv_root_powers,
+        inv_degree_modulo=inv_degree,
+        scaled_inv_degree=scaled_inv_degree,
+        reduce_precomp=reduce_precomp,
+        modulus=np.array(mods, dtype=np.uint64),
+    )
+
+
+def _expand(v, extra_dims: int):
+    """[L] or [L, m] constant -> broadcastable against [..., L, m, h]."""
+    v = jnp.asarray(v, dtype=jnp.uint64)
+    return v.reshape(v.shape + (1,) * extra_dims)
+
+
+def ntt_forward_lazy(x, tables):
+    """Forward negacyclic NTT over the last axis; output lazy in [0, 4p).
+
+    x: uint64[..., L, N]; tables: NTTTables (or its device mirror).
+    Mirrors ntt_negacyclic_harvey_lazy (reference: ntt.cpp:292-342).
+    """
+    n = tables.coeff_count
+    log_n = tables.coeff_count_power
+    batch = x.shape[:-1]
+    L = x.shape[-2]
+    p = _expand(tables.modulus, 2)        # [L,1,1]
+    two_p = p * jnp.uint64(2)
+    rdp = _expand(tables.reduce_precomp, 2)
+    w_all = jnp.asarray(tables.root_powers, dtype=jnp.uint64)
+    ws_all = jnp.asarray(tables.scaled_root_powers, dtype=jnp.uint64)
+
+    for s in range(log_n):
+        m = 1 << s
+        h = n >> (s + 1)
+        xr = x.reshape(batch[:-1] + (L, m, 2, h))
+        x0 = xr[..., 0, :]
+        x1 = xr[..., 1, :]
+        w = w_all[:, m : 2 * m][:, :, None]     # [L, m, 1]
+        ws = ws_all[:, m : 2 * m][:, :, None]
+        if h == 1:
+            # ForwardLazyLast: Barrett-reduce the accumulated x0 lane first
+            # (ntt.cpp:254-261) so u + v stays below 2^64.
+            q = modops.mulhi64(x0, rdp)
+            x0 = x0 - q * p
+        v = modops.mul_mod_shoup_lazy(x1, w, ws, p)
+        x = jnp.stack([x0 + v, x0 - v + two_p], axis=-2).reshape(batch + (n,))
+    return x
+
+
+def ntt_forward(x, tables):
+    """Forward NTT with canonical output in [0, p)."""
+    out = ntt_forward_lazy(x, tables)
+    p = _expand(tables.modulus, 1)
+    return modops.reduce_twice(out, p)
+
+
+def ntt_inverse_lazy(x, tables):
+    """Inverse negacyclic NTT over the last axis; output lazy in [0, 2p).
+
+    Input must be in [0, 2p).  Mirrors inverse_ntt_negacyclic_harvey_lazy
+    (reference: ntt.cpp:345-404) including the sequential reordered twiddle
+    walk and the n^{-1} fold into the last butterfly layer.
+    """
+    n = tables.coeff_count
+    log_n = tables.coeff_count_power
+    batch = x.shape[:-1]
+    L = x.shape[-2]
+    p = _expand(tables.modulus, 2)
+    two_p = p * jnp.uint64(2)
+    w_all = jnp.asarray(tables.inv_root_powers, dtype=jnp.uint64)
+    ws_all = jnp.asarray(tables.scaled_inv_root_powers, dtype=jnp.uint64)
+    inv_n = _expand(tables.inv_degree_modulo, 2)
+    inv_n_s = _expand(tables.scaled_inv_degree, 2)
+
+    ofs = 1
+    for s in range(log_n):
+        m = n >> (s + 1)
+        h = 1 << s
+        xr = x.reshape(batch[:-1] + (L, m, 2, h))
+        x0 = xr[..., 0, :]
+        x1 = xr[..., 1, :]
+        w = w_all[:, ofs : ofs + m][:, :, None]
+        ws = ws_all[:, ofs : ofs + m][:, :, None]
+        ofs += m
+        t = x0 + x1
+        t = jnp.where(t >= two_p, t - two_p, t)
+        d = x0 - x1 + two_p
+        if m == 1:
+            # BackwardLazyLast (ntt.cpp:274-281): x0 *= n^{-1}; the twiddle
+            # table entry already carries w * n^{-1}.
+            t = modops.mul_mod_shoup_lazy(t, inv_n, inv_n_s, p)
+        new_x1 = modops.mul_mod_shoup_lazy(d, w, ws, p)
+        x = jnp.stack([t, new_x1], axis=-2).reshape(batch + (n,))
+    return x
+
+
+def ntt_inverse(x, tables):
+    """Inverse NTT with canonical output in [0, p)."""
+    out = ntt_inverse_lazy(x, tables)
+    p = _expand(tables.modulus, 1)
+    return modops.reduce_once(out, p)

@@ -1,0 +1,147 @@
+"""NTT kernel tests.
+
+Pinned known-answer values come from the reference's test suite
+(reference: native/tests/seal/util/ntt.cpp:55-105) for the 60-bit prime
+0xffffffffffc0001 — the bit-exactness anchors for table generation and the
+forward transform.  Property tests check the transform against the naive
+O(n^2) evaluation definition and the negacyclic convolution theorem.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from gemini_seal_tpu.ops import ntt as ntt_mod
+from gemini_seal_tpu.ops.ntt import build_ntt_tables, ntt_forward, ntt_inverse
+
+P60 = 0xFFFFFFFFFFC0001
+
+
+def naive_negacyclic_ntt(a, psi, p):
+    """A[j] = a(psi^(2*bitrev(j)+1)) mod p (reference: ntt.cpp:284-291)."""
+    n = len(a)
+    log_n = n.bit_length() - 1
+    out = []
+    for j in range(n):
+        rev = int(f"{j:0{log_n}b}"[::-1], 2) if log_n else 0
+        x = pow(psi, 2 * rev + 1, p)
+        acc = 0
+        xp = 1
+        for c in a:
+            acc = (acc + c * xp) % p
+            xp = (xp * x) % p
+        out.append(acc)
+    return out
+
+
+def test_pinned_root_powers():
+    t = build_ntt_tables(1, [P60])
+    assert int(t.root_powers[0][0]) == 1
+    assert int(t.root_powers[0][1]) == 288794978602139552
+
+    t = build_ntt_tables(2, [P60])
+    assert int(t.root_powers[0][0]) == 1
+    assert int(t.root_powers[0][1]) == 288794978602139552
+    assert int(t.root_powers[0][2]) == 178930308976060547
+    assert int(t.root_powers[0][3]) == 748001537669050592
+
+
+def test_pinned_forward_transform():
+    t = build_ntt_tables(1, [P60])
+    poly = jnp.asarray(np.array([[0, 0]], dtype=np.uint64))
+    out = ntt_forward(poly, t)
+    assert out.tolist() == [[0, 0]]
+
+    poly = jnp.asarray(np.array([[1, 0]], dtype=np.uint64))
+    out = ntt_forward(poly, t)
+    assert out.tolist() == [[1, 1]]
+
+    poly = jnp.asarray(np.array([[1, 1]], dtype=np.uint64))
+    out = ntt_forward(poly, t)
+    assert out.tolist() == [[288794978602139553, 864126526004445282]]
+
+
+def test_forward_matches_naive():
+    rng = np.random.default_rng(7)
+    for log_n in (2, 3, 6):
+        n = 1 << log_n
+        t = build_ntt_tables(log_n, [P60])
+        psi = int(t.roots[0])
+        a = rng.integers(0, P60, size=n, dtype=np.uint64)
+        out = ntt_forward(jnp.asarray(a[None, :]), t)[0]
+        expect = naive_negacyclic_ntt([int(c) for c in a], psi, P60)
+        assert [int(v) for v in out] == expect
+
+
+def test_roundtrip_multi_limb():
+    rng = np.random.default_rng(8)
+    moduli = [P60, 0xFFFFEE001, 0x1FFFFE0001]
+    log_n = 8
+    n = 1 << log_n
+    t = build_ntt_tables(log_n, moduli)
+    a = np.stack(
+        [rng.integers(0, m, size=n, dtype=np.uint64) for m in moduli]
+    )  # [L, N]
+    fwd = ntt_forward(jnp.asarray(a), t)
+    back = ntt_inverse(fwd, t)
+    assert np.array_equal(np.asarray(back), a)
+
+
+def test_batch_axes():
+    rng = np.random.default_rng(9)
+    moduli = [0xFFFFEE001, 0xFFFFC4001]
+    t = build_ntt_tables(5, moduli)
+    a = np.stack(
+        [
+            np.stack([rng.integers(0, m, size=32, dtype=np.uint64) for m in moduli])
+            for _ in range(3)
+        ]
+    )  # [3, L, N]
+    fwd = ntt_forward(jnp.asarray(a), t)
+    # batched == per-slice
+    for i in range(3):
+        single = ntt_forward(jnp.asarray(a[i]), t)
+        assert np.array_equal(np.asarray(fwd[i]), np.asarray(single))
+    back = ntt_inverse(fwd, t)
+    assert np.array_equal(np.asarray(back), a)
+
+
+def test_negacyclic_convolution_theorem():
+    rng = np.random.default_rng(10)
+    p = P60
+    log_n, n = 4, 16
+    t = build_ntt_tables(log_n, [p])
+    a = rng.integers(0, p, size=n, dtype=np.uint64)
+    b = rng.integers(0, p, size=n, dtype=np.uint64)
+    fa = ntt_forward(jnp.asarray(a[None]), t)
+    fb = ntt_forward(jnp.asarray(b[None]), t)
+    from gemini_seal_tpu.ops import modops
+    from gemini_seal_tpu.modulus import Modulus
+
+    r0, r1, _ = Modulus(p).const_ratio
+    prod = modops.mul_mod(fa, fb, jnp.uint64(p), jnp.uint64(r0), jnp.uint64(r1))
+    c = ntt_inverse(prod, t)[0]
+    # schoolbook negacyclic product
+    expect = [0] * n
+    for i in range(n):
+        for j in range(n):
+            k = i + j
+            v = int(a[i]) * int(b[j])
+            if k >= n:
+                expect[k - n] = (expect[k - n] - v) % p
+            else:
+                expect[k] = (expect[k] + v) % p
+    assert [int(v) for v in c] == expect
+
+
+def test_lazy_ranges():
+    rng = np.random.default_rng(11)
+    p = (1 << 59) - 55  # not prime; range checks only need the bound
+    moduli = [P60]
+    t = build_ntt_tables(10, moduli)
+    a = rng.integers(0, P60, size=1024, dtype=np.uint64)
+    lazy = ntt_mod.ntt_forward_lazy(jnp.asarray(a[None]), t)
+    assert int(np.max(np.asarray(lazy))) < 4 * P60
+    inv_lazy = ntt_mod.ntt_inverse_lazy(
+        jnp.asarray(np.asarray(ntt_forward(jnp.asarray(a[None]), t))), t
+    )
+    assert int(np.max(np.asarray(inv_lazy))) < 2 * P60
