@@ -25,6 +25,18 @@ from .modulus import (  # noqa: E402
     SecLevelType,
 )
 from .params import EncryptionParameters, SchemeType  # noqa: E402
+from .context import SealContext  # noqa: E402
+from .ciphertext import Ciphertext, Plaintext  # noqa: E402
+from .keys import (  # noqa: E402
+    GaloisKeys,
+    KSwitchKeys,
+    PublicKey,
+    RelinKeys,
+    SecretKey,
+)
+from .keygenerator import KeyGenerator  # noqa: E402
+from .encryptor import Encryptor  # noqa: E402
+from .decryptor import Decryptor  # noqa: E402
 
 __version__ = "0.1.0"
 
@@ -35,4 +47,15 @@ __all__ = [
     "SecLevelType",
     "EncryptionParameters",
     "SchemeType",
+    "SealContext",
+    "Ciphertext",
+    "Plaintext",
+    "SecretKey",
+    "PublicKey",
+    "KSwitchKeys",
+    "RelinKeys",
+    "GaloisKeys",
+    "KeyGenerator",
+    "Encryptor",
+    "Decryptor",
 ]

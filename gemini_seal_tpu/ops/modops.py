@@ -20,6 +20,7 @@ kernel compositions (NTT -> dyadic -> base conversion) stay overflow-free:
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "mul64_wide",
@@ -37,8 +38,9 @@ __all__ = [
     "reduce_twice",
 ]
 
-_MASK32 = jnp.uint64(0xFFFFFFFF)
-_U32 = jnp.uint64(32)
+# numpy scalars: no JAX backend initialization at import time
+_MASK32 = np.uint64(0xFFFFFFFF)
+_U32 = np.uint64(32)
 
 
 def _u64(x):
@@ -103,6 +105,33 @@ def barrett_reduce_128(hi, lo, p, ratio0, ratio1):
     tmp1c = hi * ratio1 + tmp3 + carry2
     result = lo - tmp1c * p
     return jnp.where(result >= p, result - p, result)
+
+
+def divmod_128(hi, lo, p, ratio0, ratio1):
+    """floor((hi:lo) / p) and remainder, quotient must fit in 64 bits.
+
+    Same Barrett approximation as barrett_reduce_128 with the quotient
+    corrected and returned (used by BFV plain scaling,
+    reference: scalingvariant.cpp:40-44 divide_uint128_inplace).
+    """
+    hi, lo = _u64(hi), _u64(lo)
+    p = _u64(p)
+    ratio0 = _u64(ratio0)
+    ratio1 = _u64(ratio1)
+
+    carry = mulhi64(lo, ratio0)
+    t2_hi, t2_lo = mul64_wide(lo, ratio1)
+    tmp1 = t2_lo + carry
+    c1 = (tmp1 < t2_lo).astype(jnp.uint64)
+    tmp3 = t2_hi + c1
+    t2_hi, t2_lo = mul64_wide(hi, ratio0)
+    tmp1b = tmp1 + t2_lo
+    c2 = (tmp1b < tmp1).astype(jnp.uint64)
+    carry2 = t2_hi + c2
+    q = hi * ratio1 + tmp3 + carry2
+    r = lo - q * p
+    fix = (r >= p).astype(jnp.uint64)
+    return q + fix, jnp.where(r >= p, r - p, r)
 
 
 def barrett_reduce_64(x, p, ratio1):

@@ -87,6 +87,49 @@ def _powers_of_root_bit_scrambled(root: int, n: int, log_n: int, p: int) -> np.n
     return out
 
 
+# Per-(n, modulus) single-row table cache: the modulus-switching chain reuses
+# the same moduli at every level, so each prime's tables are built once.
+_TABLE_CACHE: dict = {}
+
+
+def _build_single(coeff_count_power: int, p: int):
+    key = (coeff_count_power, p)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    n = 1 << coeff_count_power
+
+    root = numth.try_minimal_primitive_root(2 * n, p)
+    if root is None:
+        raise ValueError(f"modulus {p:#x} does not support NTT of size {n}")
+    inv_root = numth.try_invert_uint_mod(root, p)
+    inv_n = numth.try_invert_uint_mod(n, p)
+    if inv_root is None or inv_n is None:
+        raise ValueError("invalid modulus")
+
+    fwd = _powers_of_root_bit_scrambled(root, n, coeff_count_power, p)
+    scaled_fwd = np.array([_shoupify(int(w), p) for w in fwd], dtype=np.uint64)
+
+    inv = _powers_of_root_bit_scrambled(inv_root, n, coeff_count_power, p)
+    # Reorder for sequential inverse access (ntt.cpp:85-95): walk stages
+    # m = n/2 down to 1, emitting entries [m, 2m).
+    reordered = np.zeros(n, dtype=np.uint64)
+    pos = 1
+    m = n >> 1
+    while m > 0:
+        reordered[pos : pos + m] = inv[m : 2 * m]
+        pos += m
+        m >>= 1
+    # Merge n^{-1} into the last entry (ntt.cpp:96-98).
+    reordered[n - 1] = (int(reordered[n - 1]) * inv_n) % p
+    scaled_inv = np.array([_shoupify(int(w), p) for w in reordered], dtype=np.uint64)
+
+    entry = (root, fwd, scaled_fwd, reordered, scaled_inv, inv_n,
+             _shoupify(inv_n, p), _shoupify(1, p))
+    _TABLE_CACHE[key] = entry
+    return entry
+
+
 def build_ntt_tables(coeff_count_power: int, moduli: Sequence) -> NTTTables:
     """Build NTT tables for each modulus, matching NTTTables::initialize
     (reference: ntt.cpp:37-99) bit-for-bit."""
@@ -104,41 +147,17 @@ def build_ntt_tables(coeff_count_power: int, moduli: Sequence) -> NTTTables:
     reduce_precomp = np.zeros(L, dtype=np.uint64)
 
     for j, p in enumerate(mods):
-        root = numth.try_minimal_primitive_root(2 * n, p)
-        if root is None:
-            raise ValueError(f"modulus {p:#x} does not support NTT of size {n}")
-        inv_root = numth.try_invert_uint_mod(root, p)
-        inv_n = numth.try_invert_uint_mod(n, p)
-        if inv_root is None or inv_n is None:
-            raise ValueError("invalid modulus")
-
+        (root, fwd, scaled_fwd, inv_reord, scaled_inv, inv_n, inv_n_s, rdp) = (
+            _build_single(coeff_count_power, p)
+        )
         roots[j] = root
-        inv_degree[j] = inv_n
-        scaled_inv_degree[j] = _shoupify(inv_n, p)
-        reduce_precomp[j] = _shoupify(1, p)
-
-        fwd = _powers_of_root_bit_scrambled(root, n, coeff_count_power, p)
         root_powers[j] = fwd
-        scaled_root_powers[j] = np.array(
-            [_shoupify(int(w), p) for w in fwd], dtype=np.uint64
-        )
-
-        inv = _powers_of_root_bit_scrambled(inv_root, n, coeff_count_power, p)
-        # Reorder for sequential inverse access (ntt.cpp:85-95): walk stages
-        # m = n/2 down to 1, emitting entries [m, 2m).
-        reordered = np.zeros(n, dtype=np.uint64)
-        pos = 1
-        m = n >> 1
-        while m > 0:
-            reordered[pos : pos + m] = inv[m : 2 * m]
-            pos += m
-            m >>= 1
-        # Merge n^{-1} into the last entry (ntt.cpp:96-98).
-        reordered[n - 1] = (int(reordered[n - 1]) * inv_n) % p
-        inv_root_powers[j] = reordered
-        scaled_inv_root_powers[j] = np.array(
-            [_shoupify(int(w), p) for w in reordered], dtype=np.uint64
-        )
+        scaled_root_powers[j] = scaled_fwd
+        inv_root_powers[j] = inv_reord
+        scaled_inv_root_powers[j] = scaled_inv
+        inv_degree[j] = inv_n
+        scaled_inv_degree[j] = inv_n_s
+        reduce_precomp[j] = rdp
 
     return NTTTables(
         coeff_count_power=coeff_count_power,

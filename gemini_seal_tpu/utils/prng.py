@@ -1,0 +1,176 @@
+"""PRNG factory and RLWE samplers (host side).
+
+TPU-native rework of the reference's randomness stack
+(reference: native/src/seal/randomgen.{h,cpp}, randomtostd.h,
+util/rlwe.cpp:21-129, util/clipnormal.{h,cpp}).  The byte stream is the
+bit-exact Blake2xbPRNG from :mod:`.blake2`; the three samplers reproduce the
+reference's draw order *including* the libstdc++ distribution algorithms it
+inherits (uniform_int_distribution's down-scaling rejection and
+normal_distribution's Marsaglia polar method), so seeded outputs can be
+cross-checked byte-for-byte against the compiled C++ reference.
+
+Sampling is a host-side boundary: keys/encryptions draw little randomness
+relative to the ciphertext compute, and exact IEEE-double semantics (the
+polar method) don't belong on the TPU VPU.  Outputs land as numpy [L, N]
+residue planes ready for device upload.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import struct
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from .blake2 import Blake2xbPRNG
+
+__all__ = [
+    "BlakePRNGFactory",
+    "random_seed",
+    "StdNormalDistribution",
+    "sample_poly_ternary",
+    "sample_poly_normal",
+    "sample_poly_uniform",
+    "NOISE_STANDARD_DEVIATION",
+    "NOISE_MAX_DEVIATION",
+]
+
+NOISE_STANDARD_DEVIATION = 3.20          # hestdparms.h:145
+NOISE_MAX_DEVIATION = 6 * 3.20           # globals.h:38-42
+
+
+def random_seed() -> tuple:
+    """Fresh 8-word seed from system entropy (randomgen.cpp:18-36)."""
+    return tuple(struct.unpack("<8Q", os.urandom(64)))
+
+
+class BlakePRNGFactory:
+    """UniformRandomGeneratorFactory with blake2xb streams
+    (randomgen.h:222-260)."""
+
+    def __init__(self, default_seed: Optional[Sequence[int]] = None):
+        self.default_seed = tuple(default_seed) if default_seed is not None else None
+
+    def create(self, seed: Optional[Sequence[int]] = None) -> Blake2xbPRNG:
+        if seed is None:
+            seed = self.default_seed if self.default_seed is not None else random_seed()
+        return Blake2xbPRNG(seed)
+
+
+class StdNormalDistribution:
+    """libstdc++-compatible std::normal_distribution<double>.
+
+    Marsaglia polar method over generate_canonical<double, 53> with a
+    32-bit URBG (two draws per canonical).  Stateful: the spare variate is
+    saved across calls, exactly as libstdc++ does.
+    """
+
+    def __init__(self, mean: float = 0.0, stddev: float = 1.0):
+        self.mean = mean
+        self.stddev = stddev
+        self._saved: Optional[float] = None
+
+    def _canonical(self, engine) -> float:
+        # generate_canonical<double, 53 bits> with r = 2^32 -> 2 draws.
+        d0 = float(engine.draw_u32())
+        d1 = float(engine.draw_u32())
+        ret = (d0 + d1 * 4294967296.0) / 18446744073709551616.0
+        if ret >= 1.0:
+            ret = math.nextafter(1.0, 0.0)
+        return ret
+
+    def __call__(self, engine) -> float:
+        if self._saved is not None:
+            ret = self._saved
+            self._saved = None
+        else:
+            while True:
+                x = 2.0 * self._canonical(engine) - 1.0
+                y = 2.0 * self._canonical(engine) - 1.0
+                r2 = x * x + y * y
+                if r2 <= 1.0 and r2 != 0.0:
+                    break
+            mult = math.sqrt(-2.0 * math.log(r2) / r2)
+            self._saved = x * mult
+            ret = y * mult
+        return ret * self.stddev + self.mean
+
+
+def sample_poly_ternary(prng: Blake2xbPRNG, moduli: Sequence[int], n: int) -> np.ndarray:
+    """Ternary {-1, 0, 1} poly as [L, N] residues (rlwe.cpp:21-55).
+
+    One uniform_int_distribution<int>(-1, 1) draw per coefficient:
+    libstdc++ down-scales a 32-bit draw by (2^32-1)/3, rejecting the single
+    value 2^32-1.
+    """
+    scaling = 1431655765  # (2^32 - 1) // 3
+    draws = prng.draw_u32_array(n).astype(np.int64)
+    bad = np.nonzero(draws == 4294967295)[0]
+    for idx in bad:  # rejection probability 2^-32; redraws are sequential
+        d = prng.draw_u32()
+        while d == 4294967295:
+            d = prng.draw_u32()
+        draws[idx] = d
+    vals = draws // scaling - 1  # in {-1, 0, 1}
+    out = np.zeros((len(moduli), n), dtype=np.uint64)
+    for j, q in enumerate(moduli):
+        row = out[j]
+        row[vals == 1] = 1
+        row[vals == -1] = np.uint64(q - 1)
+    return out
+
+
+def sample_poly_normal(prng: Blake2xbPRNG, moduli: Sequence[int], n: int) -> np.ndarray:
+    """Clipped Gaussian noise poly as [L, N] residues (rlwe.cpp:57-99).
+
+    ClippedNormalDistribution(0, 3.2, 19.2) (clipnormal.h): resample until
+    |x| <= 6 sigma, then truncate toward zero to int64.
+    """
+    if NOISE_MAX_DEVIATION == 0.0:
+        return np.zeros((len(moduli), n), dtype=np.uint64)
+    dist = StdNormalDistribution(0.0, NOISE_STANDARD_DEVIATION)
+    noise = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        while True:
+            v = dist(prng)
+            if abs(v - 0.0) <= NOISE_MAX_DEVIATION:
+                break
+        noise[i] = int(v)  # C++ static_cast<int64_t>: truncation toward zero
+    out = np.zeros((len(moduli), n), dtype=np.uint64)
+    for j, q in enumerate(moduli):
+        row = out[j]
+        pos = noise > 0
+        neg = noise < 0
+        row[pos] = noise[pos].astype(np.uint64)
+        row[neg] = (np.uint64(q) - (-noise[neg]).astype(np.uint64))
+    return out
+
+
+def sample_poly_uniform(prng: Blake2xbPRNG, moduli_with_ratio, n: int) -> np.ndarray:
+    """Uniform poly mod each q_j as [L, N] (rlwe.cpp:101-129).
+
+    Per limb: draw 63-bit candidates as (u32 << 31) | (u32 >> 1), reject at
+    max_multiple = 2^63-1 - ((2^63-1) mod q) - 1, reduce.  Draw order is the
+    reference's exactly (limb-major, per-coefficient rejection loops).
+
+    moduli_with_ratio: iterable of Modulus (value + const_ratio for the
+    Barrett reduce).
+    """
+    max_random = 0x7FFFFFFFFFFFFFFF
+    L = len(moduli_with_ratio)
+    out = np.zeros((L, n), dtype=np.uint64)
+    next_u32 = prng.draw_u32  # PRNG buffers internally; 4 bytes per call
+    for j, m in enumerate(moduli_with_ratio):
+        q = int(m.value) if hasattr(m, "value") else int(m)
+        max_multiple = max_random - (max_random % q) - 1
+        row = np.zeros(n, dtype=np.uint64)
+        for i in range(n):
+            while True:
+                r = (next_u32() << 31) | (next_u32() >> 1)
+                if r < max_multiple:
+                    break
+            row[i] = r % q
+        out[j] = row
+    return out
