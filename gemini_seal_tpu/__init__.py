@@ -37,6 +37,8 @@ from .keys import (  # noqa: E402
 from .keygenerator import KeyGenerator  # noqa: E402
 from .encryptor import Encryptor  # noqa: E402
 from .decryptor import Decryptor  # noqa: E402
+from .evaluator import Evaluator  # noqa: E402
+from .encoders import BatchEncoder, CKKSEncoder, IntegerEncoder  # noqa: E402
 
 __version__ = "0.1.0"
 
@@ -58,4 +60,8 @@ __all__ = [
     "KeyGenerator",
     "Encryptor",
     "Decryptor",
+    "Evaluator",
+    "BatchEncoder",
+    "CKKSEncoder",
+    "IntegerEncoder",
 ]

@@ -107,7 +107,7 @@ class KeyGenerator:
             rns0 = b * n_sp_rns
             rns1 = min(rns0 + n_sp_rns, n_ct_rns)
             # c0[rns] += new_key[rns] * P mod q_rns for the bundle's limbs
-            sel = list(range(rns0, rns1))
+            sel = np.arange(rns0, rns1)
             fac = jnp.asarray(factors[sel].reshape(-1, 1))
             p_sel = limbs.p[sel]
             r0_sel = limbs.ratio0[sel]

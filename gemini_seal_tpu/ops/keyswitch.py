@@ -1,0 +1,266 @@
+"""Hybrid multi-special-prime key switching (JAX/XLA).
+
+TPU-native rework of the fork's headline feature
+(reference: native/src/seal/multi_special_primes.cpp:1-305 and
+Evaluator::switch_key_inplace, evaluator.cpp:2259-2368):
+
+- bundle-wise mod-up: CRT-interpolate each decomposition bundle of the
+  target polynomial onto all other normal limbs and the special limbs —
+  here a batched modular matmul (the same 128-bit digit contraction as base
+  conversion) instead of scalar Shoup/FMA loops;
+- key inner product: sum over bundles of ct_bundle[k] * evk_bundle[l][k]
+  in the NTT domain with 128-bit-exact accumulation;
+- special-prime rescale (mod-down): divide by P = prod(special primes) with
+  the fork's interpolation correction, then add into the ciphertext.
+
+Deviation from the reference: the fork's step 3 feeds the *power-basis*
+target into the inner product for the bundle-diagonal limbs when the scheme
+is BFV, which breaks BFV relinearization/rotation (verified against the
+compiled fork: noise budget collapses to 0).  Here the diagonal limbs are
+NTT-transformed for BFV, so key switching is correct for both schemes.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import numth
+from . import modops
+from .dyadic import LimbConstants
+from .ntt import NTTTables, ntt_forward, ntt_inverse
+from .rnsops import _dot_mod_128, _slice_tables
+
+_MASK32 = np.uint64(0xFFFFFFFF)
+_U32 = np.uint64(32)
+
+__all__ = ["KeySwitchPlan", "switch_key"]
+
+
+def _gather_tables(t: NTTTables, idx) -> NTTTables:
+    idx = np.asarray(idx, dtype=np.int64)
+    return NTTTables(
+        coeff_count_power=t.coeff_count_power,
+        coeff_count=t.coeff_count,
+        moduli=[t.moduli[i] for i in idx],
+        roots=t.roots[idx],
+        root_powers=t.root_powers[idx],
+        scaled_root_powers=t.scaled_root_powers[idx],
+        inv_root_powers=t.inv_root_powers[idx],
+        scaled_inv_root_powers=t.scaled_inv_root_powers[idx],
+        inv_degree_modulo=t.inv_degree_modulo[idx],
+        scaled_inv_degree=t.scaled_inv_degree[idx],
+        reduce_precomp=t.reduce_precomp[idx],
+        modulus=t.modulus[idx],
+    )
+
+
+class KeySwitchPlan:
+    """Per-(ciphertext level, key level) constants for hybrid key switching.
+
+    Precomputes, with exact ints, the bundle mod-up matrices and the
+    special-prime rescale constants (multi_special_primes.cpp:109-141,
+    186-234, 244-248, 291-299).
+    """
+
+    def __init__(self, context, parms_id):
+        cd = context.get_context_data(parms_id)
+        key_cd = context.key_context_data()
+        first_cd = context.first_context_data()
+        key_modulus = [m.value for m in key_cd.parms.coeff_modulus]
+
+        self.n_ct_rns = len(cd.parms.coeff_modulus)
+        self.n_ct_all_rns = len(first_cd.parms.coeff_modulus)
+        self.n_total_rns = len(key_modulus)
+        self.n_sp_rns = self.n_total_rns - self.n_ct_all_rns
+        self.n_bundles = (self.n_ct_rns + self.n_sp_rns - 1) // self.n_sp_rns
+        n_ct, n_sp = self.n_ct_rns, self.n_sp_rns
+
+        # Extended limb set: normal limbs at this level + the special limbs.
+        self.ext_key_indices = np.array(
+            list(range(n_ct))
+            + list(range(self.n_ct_all_rns, self.n_ct_all_rns + n_sp)),
+            dtype=np.int64,
+        )
+        ext_moduli = [key_modulus[i] for i in self.ext_key_indices]
+        self.n_ext = len(ext_moduli)
+        self.ext_limbs = LimbConstants.from_moduli(ext_moduli)
+        self.ct_limbs = LimbConstants.from_moduli(ext_moduli[:n_ct])
+        self.ext_tables = _gather_tables(key_cd.ntt_tables, self.ext_key_indices)
+        self.ct_tables = _slice_tables(self.ext_tables, 0, n_ct)
+
+        # Bundle mod-up data (modup_to_single_rns, :109-141): for bundle b
+        # with limb set S, matrix[dst, i] = (Q_S / q_i) mod p_dst and
+        # inv[i] = (Q_S / q_i)^{-1} mod q_i.  Diagonal rows (dst in S) are
+        # unused (masked by the caller).
+        self.bundles = []
+        for b in range(self.n_bundles):
+            rns0 = b * n_sp
+            rns1 = min(rns0 + n_sp, n_ct)
+            S = list(range(rns0, rns1))
+            inv = np.zeros(len(S), dtype=np.uint64)
+            mat = np.zeros((self.n_ext, len(S)), dtype=np.uint64)
+            for a, i in enumerate(S):
+                qi = ext_moduli[i]
+                punc = 1
+                for j in S:
+                    if j != i:
+                        punc *= ext_moduli[j]
+                inv_a = numth.try_invert_uint_mod(punc % qi, qi)
+                if inv_a is None:
+                    raise ValueError("key-switch modup: punctured product not invertible")
+                inv[a] = inv_a
+                for dst in range(self.n_ext):
+                    mat[dst, a] = punc % ext_moduli[dst]
+            self.bundles.append(
+                (
+                    rns0,
+                    rns1,
+                    jnp.asarray(inv.reshape(-1, 1)),
+                    jnp.asarray(mat),
+                )
+            )
+
+        # Special-prime rescale constants (:186-234, 291-299).
+        sp0 = self.n_ct_all_rns
+        sp_moduli = [key_modulus[sp0 + j] for j in range(n_sp)]
+        inv_hat = np.zeros(n_sp, dtype=np.uint64)
+        for j in range(n_sp):
+            prod = 1
+            for k in range(n_sp):
+                if k != j:
+                    prod = (prod * sp_moduli[k]) % sp_moduli[j]
+            r = numth.try_invert_uint_mod(prod, sp_moduli[j])
+            if r is None:
+                raise ValueError("key-switch rescale: inverse failed")
+            inv_hat[j] = r
+        self.inv_hat_pj_pj = jnp.asarray(inv_hat.reshape(-1, 1))
+        self.sp_limbs = LimbConstants.from_moduli(sp_moduli)
+
+        neg_hat = np.zeros((n_ct, n_sp), dtype=np.uint64)
+        invP = np.zeros(n_ct, dtype=np.uint64)
+        for i in range(n_ct):
+            qi = ext_moduli[i]
+            for j in range(n_sp):
+                prod = 1
+                for k in range(n_sp):
+                    if k != j:
+                        prod = (prod * sp_moduli[k]) % qi
+                neg_hat[i, j] = (-prod) % qi
+            P_qi = 1
+            for j in range(n_sp):
+                P_qi = (P_qi * sp_moduli[j]) % qi
+            r = numth.try_invert_uint_mod(P_qi, qi)
+            if r is None:
+                raise ValueError("key-switch rescale: P not invertible")
+            invP[i] = r
+        self.neg_hat_pj_qi = jnp.asarray(neg_hat)     # [n_ct, n_sp]
+        self.inv_P_qi = jnp.asarray(invP.reshape(-1, 1))
+
+
+def _modup_bundle(power_target, plan: KeySwitchPlan, b: int):
+    """CRT-lift bundle b's limbs onto all extended limbs (power basis).
+
+    power_target: [n_ct, N] power-basis target.  Returns [n_ext, N]; the
+    diagonal rows contain the lifted value too (ignored by the caller).
+    Mirrors modup_rns / modup_to_single_rns
+    (multi_special_primes.cpp:80-185) as one modular matmul.
+    """
+    rns0, rns1, inv, mat = plan.bundles[b]
+    x = power_target[rns0:rns1, :]
+    S_p = plan.ct_limbs.p[rns0:rns1]
+    S_r0 = plan.ct_limbs.ratio0[rns0:rns1]
+    S_r1 = plan.ct_limbs.ratio1[rns0:rns1]
+    temp = modops.mul_mod(x, inv, S_p, S_r0, S_r1)
+    return _dot_mod_128(temp, mat, plan.ext_limbs)
+
+
+def rescale_special(ext_poly_ntt, plan: KeySwitchPlan, is_ntt_output: bool):
+    """Mod-down by P = prod(special primes) (multi_special_primes.cpp:237-304).
+
+    ext_poly_ntt: [n_ext, N] with ALL limbs in NTT domain (the inner-product
+    output).  Returns [n_ct, N] in NTT domain if is_ntt_output (CKKS) else
+    power basis (BFV).
+    """
+    n_ct = plan.n_ct_rns
+    sp = ext_poly_ntt[n_ct:, :]
+    normal = ext_poly_ntt[:n_ct, :]
+
+    # special limbs to power basis
+    sp_tables = _slice_tables(plan.ext_tables, n_ct, plan.n_ext)
+    sp_power = ntt_inverse(sp, sp_tables)
+
+    # temp_i = sum_j (ct_pj * hat_pj^{-1} mod pj) * (-hat_pj mod qi)
+    scaled = modops.mul_mod(
+        sp_power, plan.inv_hat_pj_pj, plan.sp_limbs.p, plan.sp_limbs.ratio0, plan.sp_limbs.ratio1
+    )  # [n_sp, N]
+    temp = _dot_mod_128(scaled, plan.neg_hat_pj_qi, plan.ct_limbs)  # [n_ct, N]
+
+    q = plan.ct_limbs
+    if is_ntt_output:
+        temp = ntt_forward(temp, plan.ct_tables)
+        acc = modops.add_mod(normal, temp, q.p)
+    else:
+        normal_power = ntt_inverse(normal, plan.ct_tables)
+        acc = modops.add_mod(normal_power, temp, q.p)
+    return modops.mul_mod(acc, plan.inv_P_qi, q.p, q.ratio0, q.ratio1)
+
+
+def switch_key(target, key_vector_data, plan: KeySwitchPlan, is_ntt_form: bool):
+    """Core hybrid key switch (evaluator.cpp:2259-2368).
+
+    target: [n_ct, N] in the ciphertext domain (NTT iff is_ntt_form).
+    key_vector_data: [n_bundles, 2, L_key, N] stacked key ciphertexts
+    (NTT form at the key level).
+    Returns (delta0, delta1): [n_ct, N] contributions in the ciphertext
+    domain, to be added onto c0/c1.
+    """
+    n_ct, n_ext = plan.n_ct_rns, plan.n_ext
+    N = target.shape[-1]
+    ext = plan.ext_limbs
+
+    power_target = ntt_inverse(target, plan.ct_tables) if is_ntt_form else target
+    ntt_target = target if is_ntt_form else ntt_forward(target, plan.ct_tables)
+
+    # digit accumulators for the 128-bit inner product, per component
+    d = [
+        [jnp.zeros((n_ext, N), dtype=jnp.uint64) for _ in range(4)]
+        for _ in range(2)
+    ]
+    for b in range(plan.n_bundles):
+        rns0, rns1, _, _ = plan.bundles[b]
+        lifted = _modup_bundle(power_target, plan, b)          # [n_ext, N]
+        lifted_ntt = ntt_forward(lifted, plan.ext_tables)
+        # diagonal limbs use the original NTT-domain target (exact, no lift)
+        row = jnp.arange(n_ext)[:, None]
+        diag = (row >= rns0) & (row < rns1)
+        ct_k = jnp.where(
+            diag,
+            jnp.pad(ntt_target, ((0, n_ext - n_ct), (0, 0))),
+            lifted_ntt,
+        )
+        # key rows for the extended limbs
+        key_b = key_vector_data[b][:, plan.ext_key_indices, :]  # [2, n_ext, N]
+        for l in range(2):
+            hi, lo = modops.mul64_wide(ct_k, key_b[l])
+            d[l][0] = d[l][0] + (lo & _MASK32)
+            d[l][1] = d[l][1] + (lo >> _U32)
+            d[l][2] = d[l][2] + (hi & _MASK32)
+            d[l][3] = d[l][3] + (hi >> _U32)
+
+    out = []
+    for l in range(2):
+        d0, d1, d2, d3 = d[l]
+        carry = d0 >> _U32
+        s1 = d1 + carry
+        carry = s1 >> _U32
+        s2 = d2 + carry
+        carry = s2 >> _U32
+        s3 = d3 + carry
+        lo128 = (d0 & _MASK32) | (s1 << _U32)
+        hi128 = (s2 & _MASK32) | (s3 << _U32)
+        acc = modops.barrett_reduce_128(hi128, lo128, ext.p, ext.ratio0, ext.ratio1)
+        out.append(rescale_special(acc, plan, is_ntt_output=is_ntt_form))
+    return out[0], out[1]

@@ -1,0 +1,162 @@
+"""CKKS end-to-end: encode/encrypt/evaluate/rescale/rotate/decode.
+
+Mirrors the reference's approximate-equality test style
+(reference: native/tests/seal/ckks.cpp, evaluator.cpp:1365-3200).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from gemini_seal_tpu import (
+    CKKSEncoder,
+    CoeffModulus,
+    Decryptor,
+    EncryptionParameters,
+    Encryptor,
+    Evaluator,
+    KeyGenerator,
+    SchemeType,
+    SecLevelType,
+    SealContext,
+)
+
+SEED = tuple(range(21, 29))
+SCALE = 2.0 ** 30
+
+
+@pytest.fixture(scope="module")
+def setup():
+    parms = EncryptionParameters(SchemeType.CKKS)
+    n = 256
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.create(n, [40, 30, 30, 40]))
+    parms.set_random_seed(SEED)
+    ctx = SealContext(parms, sec_level=SecLevelType.none)
+    keygen = KeyGenerator(ctx)
+    enc = Encryptor(ctx, public_key=keygen.public_key(), secret_key=keygen.secret_key)
+    dec = Decryptor(ctx, keygen.secret_key)
+    ev = Evaluator(ctx)
+    encoder = CKKSEncoder(ctx)
+    return ctx, keygen, enc, dec, ev, encoder
+
+
+def close(a, b, tol=1e-4):
+    return all(abs(x - y) <= tol for x, y in zip(a, b))
+
+
+def test_encode_decode(setup):
+    *_, encoder = setup
+    vals = [1.5, -2.25, 3.125, 0.0, 7.75]
+    p = encoder.encode(vals, SCALE)
+    out = encoder.decode(p)
+    assert close(out[:5], vals, 1e-6)
+    assert all(abs(v) < 1e-6 for v in out[5:])
+
+
+def test_encode_decode_complex(setup):
+    *_, encoder = setup
+    vals = [complex(1.1, -0.5), complex(-3.25, 2.0)]
+    p = encoder.encode(vals, SCALE)
+    out = encoder.decode(p, as_complex=True)
+    assert abs(out[0] - vals[0]) < 1e-5 and abs(out[1] - vals[1]) < 1e-5
+
+
+def test_encrypt_decrypt(setup):
+    _, _, enc, dec, _, encoder = setup
+    vals = [0.1 * i for i in range(encoder.slot_count)]
+    ct = enc.encrypt(encoder.encode(vals, SCALE))
+    assert ct.is_ntt_form
+    out = encoder.decode(dec.decrypt(ct))
+    assert close(out, vals, 1e-3)
+
+
+def test_add_sub(setup):
+    _, _, enc, dec, ev, encoder = setup
+    a = [1.0, 2.0, -3.0]
+    b = [0.5, -1.5, 4.0]
+    ca = enc.encrypt(encoder.encode(a, SCALE))
+    cb = enc.encrypt(encoder.encode(b, SCALE))
+    s = encoder.decode(dec.decrypt(ev.add(ca, cb)))
+    assert close(s[:3], [1.5, 0.5, 1.0], 1e-3)
+    d = encoder.decode(dec.decrypt(ev.sub(ca, cb)))
+    assert close(d[:3], [0.5, 3.5, -7.0], 1e-3)
+
+
+def test_multiply_relin_rescale(setup):
+    _, keygen, enc, dec, ev, encoder = setup
+    rk = keygen.relin_keys()
+    a = [1.5, -2.0, 0.25]
+    b = [2.0, 3.0, -4.0]
+    ca = enc.encrypt(encoder.encode(a, SCALE))
+    cb = enc.encrypt(encoder.encode(b, SCALE))
+    prod = ev.multiply(ca, cb)
+    assert prod.size == 3
+    rel = ev.relinearize(prod, rk)
+    assert rel.size == 2
+    scaled = ev.rescale_to_next(rel)
+    assert abs(scaled.scale - SCALE * SCALE / scaled_factor(setup)) < 1e6
+    out = encoder.decode(dec.decrypt(scaled))
+    assert close(out[:3], [3.0, -6.0, -1.0], 1e-2)
+
+
+def scaled_factor(setup):
+    ctx = setup[0]
+    return ctx.first_context_data().parms.coeff_modulus[-1].value
+
+
+def test_multiply_plain_ckks(setup):
+    _, _, enc, dec, ev, encoder = setup
+    a = [1.0, 2.0, 3.0]
+    b = [4.0, 0.5, -2.0]
+    ca = enc.encrypt(encoder.encode(a, SCALE))
+    pb = encoder.encode(b, SCALE)
+    prod = ev.multiply_plain(ca, pb)
+    out = encoder.decode(dec.decrypt(ev.rescale_to_next(prod)))
+    assert close(out[:3], [4.0, 1.0, -6.0], 1e-2)
+
+
+def test_add_plain_ckks(setup):
+    _, _, enc, dec, ev, encoder = setup
+    a = [1.0, -2.0]
+    b = [0.25, 0.75]
+    ca = enc.encrypt(encoder.encode(a, SCALE))
+    pb = encoder.encode(b, SCALE)
+    out = encoder.decode(dec.decrypt(ev.add_plain(ca, pb)))
+    assert close(out[:2], [1.25, -1.25], 1e-3)
+
+
+def test_rotate_and_conjugate(setup):
+    _, keygen, enc, dec, ev, encoder = setup
+    gk = keygen.galois_keys()
+    vals = [complex(i + 1, -i) for i in range(4)]
+    ct = enc.encrypt(encoder.encode(vals, SCALE))
+    rot = ev.rotate_vector(ct, 1, gk)
+    out = encoder.decode(dec.decrypt(rot), as_complex=True)
+    assert abs(out[0] - vals[1]) < 1e-3
+    assert abs(out[1] - vals[2]) < 1e-3
+    conj = ev.complex_conjugate(ct, gk)
+    outc = encoder.decode(dec.decrypt(conj), as_complex=True)
+    assert abs(outc[0] - vals[0].conjugate()) < 1e-3
+
+
+def test_mod_switch_drop(setup):
+    ctx, _, enc, dec, ev, encoder = setup
+    vals = [3.5, -1.25]
+    ct = enc.encrypt(encoder.encode(vals, SCALE))
+    dropped = ev.mod_switch_to_next(ct)
+    assert dropped.coeff_modulus_size == ct.coeff_modulus_size - 1
+    out = encoder.decode(dec.decrypt(dropped))
+    assert close(out[:2], vals, 1e-3)
+
+
+def test_square_rescale_square(setup):
+    _, keygen, enc, dec, ev, encoder = setup
+    rk = keygen.relin_keys()
+    vals = [1.1, -0.9]
+    ct = enc.encrypt(encoder.encode(vals, SCALE))
+    sq = ev.rescale_to_next(ev.relinearize(ev.square(ct), rk))
+    sq2 = ev.rescale_to_next(ev.relinearize(ev.square(sq), rk))
+    out = encoder.decode(dec.decrypt(sq2))
+    assert close(out[:2], [1.1 ** 4, 0.9 ** 4], 5e-2)
