@@ -1,0 +1,171 @@
+"""Jit-compiled evaluation pipelines ("the model zoo").
+
+The reference exposes per-op C++ calls; on TPU the unit of execution is a
+fused XLA program.  This module builds jittable, batch-polymorphic step
+functions over raw ciphertext tensors — the building blocks for benchmarks,
+the graft entry points, and multi-chip sharded execution.  All per-level
+constants close over the functions and compile into on-device executable
+constants; keys are passed as arguments (they are large and shardable).
+
+Batching: every step accepts ciphertext data shaped [..., size, L, N] with
+any leading batch axes — ciphertext-batch data parallelism is a vmap-free
+broadcast over those axes.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..context import SealContext
+from ..ops import modops
+from ..ops.dyadic import add_poly, dyadic_product, multiply_poly_scalar
+from ..ops.keyswitch import KeySwitchPlan, switch_key
+from ..ops.ntt import ntt_forward, ntt_inverse
+from ..ops.rnsops import (
+    divide_and_round_q_last_ntt,
+    fast_floor,
+    fastbconv_m_tilde,
+    fastbconv_sk,
+    sm_mrq,
+)
+
+__all__ = [
+    "build_ckks_mul_relin_rescale",
+    "build_ckks_rotate",
+    "build_bfv_mul_relin",
+    "build_ckks_train_step",
+]
+
+
+def _convolve3(a, b, limbs):
+    """Size-2 x size-2 ciphertext product -> 3 components, batched.
+
+    a, b: [..., 2, L, N].
+    """
+    a0, a1 = a[..., 0, :, :], a[..., 1, :, :]
+    b0, b1 = b[..., 0, :, :], b[..., 1, :, :]
+    c0 = dyadic_product(a0, b0, limbs)
+    c1 = add_poly(
+        dyadic_product(a0, b1, limbs), dyadic_product(a1, b0, limbs), limbs
+    )
+    c2 = dyadic_product(a1, b1, limbs)
+    return c0, c1, c2
+
+
+def _relinearize_batched(c0, c1, c2, key_data, plan, limbs, is_ntt: bool):
+    """Fold the c2 component back to (c0, c1) via hybrid key switch.
+
+    switch_key operates on [..., L, N] targets (batch axes broadcast).
+    """
+    d0, d1 = switch_key(c2, key_data, plan, is_ntt)
+    return add_poly(c0, d0, limbs), add_poly(c1, d1, limbs)
+
+
+def build_ckks_mul_relin_rescale(context: SealContext, parms_id=None) -> Callable:
+    """fn(ct_a, ct_b, relin_key) -> next-level ciphertext data.
+
+    ct_*: u64[..., 2, L, N] (NTT form); relin_key: u64[n_bundles, 2, L_key, N].
+    Returns u64[..., 2, L-1, N].  This is benchmark config 4/5's hot step
+    (multiply + relinearize + rescale).
+    """
+    if parms_id is None:
+        parms_id = context.first_parms_id
+    cd = context.get_context_data(parms_id)
+    limbs = cd.limb_constants
+    tables = cd.ntt_tables
+    tool = cd.device_rns_tool
+    plan = KeySwitchPlan(context, parms_id)
+
+    def step(a, b, relin_key):
+        c0, c1, c2 = _convolve3(a, b, limbs)
+        c0, c1 = _relinearize_batched(c0, c1, c2, relin_key, plan, limbs, True)
+        ct = jnp.stack([c0, c1], axis=-3)
+        return divide_and_round_q_last_ntt(ct, tool, tables)
+
+    return step
+
+
+def build_ckks_rotate(context: SealContext, steps: int, parms_id=None) -> Callable:
+    """fn(ct, galois_key) -> rotated ciphertext data (same level)."""
+    if parms_id is None:
+        parms_id = context.first_parms_id
+    cd = context.get_context_data(parms_id)
+    limbs = cd.limb_constants
+    tool = cd.galois_tool
+    elt = tool.get_elt_from_step(steps)
+    plan = KeySwitchPlan(context, parms_id)
+
+    def step(ct, galois_key):
+        c0 = tool.apply_galois_ntt(ct[..., 0, :, :], elt)
+        c1 = tool.apply_galois_ntt(ct[..., 1, :, :], elt)
+        d0, d1 = switch_key(c1, galois_key, plan, True)
+        return jnp.stack([add_poly(c0, d0, limbs), d1], axis=-3)
+
+    return step
+
+
+def build_bfv_mul_relin(context: SealContext, parms_id=None) -> Callable:
+    """fn(ct_a, ct_b, relin_key) -> size-2 ciphertext data (BFV, BEHZ).
+
+    Benchmark config 1/3's hot step.
+    """
+    if parms_id is None:
+        parms_id = context.first_parms_id
+    cd = context.get_context_data(parms_id)
+    parms = cd.parms
+    limbs = cd.limb_constants
+    tool = cd.device_rns_tool
+    bsk_limbs = tool.Bsk_limbs
+    t = jnp.uint64(parms.plain_modulus.value)
+    plan = KeySwitchPlan(context, parms_id)
+
+    def extend(ct):
+        q_ntt = ntt_forward(ct, cd.ntt_tables)
+        lifted = fastbconv_m_tilde(ct, tool)
+        bsk = sm_mrq(lifted, tool)
+        bsk_ntt = ntt_forward(bsk, tool.base_Bsk_ntt_tables)
+        return q_ntt, bsk_ntt
+
+    def step(a, b, relin_key):
+        aq, absk = extend(a)
+        bq, bbsk = extend(b)
+        dq = _convolve3(aq, bq, limbs)
+        dbsk = _convolve3(absk, bbsk, bsk_limbs)
+        out = []
+        for k in range(3):
+            q_part = ntt_inverse(dq[k], cd.ntt_tables)
+            bsk_part = ntt_inverse(dbsk[k], tool.base_Bsk_ntt_tables)
+            tq = multiply_poly_scalar(q_part, t, limbs)
+            tbsk = modops.mul_mod(
+                bsk_part, t, bsk_limbs.p, bsk_limbs.ratio0, bsk_limbs.ratio1
+            )
+            out.append(fastbconv_sk(fast_floor(tq, tbsk, tool), tool))
+        c0, c1 = _relinearize_batched(out[0], out[1], out[2], relin_key, plan, limbs, False)
+        return jnp.stack([c0, c1], axis=-3)
+
+    return step
+
+
+def build_ckks_train_step(context: SealContext, rotate_steps: int = 1) -> Callable:
+    """The flagship composite step: multiply + relinearize + rescale +
+    rotate + add — the inner loop of encrypted dot-product / polynomial
+    evaluation workloads (benchmark config 5).
+
+    fn(ct_a, ct_b, relin_key, galois_key) -> u64[..., 2, L-1, N].
+    """
+    parms_id = context.first_parms_id
+    mul_step = build_ckks_mul_relin_rescale(context, parms_id)
+    next_id = context.get_context_data(parms_id).next_context_data.parms_id
+    rot_step = build_ckks_rotate(context, rotate_steps, next_id)
+    cd_next = context.get_context_data(next_id)
+    limbs = cd_next.limb_constants
+
+    def step(a, b, relin_key, galois_key):
+        prod = mul_step(a, b, relin_key)
+        rot = rot_step(prod, galois_key)
+        return add_poly(prod, rot, limbs)
+
+    return step

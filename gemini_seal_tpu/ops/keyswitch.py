@@ -169,7 +169,7 @@ def _modup_bundle(power_target, plan: KeySwitchPlan, b: int):
     (multi_special_primes.cpp:80-185) as one modular matmul.
     """
     rns0, rns1, inv, mat = plan.bundles[b]
-    x = power_target[rns0:rns1, :]
+    x = power_target[..., rns0:rns1, :]
     S_p = plan.ct_limbs.p[rns0:rns1]
     S_r0 = plan.ct_limbs.ratio0[rns0:rns1]
     S_r1 = plan.ct_limbs.ratio1[rns0:rns1]
@@ -185,8 +185,8 @@ def rescale_special(ext_poly_ntt, plan: KeySwitchPlan, is_ntt_output: bool):
     power basis (BFV).
     """
     n_ct = plan.n_ct_rns
-    sp = ext_poly_ntt[n_ct:, :]
-    normal = ext_poly_ntt[:n_ct, :]
+    sp = ext_poly_ntt[..., n_ct:, :]
+    normal = ext_poly_ntt[..., :n_ct, :]
 
     # special limbs to power basis
     sp_tables = _slice_tables(plan.ext_tables, n_ct, plan.n_ext)
@@ -211,36 +211,36 @@ def rescale_special(ext_poly_ntt, plan: KeySwitchPlan, is_ntt_output: bool):
 def switch_key(target, key_vector_data, plan: KeySwitchPlan, is_ntt_form: bool):
     """Core hybrid key switch (evaluator.cpp:2259-2368).
 
-    target: [n_ct, N] in the ciphertext domain (NTT iff is_ntt_form).
+    target: [..., n_ct, N] in the ciphertext domain (NTT iff is_ntt_form);
+    leading batch axes broadcast.
     key_vector_data: [n_bundles, 2, L_key, N] stacked key ciphertexts
     (NTT form at the key level).
-    Returns (delta0, delta1): [n_ct, N] contributions in the ciphertext
-    domain, to be added onto c0/c1.
+    Returns (delta0, delta1): [..., n_ct, N] contributions in the
+    ciphertext domain, to be added onto c0/c1.
     """
     n_ct, n_ext = plan.n_ct_rns, plan.n_ext
     N = target.shape[-1]
+    batch = target.shape[:-2]
     ext = plan.ext_limbs
 
     power_target = ntt_inverse(target, plan.ct_tables) if is_ntt_form else target
     ntt_target = target if is_ntt_form else ntt_forward(target, plan.ct_tables)
+    pad_width = [(0, 0)] * len(batch) + [(0, n_ext - n_ct), (0, 0)]
+    ntt_target_ext = jnp.pad(ntt_target, pad_width)
 
     # digit accumulators for the 128-bit inner product, per component
     d = [
-        [jnp.zeros((n_ext, N), dtype=jnp.uint64) for _ in range(4)]
+        [jnp.zeros(batch + (n_ext, N), dtype=jnp.uint64) for _ in range(4)]
         for _ in range(2)
     ]
     for b in range(plan.n_bundles):
         rns0, rns1, _, _ = plan.bundles[b]
-        lifted = _modup_bundle(power_target, plan, b)          # [n_ext, N]
+        lifted = _modup_bundle(power_target, plan, b)          # [..., n_ext, N]
         lifted_ntt = ntt_forward(lifted, plan.ext_tables)
         # diagonal limbs use the original NTT-domain target (exact, no lift)
         row = jnp.arange(n_ext)[:, None]
         diag = (row >= rns0) & (row < rns1)
-        ct_k = jnp.where(
-            diag,
-            jnp.pad(ntt_target, ((0, n_ext - n_ct), (0, 0))),
-            lifted_ntt,
-        )
+        ct_k = jnp.where(diag, ntt_target_ext, lifted_ntt)
         # key rows for the extended limbs
         key_b = key_vector_data[b][:, plan.ext_key_indices, :]  # [2, n_ext, N]
         for l in range(2):

@@ -193,7 +193,6 @@ def ntt_forward_lazy(x, tables):
     L = x.shape[-2]
     p = _expand(tables.modulus, 2)        # [L,1,1]
     two_p = p * jnp.uint64(2)
-    rdp = _expand(tables.reduce_precomp, 2)
     w_all = jnp.asarray(tables.root_powers, dtype=jnp.uint64)
     ws_all = jnp.asarray(tables.scaled_root_powers, dtype=jnp.uint64)
 
@@ -205,11 +204,12 @@ def ntt_forward_lazy(x, tables):
         x1 = xr[..., 1, :]
         w = w_all[:, m : 2 * m][:, :, None]     # [L, m, 1]
         ws = ws_all[:, m : 2 * m][:, :, None]
-        if h == 1:
-            # ForwardLazyLast: Barrett-reduce the accumulated x0 lane first
-            # (ntt.cpp:254-261) so u + v stays below 2^64.
-            q = modops.mulhi64(x0, rdp)
-            x0 = x0 - q * p
+        # Keep the accumulating lane in [0, 2p) with a conditional subtract
+        # (upstream Harvey butterfly).  The fork's SlothfulNTT::ForwardLazy
+        # omits this and overflows u64 for 60-bit moduli at N >= 2048 —
+        # e.g. its own 60-bit Bsk base-conversion primes; we keep the
+        # overflow-free contract for all <= 61-bit moduli at every N.
+        x0 = jnp.where(x0 >= two_p, x0 - two_p, x0)
         v = modops.mul_mod_shoup_lazy(x1, w, ws, p)
         x = jnp.stack([x0 + v, x0 - v + two_p], axis=-2).reshape(batch + (n,))
     return x

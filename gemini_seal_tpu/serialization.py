@@ -1,0 +1,338 @@
+"""Serialization: the reference's exact wire format.
+
+(reference: native/src/seal/serialization.{h,cpp}, serializable.h,
+ciphertext.cpp:170-290, plaintext.cpp:204-280, kswitchkeys.cpp:43-150,
+encryptionparams.cpp:14-118, modulus.cpp save/load, intarray.h:592-640.)
+
+Every object is framed by the 16-byte SEALHeader
+{magic 0xA15E, header_size 0x10, version 3.5, compr_mode, reserved, size}
+and optionally zlib-deflated (compr_mode 1).  Byte-level compatibility is
+the interop anchor: objects serialized by the C++ reference load here and
+vice versa.  Device tensors are pulled to host on save and re-uploaded on
+load.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import zlib
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .ciphertext import Ciphertext, Plaintext
+from .keys import GaloisKeys, KSwitchKeys, PublicKey, RelinKeys, SecretKey
+from .modulus import Modulus
+from .params import PARMS_ID_ZERO, EncryptionParameters, SchemeType
+
+__all__ = [
+    "COMPR_NONE",
+    "COMPR_DEFLATE",
+    "save",
+    "load_parms",
+    "load_modulus",
+    "load_plaintext",
+    "load_ciphertext",
+    "load_secret_key",
+    "load_public_key",
+    "load_kswitch_keys",
+    "load_relin_keys",
+    "load_galois_keys",
+]
+
+SEAL_MAGIC = 0xA15E
+HEADER_SIZE = 0x10
+VERSION_MAJOR = 3
+VERSION_MINOR = 5
+COMPR_NONE = 0
+COMPR_DEFLATE = 1
+
+_HEADER_FMT = "<HBBBBHQ"
+
+
+def _frame(payload: bytes, compr_mode: int) -> bytes:
+    if compr_mode == COMPR_DEFLATE:
+        payload = zlib.compress(payload)
+    total = HEADER_SIZE + len(payload)
+    header = struct.pack(
+        _HEADER_FMT, SEAL_MAGIC, HEADER_SIZE, VERSION_MAJOR, VERSION_MINOR,
+        compr_mode, 0, total,
+    )
+    return header + payload
+
+
+def _unframe(data: bytes, offset: int = 0):
+    """Returns (payload_bytes, total_size)."""
+    magic, hsize, _vmaj, _vmin, compr, _res, size = struct.unpack_from(
+        _HEADER_FMT, data, offset
+    )
+    if magic != SEAL_MAGIC:
+        raise ValueError("loaded SEALHeader is invalid (bad magic)")
+    if hsize != HEADER_SIZE:
+        raise ValueError("loaded SEALHeader is invalid (bad header size)")
+    if compr == COMPR_DEFLATE:
+        payload = zlib.decompress(data[offset + HEADER_SIZE : offset + size])
+    elif compr == COMPR_NONE:
+        # Stream semantics, like the reference's Load (its size check is
+        # compiled out behind SEAL_CHECK_HEADER — and the fork's
+        # EncryptionParameters::save_size under-reports by 8 bytes, so the
+        # size field cannot be trusted for slicing): hand the reader the
+        # whole remainder; it consumes exactly the fields it needs.
+        payload = data[offset + HEADER_SIZE :]
+    else:
+        raise ValueError("unsupported compression mode")
+    return payload, size
+
+
+def _u64s(arr) -> bytes:
+    return np.ascontiguousarray(np.asarray(arr), dtype="<u8").tobytes()
+
+
+def _int_array_save(arr) -> bytes:
+    """IntArray wire format: inner SEALHeader + u64 count + raw u64 data."""
+    flat = np.asarray(arr).reshape(-1)
+    payload = struct.pack("<Q", flat.size) + _u64s(flat)
+    return _frame(payload, COMPR_NONE)
+
+
+def _int_array_load(data: bytes, offset: int):
+    payload, size = _unframe(data, offset)
+    (count,) = struct.unpack_from("<Q", payload, 0)
+    arr = np.frombuffer(payload, dtype="<u8", count=count, offset=8).astype(np.uint64)
+    return arr, offset + size
+
+
+# ---------------------------------------------------------------------------
+# per-object payloads
+# ---------------------------------------------------------------------------
+
+def _modulus_payload(m: Modulus) -> bytes:
+    return struct.pack("<Q", m.value)
+
+
+def _parms_payload(parms: EncryptionParameters) -> bytes:
+    out = struct.pack("<B", int(parms.scheme))
+    out += struct.pack("<Q", parms.poly_modulus_degree)
+    out += struct.pack("<Q", parms.n_special_primes)
+    out += struct.pack("<Q", len(parms.coeff_modulus))
+    for m in parms.coeff_modulus:
+        out += _frame(_modulus_payload(m), COMPR_NONE)
+    out += _frame(_modulus_payload(parms.plain_modulus), COMPR_NONE)
+    return out
+
+
+def _plaintext_payload(p: Plaintext) -> bytes:
+    out = _u64s(np.array(p.parms_id, dtype=np.uint64))
+    out += struct.pack("<Q", p.coeff_count)
+    out += struct.pack("<d", p.scale)
+    out += _int_array_save(p.data)
+    return out
+
+
+def _ciphertext_payload(c: Ciphertext) -> bytes:
+    out = _u64s(np.array(c.parms_id, dtype=np.uint64))
+    out += struct.pack("<B", 1 if c.is_ntt_form else 0)
+    out += struct.pack("<Q", c.size)
+    out += struct.pack("<Q", c.poly_modulus_degree)
+    out += struct.pack("<Q", c.coeff_modulus_size)
+    out += struct.pack("<d", c.scale)
+    out += _int_array_save(np.asarray(c.data))
+    return out
+
+
+def _kswitch_payload(k: KSwitchKeys) -> bytes:
+    out = _u64s(np.array(k.parms_id, dtype=np.uint64))
+    out += struct.pack("<Q", len(k.keys))
+    for row in k.keys:
+        out += struct.pack("<Q", len(row))
+        for pk in row:
+            out += _frame(_ciphertext_payload(pk.data), COMPR_NONE)
+    return out
+
+
+def save(obj, compr_mode: int = COMPR_NONE) -> bytes:
+    """Serialize any framework object to the reference wire format."""
+    if isinstance(obj, EncryptionParameters):
+        payload = _parms_payload(obj)
+    elif isinstance(obj, Modulus):
+        payload = _modulus_payload(obj)
+    elif isinstance(obj, SecretKey):
+        # SecretKey.save == wrapped Plaintext.save (secretkey.h)
+        pt = Plaintext(
+            data=np.asarray(obj.data), parms_id=obj.parms_id, scale=1.0
+        )
+        payload = _plaintext_payload(pt)
+    elif isinstance(obj, PublicKey):
+        payload = _ciphertext_payload(obj.data)
+    elif isinstance(obj, Plaintext):
+        payload = _plaintext_payload(obj)
+    elif isinstance(obj, Ciphertext):
+        payload = _ciphertext_payload(obj)
+    elif isinstance(obj, KSwitchKeys):
+        payload = _kswitch_payload(obj)
+    else:
+        raise TypeError(f"cannot serialize {type(obj)}")
+    return _frame(payload, compr_mode)
+
+
+# ---------------------------------------------------------------------------
+# loaders
+# ---------------------------------------------------------------------------
+
+def load_modulus(data: bytes) -> Modulus:
+    payload, _ = _unframe(data)
+    (v,) = struct.unpack_from("<Q", payload, 0)
+    return Modulus(v)
+
+
+def load_parms(data: bytes) -> EncryptionParameters:
+    payload, _ = _unframe(data)
+    pos = 0
+    (scheme,) = struct.unpack_from("<B", payload, pos); pos += 1
+    (degree,) = struct.unpack_from("<Q", payload, pos); pos += 8
+    (nsp,) = struct.unpack_from("<Q", payload, pos); pos += 8
+    if nsp < 1:
+        raise ValueError("EncryptionParameters: n_special_primes is invalid")
+    (count,) = struct.unpack_from("<Q", payload, pos); pos += 8
+    mods = []
+    for _ in range(count):
+        inner, size = _unframe(payload, pos)
+        (v,) = struct.unpack_from("<Q", inner, 0)
+        mods.append(Modulus(v))
+        pos += size
+    inner, size = _unframe(payload, pos)
+    (t,) = struct.unpack_from("<Q", inner, 0)
+    pos += size
+
+    parms = EncryptionParameters(SchemeType(scheme))
+    if degree:
+        parms.set_poly_modulus_degree(degree)
+    if mods:
+        parms.set_coeff_modulus(mods)
+    if t:
+        parms.set_plain_modulus(t)
+    parms.set_n_special_primes(nsp)
+    return parms
+
+
+def _plaintext_from(payload: bytes):
+    pos = 0
+    parms_id = tuple(
+        int(v) for v in np.frombuffer(payload, dtype="<u8", count=4, offset=pos)
+    )
+    pos += 32
+    (coeff_count,) = struct.unpack_from("<Q", payload, pos); pos += 8
+    (scale,) = struct.unpack_from("<d", payload, pos); pos += 8
+    arr, pos = _int_array_load(payload, pos)
+    return parms_id, coeff_count, scale, arr, pos
+
+
+def load_plaintext(data: bytes, context=None) -> Plaintext:
+    payload, _ = _unframe(data)
+    parms_id, coeff_count, scale, arr, _ = _plaintext_from(payload)
+    if parms_id != PARMS_ID_ZERO and context is not None:
+        cd = context.get_context_data(parms_id)
+        if cd is None:
+            raise ValueError("plaintext parms_id is not valid for the context")
+        L = len(cd.parms.coeff_modulus)
+        n = cd.parms.poly_modulus_degree
+        arr = arr.reshape(L, n)
+    return Plaintext(data=arr, parms_id=parms_id, scale=scale)
+
+
+def _ciphertext_from(payload: bytes, context):
+    pos = 0
+    parms_id = tuple(
+        int(v) for v in np.frombuffer(payload, dtype="<u8", count=4, offset=pos)
+    )
+    pos += 32
+    (is_ntt,) = struct.unpack_from("<B", payload, pos); pos += 1
+    (size,) = struct.unpack_from("<Q", payload, pos); pos += 8
+    (degree,) = struct.unpack_from("<Q", payload, pos); pos += 8
+    (L,) = struct.unpack_from("<Q", payload, pos); pos += 8
+    (scale,) = struct.unpack_from("<d", payload, pos); pos += 8
+    arr, pos = _int_array_load(payload, pos)
+
+    if context is not None:
+        cd = context.get_context_data(parms_id)
+        if cd is None:
+            raise ValueError("ciphertext parms_id is not valid for the context")
+        if degree != cd.parms.poly_modulus_degree or L != len(cd.parms.coeff_modulus):
+            raise ValueError("ciphertext metadata mismatch")
+
+    if arr.size == size * L * degree:
+        data = jnp.asarray(arr.reshape(size, L, degree))
+    elif arr.size == (size // 2 + size % 2) * L * degree or arr.size == L * degree:
+        # seeded ciphertext: only c0 stored + seed marker
+        if context is None:
+            raise ValueError("loading a seeded ciphertext requires a context")
+        c0 = arr.reshape(-1, L, degree)
+        seed = np.frombuffer(payload, dtype="<u8", count=8, offset=pos)
+        from .utils.blake2 import Blake2xbPRNG
+        from .utils.prng import sample_poly_uniform
+        from .ops.ntt import ntt_forward
+
+        cd = context.get_context_data(parms_id)
+        rng = Blake2xbPRNG(tuple(int(s) for s in seed))
+        c1 = sample_poly_uniform(rng, cd.parms.coeff_modulus, degree)
+        if not is_ntt:
+            pass  # sampled directly in target domain for non-NTT seeded saves
+        data = jnp.asarray(
+            np.concatenate([c0, c1[None, :, :]], axis=0)
+        )
+    else:
+        raise ValueError("ciphertext data size mismatch")
+    return Ciphertext(data=data, parms_id=parms_id, is_ntt_form=bool(is_ntt), scale=scale)
+
+
+def load_ciphertext(data: bytes, context=None) -> Ciphertext:
+    payload, _ = _unframe(data)
+    return _ciphertext_from(payload, context)
+
+
+def load_secret_key(data: bytes, context=None) -> SecretKey:
+    p = load_plaintext(data, context)
+    return SecretKey(data=jnp.asarray(p.data), parms_id=p.parms_id)
+
+
+def load_public_key(data: bytes, context=None) -> PublicKey:
+    ct = load_ciphertext(data, context)
+    return PublicKey(data=ct, parms_id=ct.parms_id)
+
+
+def _load_kswitch_into(cls, data: bytes, context=None):
+    payload, _ = _unframe(data)
+    pos = 0
+    parms_id = tuple(
+        int(v) for v in np.frombuffer(payload, dtype="<u8", count=4, offset=pos)
+    )
+    pos += 32
+    (dim1,) = struct.unpack_from("<Q", payload, pos); pos += 8
+    keys = []
+    for _ in range(dim1):
+        (dim2,) = struct.unpack_from("<Q", payload, pos); pos += 8
+        row = []
+        for _ in range(dim2):
+            inner, size = _unframe(payload, pos)
+            ct = _ciphertext_from(inner, context)
+            row.append(PublicKey(data=ct, parms_id=ct.parms_id))
+            pos += size
+        keys.append(row)
+    obj = cls()
+    obj.keys = keys
+    obj.parms_id = parms_id
+    return obj
+
+
+def load_kswitch_keys(data: bytes, context=None) -> KSwitchKeys:
+    return _load_kswitch_into(KSwitchKeys, data, context)
+
+
+def load_relin_keys(data: bytes, context=None) -> RelinKeys:
+    return _load_kswitch_into(RelinKeys, data, context)
+
+
+def load_galois_keys(data: bytes, context=None) -> GaloisKeys:
+    return _load_kswitch_into(GaloisKeys, data, context)

@@ -161,16 +161,34 @@ def sample_poly_uniform(prng: Blake2xbPRNG, moduli_with_ratio, n: int) -> np.nda
     max_random = 0x7FFFFFFFFFFFFFFF
     L = len(moduli_with_ratio)
     out = np.zeros((L, n), dtype=np.uint64)
-    next_u32 = prng.draw_u32  # PRNG buffers internally; 4 bytes per call
+    # Each attempt consumes exactly one aligned (hi, lo) pair from the
+    # stream, whether accepted or rejected, so the scalar do/while is
+    # equivalent to: walk the pair stream in order, keep accepted values,
+    # assign them to coefficients in order.  That form vectorizes.
+    leftover = np.zeros(0, dtype=np.uint64)
     for j, m in enumerate(moduli_with_ratio):
-        q = int(m.value) if hasattr(m, "value") else int(m)
-        max_multiple = max_random - (max_random % q) - 1
-        row = np.zeros(n, dtype=np.uint64)
-        for i in range(n):
-            while True:
-                r = (next_u32() << 31) | (next_u32() >> 1)
-                if r < max_multiple:
-                    break
-            row[i] = r % q
-        out[j] = row
+        q = np.uint64(int(m.value) if hasattr(m, "value") else int(m))
+        max_multiple = np.uint64(max_random - (max_random % int(q)) - 1)
+        accepted = leftover[leftover < max_multiple] if leftover.size else leftover
+        # Note: leftover pairs from the previous limb were drawn but not yet
+        # consumed; they are re-screened against this limb's bound exactly
+        # as the scalar loop would consume them next.
+        pool = [accepted % q] if accepted.size else []
+        got = sum(a.size for a in pool)
+        while got < n:
+            need = n - got
+            draw = prng.draw_u32_array(2 * (need + need // 8 + 8)).astype(np.uint64)
+            r = (draw[0::2] << np.uint64(31)) | (draw[1::2] >> np.uint64(1))
+            take = r[r < max_multiple]
+            # Track where coefficient n lands so extra pairs carry over.
+            if got + take.size >= n:
+                # find the cut in the raw pair stream
+                ok = (r < max_multiple).cumsum()
+                cut = int(np.searchsorted(ok, need))  # index of the pair
+                take = r[: cut + 1]
+                take = take[take < max_multiple]
+                leftover = r[cut + 1 :]
+            pool.append((take % q).astype(np.uint64))
+            got += take.size
+        out[j] = np.concatenate(pool)[:n]
     return out

@@ -145,3 +145,15 @@ def test_lazy_ranges():
         jnp.asarray(np.asarray(ntt_forward(jnp.asarray(a[None]), t))), t
     )
     assert int(np.max(np.asarray(inv_lazy))) < 2 * P60
+
+
+def test_large_n_60bit_roundtrip():
+    """Regression: the fork's lazy forward butterfly overflows u64 for
+    60-bit moduli at N >= 2048 (no conditional subtract on the accumulating
+    lane); our upstream-Harvey-style entry reduction must stay exact."""
+    rng = np.random.default_rng(77)
+    t = build_ntt_tables(12, [P60])
+    a = rng.integers(0, P60, size=(1, 4096), dtype=np.uint64)
+    fwd = ntt_forward(jnp.asarray(a), t)
+    back = ntt_inverse(fwd, t)
+    assert np.array_equal(np.asarray(back), a)

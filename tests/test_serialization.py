@@ -1,0 +1,145 @@
+"""Serialization round-trip tests + byte-level interop with the compiled
+reference (reference: tests/seal/serialization.cpp and the object save/load
+tests).  Interop tests skip when the oracle binary is absent
+(build with tools/build_oracle.sh)."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from gemini_seal_tpu import (
+    CoeffModulus,
+    Decryptor,
+    EncryptionParameters,
+    Encryptor,
+    Evaluator,
+    KeyGenerator,
+    Plaintext,
+    SchemeType,
+    SecLevelType,
+    SealContext,
+)
+from gemini_seal_tpu import serialization as ser
+
+ORACLE = "/tmp/seal_oracle"
+SEED = tuple(range(91, 99))
+
+
+def make_ctx():
+    parms = EncryptionParameters(SchemeType.BFV)
+    parms.set_poly_modulus_degree(64)
+    parms.set_coeff_modulus(CoeffModulus.create(64, [40, 40, 40]))
+    parms.set_plain_modulus(257)
+    parms.set_random_seed(SEED)
+    return SealContext(parms, sec_level=SecLevelType.none), parms
+
+
+def test_parms_roundtrip():
+    _, parms = make_ctx()
+    blob = ser.save(parms)
+    loaded = ser.load_parms(blob)
+    assert loaded.parms_id == parms.parms_id
+    assert loaded.n_special_primes == parms.n_special_primes
+    # deflate path
+    blob_z = ser.save(parms, ser.COMPR_DEFLATE)
+    assert ser.load_parms(blob_z).parms_id == parms.parms_id
+    assert blob_z != blob
+
+
+def test_ciphertext_roundtrip():
+    ctx, _ = make_ctx()
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    dec = Decryptor(ctx, kg.secret_key)
+    ct = enc.encrypt(Plaintext.from_hex("5x^3 + 4"))
+    blob = ser.save(ct)
+    loaded = ser.load_ciphertext(blob, ctx)
+    assert loaded.parms_id == ct.parms_id
+    assert np.array_equal(np.asarray(loaded.data), np.asarray(ct.data))
+    assert dec.decrypt(loaded).to_hex() == "5x^3 + 4"
+    # compressed
+    blob_z = ser.save(ct, ser.COMPR_DEFLATE)
+    assert len(blob_z) < len(blob)
+    loaded_z = ser.load_ciphertext(blob_z, ctx)
+    assert np.array_equal(np.asarray(loaded_z.data), np.asarray(ct.data))
+
+
+def test_keys_roundtrip():
+    ctx, _ = make_ctx()
+    kg = KeyGenerator(ctx)
+    sk_blob = ser.save(kg.secret_key)
+    sk = ser.load_secret_key(sk_blob, ctx)
+    assert np.array_equal(np.asarray(sk.data), np.asarray(kg.secret_key.data))
+
+    rk = kg.relin_keys()
+    rk_blob = ser.save(rk)
+    rk2 = ser.load_relin_keys(rk_blob, ctx)
+    assert rk2.parms_id == rk.parms_id
+    assert len(rk2.keys) == len(rk.keys)
+    for row1, row2 in zip(rk.keys, rk2.keys):
+        for pk1, pk2 in zip(row1, row2):
+            assert np.array_equal(np.asarray(pk1.data.data), np.asarray(pk2.data.data))
+
+    # loaded keys still work
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    dec = Decryptor(ctx, sk)
+    ev = Evaluator(ctx)
+    a = enc.encrypt(Plaintext.from_hex("3"))
+    b = enc.encrypt(Plaintext.from_hex("4"))
+    prod = ev.relinearize(ev.multiply(a, b), rk2)
+    assert dec.decrypt(prod).to_hex().lower() == "c"
+
+
+oracle_missing = not os.path.exists(ORACLE)
+
+
+@pytest.mark.skipif(oracle_missing, reason="reference oracle not built")
+class TestReferenceInterop:
+    @pytest.fixture(scope="class")
+    def vectors(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("oracle")
+        subprocess.run([ORACLE, "gen", str(d)], check=True, capture_output=True)
+        return d
+
+    def _ctx(self, d):
+        parms = ser.load_parms((d / "parms.bin").read_bytes())
+        return SealContext(parms, sec_level=SecLevelType.none)
+
+    def test_load_reference_objects_and_decrypt(self, vectors):
+        ctx = self._ctx(vectors)
+        sk = ser.load_secret_key((vectors / "sk.bin").read_bytes(), ctx)
+        ct1 = ser.load_ciphertext((vectors / "ct1.bin").read_bytes(), ctx)
+        dec = Decryptor(ctx, sk)
+        assert dec.decrypt(ct1).to_hex() == "3x^2 + 2"
+
+    def test_evaluate_here_decrypt_there(self, vectors, tmp_path):
+        ctx = self._ctx(vectors)
+        ct1 = ser.load_ciphertext((vectors / "ct1.bin").read_bytes(), ctx)
+        ct2 = ser.load_ciphertext((vectors / "ct2.bin").read_bytes(), ctx)
+        ev = Evaluator(ctx)
+        total = ev.add(ct1, ct2)
+        out_path = tmp_path / "sum.bin"
+        out_path.write_bytes(ser.save(total))
+        res = subprocess.run(
+            [ORACLE, "dec", str(vectors), str(out_path)],
+            check=True, capture_output=True, text=True,
+        )
+        # (3x^2+2) + (2x+1) = 3x^2 + 2x + 3
+        assert res.stdout.strip() == "3x^2 + 2x^1 + 3"
+
+    def test_multiply_here_decrypt_there(self, vectors, tmp_path):
+        ctx = self._ctx(vectors)
+        ct1 = ser.load_ciphertext((vectors / "ct1.bin").read_bytes(), ctx)
+        ct2 = ser.load_ciphertext((vectors / "ct2.bin").read_bytes(), ctx)
+        ev = Evaluator(ctx)
+        prod = ev.multiply(ct1, ct2)
+        out_path = tmp_path / "prod.bin"
+        out_path.write_bytes(ser.save(prod))
+        res = subprocess.run(
+            [ORACLE, "dec", str(vectors), str(out_path)],
+            check=True, capture_output=True, text=True,
+        )
+        # (3x^2+2)(2x+1) = 6x^3 + 3x^2 + 4x + 2
+        assert res.stdout.strip() == "6x^3 + 3x^2 + 4x^1 + 2"

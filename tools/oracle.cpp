@@ -1,0 +1,109 @@
+// Interop oracle: drives the *reference* C++ library (built separately from
+// /root/reference) to generate serialized test vectors and to decrypt
+// ciphertexts produced by gemini_seal_tpu.  Used by tests/test_interop.py
+// for byte-level wire-format and bit-exact evaluation cross-checks.
+//
+// Usage:
+//   oracle gen <dir>                 write parms/sk/pk/rk/ct1/ct2 + expected
+//   oracle dec <dir> <ct_file>       decrypt a ciphertext file, print hex poly
+//   oracle ckksgen <dir>             CKKS variant (parms/sk/pk/ct)
+//   oracle ckksdec <dir> <ct_file>   decode first 4 slots
+#include "seal/seal.h"
+#include <fstream>
+#include <iostream>
+#include <cmath>
+#include <vector>
+using namespace seal;
+using namespace std;
+
+static EncryptionParameters bfv_parms() {
+  EncryptionParameters parms(scheme_type::BFV);
+  parms.set_poly_modulus_degree(64);
+  parms.set_coeff_modulus(CoeffModulus::Create(64, {40, 40, 40}));
+  parms.set_plain_modulus(257);
+  return parms;
+}
+
+static EncryptionParameters ckks_parms() {
+  EncryptionParameters parms(scheme_type::CKKS);
+  parms.set_poly_modulus_degree(256);
+  parms.set_coeff_modulus(CoeffModulus::Create(256, {40, 30, 30, 40}));
+  return parms;
+}
+
+template <class T> static void save_to(const T &obj, const string &path) {
+  ofstream f(path, ios::binary);
+  obj.save(f, compr_mode_type::none);
+}
+
+int main(int argc, char **argv) {
+  if (argc < 3) { cerr << "usage: oracle gen|dec|ckksgen|ckksdec <dir> [file]\n"; return 2; }
+  string cmd = argv[1], dir = argv[2];
+
+  if (cmd == "gen") {
+    auto parms = bfv_parms();
+    auto ctx = SEALContext::Create(parms, true, sec_level_type::none);
+    KeyGenerator keygen(ctx);
+    auto pk = keygen.public_key();
+    auto sk = keygen.secret_key();
+    Encryptor enc(ctx, pk);
+    save_to(parms, dir + "/parms.bin");
+    save_to(sk, dir + "/sk.bin");
+    save_to(pk, dir + "/pk.bin");
+    Plaintext p1("3x^2 + 2"), p2("2x^1 + 1");
+    Ciphertext c1, c2;
+    enc.encrypt(p1, c1); enc.encrypt(p2, c2);
+    save_to(c1, dir + "/ct1.bin");
+    save_to(c2, dir + "/ct2.bin");
+    cout << "gen ok" << endl;
+    return 0;
+  }
+  if (cmd == "dec") {
+    auto parms = bfv_parms();
+    auto ctx = SEALContext::Create(parms, true, sec_level_type::none);
+    SecretKey sk;
+    { ifstream f(dir + "/sk.bin", ios::binary); sk.load(ctx, f); }
+    Decryptor dec(ctx, sk);
+    Ciphertext c;
+    { ifstream f(argv[3], ios::binary); c.load(ctx, f); }
+    Plaintext out;
+    dec.decrypt(c, out);
+    cout << out.to_string() << endl;
+    return 0;
+  }
+  if (cmd == "ckksgen") {
+    auto parms = ckks_parms();
+    auto ctx = SEALContext::Create(parms, true, sec_level_type::none);
+    KeyGenerator keygen(ctx);
+    auto pk = keygen.public_key();
+    auto sk = keygen.secret_key();
+    Encryptor enc(ctx, pk);
+    CKKSEncoder encoder(ctx);
+    save_to(parms, dir + "/ckks_parms.bin");
+    save_to(sk, dir + "/ckks_sk.bin");
+    save_to(pk, dir + "/ckks_pk.bin");
+    vector<double> v{1.5, -2.25, 3.0, 0.125};
+    Plaintext p; encoder.encode(v, pow(2.0, 30), p);
+    Ciphertext c; enc.encrypt(p, c);
+    save_to(c, dir + "/ckks_ct.bin");
+    cout << "ckksgen ok" << endl;
+    return 0;
+  }
+  if (cmd == "ckksdec") {
+    auto parms = ckks_parms();
+    auto ctx = SEALContext::Create(parms, true, sec_level_type::none);
+    SecretKey sk;
+    { ifstream f(dir + "/ckks_sk.bin", ios::binary); sk.load(ctx, f); }
+    Decryptor dec(ctx, sk);
+    CKKSEncoder encoder(ctx);
+    Ciphertext c;
+    { ifstream f(argv[3], ios::binary); c.load(ctx, f); }
+    Plaintext out;
+    dec.decrypt(c, out);
+    vector<double> res; encoder.decode(out, res);
+    printf("%.6f %.6f %.6f %.6f\n", res[0], res[1], res[2], res[3]);
+    return 0;
+  }
+  cerr << "unknown command\n";
+  return 2;
+}
