@@ -197,6 +197,7 @@ class Blake2xbPRNG:
         self._counter = 0
         self._buffer = b""
         self._pos = 0
+        self._pushback = bytearray()
 
     def _refill(self):
         self._buffer = blake2xb(
@@ -207,6 +208,11 @@ class Blake2xbPRNG:
 
     def generate(self, byte_count: int) -> bytes:
         out = bytearray()
+        if self._pushback:
+            take = min(byte_count, len(self._pushback))
+            out += self._pushback[:take]
+            del self._pushback[:take]
+            byte_count -= take
         while byte_count:
             if self._pos == len(self._buffer):
                 self._refill()
@@ -215,6 +221,12 @@ class Blake2xbPRNG:
             self._pos += take
             byte_count -= take
         return bytes(out)
+
+    def pushback(self, data: bytes):
+        """Return unconsumed bytes to the front of the stream (used by
+        vectorized samplers to keep exact draw-order parity after
+        over-drawing a batch)."""
+        self._pushback[:0] = data
 
     def draw_u32(self) -> int:
         return struct.unpack("<I", self.generate(4))[0]

@@ -130,14 +130,52 @@ def sample_poly_normal(prng: Blake2xbPRNG, moduli: Sequence[int], n: int) -> np.
     """
     if NOISE_MAX_DEVIATION == 0.0:
         return np.zeros((len(moduli), n), dtype=np.uint64)
-    dist = StdNormalDistribution(0.0, NOISE_STANDARD_DEVIATION)
+    # Marsaglia polar method, vectorized with exact draw-stream semantics:
+    # every attempt consumes exactly 4 u32 draws (two canonicals); accepted
+    # attempts yield two variates (y*mult now, x*mult saved as the spare).
+    # The scalar state machine (StdNormalDistribution) is replayed by
+    # walking the attempt stream in order.
+    sigma = NOISE_STANDARD_DEVIATION
+    spare = None  # scalar-state parity: spare from the last accepted attempt
     noise = np.zeros(n, dtype=np.int64)
-    for i in range(n):
-        while True:
-            v = dist(prng)
-            if abs(v - 0.0) <= NOISE_MAX_DEVIATION:
+    filled = 0
+    while filled < n:
+        need_attempts = max(16, int((n - filled) * 0.7) + 8)
+        raw = prng.generate(16 * need_attempts)
+        d = np.frombuffer(raw, dtype="<u4").astype(np.float64)
+        c0 = (d[0::4] + d[1::4] * 4294967296.0) / 18446744073709551616.0
+        c1 = (d[2::4] + d[3::4] * 4294967296.0) / 18446744073709551616.0
+        np.minimum(c0, np.nextafter(1.0, 0.0), out=c0)
+        np.minimum(c1, np.nextafter(1.0, 0.0), out=c1)
+        x = 2.0 * c0 - 1.0
+        y = 2.0 * c1 - 1.0
+        r2 = x * x + y * y
+        ok = (r2 <= 1.0) & (r2 != 0.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mult = np.sqrt(-2.0 * np.log(r2) / r2)
+        consumed = need_attempts
+        for k in range(need_attempts):
+            # walk attempts in order to preserve the saved-spare protocol
+            if spare is not None:
+                v = spare * sigma
+                spare = None
+                if abs(v) <= NOISE_MAX_DEVIATION:
+                    noise[filled] = int(v)
+                    filled += 1
+            if filled >= n:
+                consumed = k  # attempt k was pre-drawn but never consumed
                 break
-        noise[i] = int(v)  # C++ static_cast<int64_t>: truncation toward zero
+            if ok[k]:
+                v = (y[k] * mult[k]) * sigma
+                spare = x[k] * mult[k]
+                if abs(v) <= NOISE_MAX_DEVIATION:
+                    noise[filled] = int(v)
+                    filled += 1
+                if filled >= n:
+                    consumed = k + 1
+                    break
+        if filled >= n and consumed < need_attempts:
+            prng.pushback(raw[16 * consumed :])
     out = np.zeros((len(moduli), n), dtype=np.uint64)
     for j, q in enumerate(moduli):
         row = out[j]
