@@ -200,9 +200,14 @@ class Blake2xbPRNG:
         self._pushback = bytearray()
 
     def _refill(self):
-        self._buffer = blake2xb(
-            self.BUFFER_SIZE, struct.pack("<Q", self._counter), self._seed_bytes
-        )
+        from . import native
+
+        if native.available():
+            self._buffer = native.prng_fill(1, self.seed, self._counter)
+        else:
+            self._buffer = blake2xb(
+                self.BUFFER_SIZE, struct.pack("<Q", self._counter), self._seed_bytes
+            )
         self._counter += 1
         self._pos = 0
 

@@ -1,0 +1,78 @@
+"""ctypes bindings for the native runtime module (native/gst_native.cpp).
+
+Loads gemini_seal_tpu/_gst_native.so when present (build with
+tools/build_native.sh); falls back to None so pure-Python paths keep
+working.  The reference keeps these components native too (blake2b.c,
+randomgen.cpp); here they accelerate the host-side PRNG stream that feeds
+key generation and seeded-ciphertext expansion.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "_gst_native.so")
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.gst_blake2xb.restype = ctypes.c_int
+        lib.gst_blake2xb.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64,
+            ctypes.c_void_p, ctypes.c_uint64,
+            ctypes.c_void_p, ctypes.c_uint64,
+        ]
+        lib.gst_prng_fill.restype = ctypes.c_int
+        lib.gst_prng_fill.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_uint64,
+        ]
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def blake2xb(out_len: int, data: bytes, key: bytes = b"") -> Optional[bytes]:
+    lib = _load()
+    if lib is None:
+        return None
+    out = ctypes.create_string_buffer(out_len)
+    rc = lib.gst_blake2xb(
+        out, out_len, data, len(data), key if key else None, len(key)
+    )
+    if rc != 0:
+        raise RuntimeError("gst_blake2xb failed")
+    return out.raw
+
+
+def prng_fill(nblocks: int, seed, counter_start: int) -> Optional[bytes]:
+    """nblocks consecutive 4096-byte BlakePRNG buffers."""
+    lib = _load()
+    if lib is None:
+        return None
+    nbytes = nblocks * 4096
+    out = ctypes.create_string_buffer(nbytes)
+    seed_arr = np.array(seed, dtype=np.uint64)
+    rc = lib.gst_prng_fill(
+        out, nbytes, seed_arr.ctypes.data_as(ctypes.c_void_p), counter_start
+    )
+    if rc != 0:
+        raise RuntimeError("gst_prng_fill failed")
+    return out.raw

@@ -1,0 +1,165 @@
+// Native runtime components for gemini_seal_tpu.
+//
+// The reference implements its host runtime (PRNG, samplers, serialization
+// helpers) in C/C++ (randomgen.cpp, util/blake2b.c, util/rlwe.cpp); this is
+// the TPU build's native equivalent, exposed through a flat C ABI consumed
+// via ctypes (gemini_seal_tpu/utils/native.py).  The BLAKE2b implementation
+// is written from the RFC 7693 specification.
+//
+// Build: tools/build_native.sh -> gemini_seal_tpu/_gst_native.so
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+
+namespace {
+
+constexpr uint64_t IV[8] = {
+    0x6a09e667f3bcc908ULL, 0xbb67ae8584caa73bULL, 0x3c6ef372fe94f82bULL,
+    0xa54ff53a5f1d36f1ULL, 0x510e527fade682d1ULL, 0x9b05688c2b3e6c1fULL,
+    0x1f83d9abfb41bd6bULL, 0x5be0cd19137e2179ULL,
+};
+
+constexpr uint8_t SIGMA[12][16] = {
+    {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15},
+    {14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3},
+    {11, 8, 12, 0, 5, 2, 15, 13, 10, 14, 3, 6, 7, 1, 9, 4},
+    {7, 9, 3, 1, 13, 12, 11, 14, 2, 6, 5, 10, 4, 0, 15, 8},
+    {9, 0, 5, 7, 2, 4, 10, 15, 14, 1, 11, 12, 6, 8, 3, 13},
+    {2, 12, 6, 10, 0, 11, 8, 3, 4, 13, 7, 5, 15, 14, 1, 9},
+    {12, 5, 1, 15, 14, 13, 4, 10, 0, 7, 6, 3, 9, 2, 8, 11},
+    {13, 11, 7, 14, 12, 1, 3, 9, 5, 0, 15, 4, 8, 6, 2, 10},
+    {6, 15, 14, 9, 11, 3, 0, 8, 12, 2, 13, 7, 1, 4, 10, 5},
+    {10, 2, 8, 4, 7, 6, 1, 5, 15, 11, 9, 14, 3, 12, 13, 0},
+    {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15},
+    {14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3},
+};
+
+inline uint64_t rotr64(uint64_t x, int c) { return (x >> c) | (x << (64 - c)); }
+
+inline void g(uint64_t *v, int a, int b, int c, int d, uint64_t x, uint64_t y) {
+  v[a] += v[b] + x;
+  v[d] = rotr64(v[d] ^ v[a], 32);
+  v[c] += v[d];
+  v[b] = rotr64(v[b] ^ v[c], 24);
+  v[a] += v[b] + y;
+  v[d] = rotr64(v[d] ^ v[a], 16);
+  v[c] += v[d];
+  v[b] = rotr64(v[b] ^ v[c], 63);
+}
+
+void compress(uint64_t h[8], const uint8_t block[128], uint64_t t, bool last) {
+  uint64_t m[16], v[16];
+  std::memcpy(m, block, 128);
+  for (int i = 0; i < 8; i++) v[i] = h[i];
+  for (int i = 0; i < 8; i++) v[8 + i] = IV[i];
+  v[12] ^= t;
+  // t is at most the stream length here; the high word stays 0.
+  if (last) v[14] = ~v[14];
+  for (int r = 0; r < 12; r++) {
+    const uint8_t *s = SIGMA[r];
+    g(v, 0, 4, 8, 12, m[s[0]], m[s[1]]);
+    g(v, 1, 5, 9, 13, m[s[2]], m[s[3]]);
+    g(v, 2, 6, 10, 14, m[s[4]], m[s[5]]);
+    g(v, 3, 7, 11, 15, m[s[6]], m[s[7]]);
+    g(v, 0, 5, 10, 15, m[s[8]], m[s[9]]);
+    g(v, 1, 6, 11, 12, m[s[10]], m[s[11]]);
+    g(v, 2, 7, 8, 13, m[s[12]], m[s[13]]);
+    g(v, 3, 4, 9, 14, m[s[14]], m[s[15]]);
+  }
+  for (int i = 0; i < 8; i++) h[i] ^= v[i] ^ v[8 + i];
+}
+
+// Parameter-block word 0: digest_length | key_length<<8 | fanout<<16 |
+// depth<<24 | leaf_length<<32.
+inline uint64_t param_w0(uint8_t dl, uint8_t kl, uint8_t fo, uint8_t dp,
+                         uint32_t leaf) {
+  return (uint64_t)dl | ((uint64_t)kl << 8) | ((uint64_t)fo << 16) |
+         ((uint64_t)dp << 24) | ((uint64_t)leaf << 32);
+}
+
+}  // namespace
+
+extern "C" {
+
+// blake2xb(out, outlen, in, inlen, key, keylen) — bit-compatible with the
+// reference's util/blake2xb.c XOF construction.
+int gst_blake2xb(uint8_t *out, uint64_t outlen, const uint8_t *in,
+                 uint64_t inlen, const uint8_t *key, uint64_t keylen) {
+  if (!out || outlen == 0 || outlen > 0xFFFFFFFFULL || keylen > 64) return -1;
+
+  // Root hash: keyed sequential blake2b-512 with xof_length planted in the
+  // parameter block (node_offset high word).
+  uint64_t h[8];
+  for (int i = 0; i < 8; i++) h[i] = IV[i];
+  h[0] ^= param_w0(64, (uint8_t)keylen, 1, 1, 0);
+  h[1] ^= (uint64_t)outlen << 32;  // node_offset=0 | xof_length<<32
+
+  uint8_t block[128];
+  uint64_t t = 0;
+  if (keylen > 0) {
+    std::memset(block, 0, 128);
+    std::memcpy(block, key, keylen);
+    if (inlen == 0) {
+      compress(h, block, 128, true);
+      t = 128;
+    } else {
+      compress(h, block, 128, false);
+      t = 128;
+    }
+  }
+  // message blocks
+  uint64_t pos = 0;
+  if (inlen > 0 || keylen == 0) {
+    while (inlen - pos > 128) {
+      t += 128;
+      compress(h, in + pos, t, false);
+      pos += 128;
+    }
+    std::memset(block, 0, 128);
+    std::memcpy(block, in + pos, inlen - pos);
+    t += inlen - pos;
+    compress(h, block, t, true);
+  }
+  uint8_t root[128];
+  std::memset(root, 0, 128);
+  std::memcpy(root, h, 64);
+
+  // Output blocks: fanout=0, depth=0, leaf=64, inner=64,
+  // node_offset = i | xof_length<<32.
+  uint64_t produced = 0;
+  uint32_t i = 0;
+  while (produced < outlen) {
+    uint64_t want = outlen - produced;
+    uint8_t dl = want < 64 ? (uint8_t)want : 64;
+    uint64_t ho[8];
+    for (int k = 0; k < 8; k++) ho[k] = IV[k];
+    ho[0] ^= param_w0(dl, 0, 0, 0, 64);
+    ho[1] ^= (uint64_t)i | ((uint64_t)outlen << 32);
+    ho[2] ^= (uint64_t)64 << 8;  // inner_length
+    compress(ho, root, 64, true);
+    std::memcpy(out + produced, ho, dl);
+    produced += dl;
+    i++;
+  }
+  return 0;
+}
+
+// Fill `out` with the BlakePRNG stream: consecutive
+// blake2xb(4096, LE64(counter), seed[64 bytes]) blocks starting at
+// counter_start (randomgen.cpp:63-74).  nbytes must be a multiple of 4096.
+int gst_prng_fill(uint8_t *out, uint64_t nbytes, const uint64_t seed[8],
+                  uint64_t counter_start) {
+  if (nbytes % 4096 != 0) return -1;
+  uint64_t counter = counter_start;
+  for (uint64_t off = 0; off < nbytes; off += 4096, counter++) {
+    uint8_t ctr_le[8];
+    std::memcpy(ctr_le, &counter, 8);
+    if (gst_blake2xb(out + off, 4096, ctr_le, 8,
+                     reinterpret_cast<const uint8_t *>(seed), 64) != 0)
+      return -1;
+  }
+  return 0;
+}
+
+}  // extern "C"

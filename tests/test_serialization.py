@@ -143,3 +143,36 @@ class TestReferenceInterop:
         )
         # (3x^2+2)(2x+1) = 6x^3 + 3x^2 + 4x + 2
         assert res.stdout.strip() == "6x^3 + 3x^2 + 4x^1 + 2"
+
+
+@pytest.mark.skipif(oracle_missing, reason="reference oracle not built")
+class TestPRNGParity:
+    """Bit-exact randomness parity with the compiled reference: the full
+    chain blake2xb -> RandomToStandardAdapter -> libstdc++ distribution
+    algorithms -> samplers (-> NTT for the secret key)."""
+
+    SEED = tuple(range(91, 99))
+
+    def test_seeded_secret_key_bit_exact(self):
+        parms = EncryptionParameters(SchemeType.BFV)
+        parms.set_poly_modulus_degree(64)
+        parms.set_coeff_modulus(CoeffModulus.create(64, [40, 40, 40]))
+        parms.set_plain_modulus(257)
+        parms.set_random_seed(self.SEED)
+        ctx = SealContext(parms, sec_level=SecLevelType.none)
+        sk = np.asarray(KeyGenerator(ctx).secret_key.data).reshape(-1)
+        ref = subprocess.run(
+            [ORACLE, "seededsk", "/tmp"], check=True, capture_output=True, text=True
+        )
+        assert [int(x, 16) for x in ref.stdout.split()] == [int(v) for v in sk]
+
+    def test_seeded_gaussian_bit_exact(self):
+        from gemini_seal_tpu.utils.blake2 import Blake2xbPRNG
+        from gemini_seal_tpu.utils.prng import sample_poly_normal
+
+        mods = [m.value for m in CoeffModulus.create(64, [40, 40, 40])]
+        mine = sample_poly_normal(Blake2xbPRNG(self.SEED), mods, 64).reshape(-1)
+        ref = subprocess.run(
+            [ORACLE, "seedednoise", "/tmp"], check=True, capture_output=True, text=True
+        )
+        assert [int(x, 16) for x in ref.stdout.split()] == [int(v) for v in mine]

@@ -9,6 +9,7 @@
 //   oracle ckksgen <dir>             CKKS variant (parms/sk/pk/ct)
 //   oracle ckksdec <dir> <ct_file>   decode first 4 slots
 #include "seal/seal.h"
+#include "seal/util/rlwe.h"
 #include <fstream>
 #include <iostream>
 #include <cmath>
@@ -102,6 +103,35 @@ int main(int argc, char **argv) {
     dec.decrypt(c, out);
     vector<double> res; encoder.decode(out, res);
     printf("%.6f %.6f %.6f %.6f\n", res[0], res[1], res[2], res[3]);
+    return 0;
+  }
+  if (cmd == "seededsk") {
+    // Generate the secret key under a pinned BlakePRNG seed and dump its
+    // NTT-form limbs as hex, for bit-exact PRNG/sampler/NTT parity checks.
+    auto parms = bfv_parms();
+    random_seed_type seed;
+    for (size_t i = 0; i < seed.size(); i++) seed[i] = 91 + i;  // {91..98}
+    parms.set_random_generator(make_shared<BlakePRNGFactory>(seed));
+    auto ctx = SEALContext::Create(parms, true, sec_level_type::none);
+    KeyGenerator keygen(ctx);
+    auto sk = keygen.secret_key();
+    const uint64_t *d = sk.data().data();
+    size_t count = sk.data().coeff_count();
+    for (size_t i = 0; i < count; i++) printf("%llx\n", (unsigned long long)d[i]);
+    return 0;
+  }
+  if (cmd == "seedednoise") {
+    // Dump util::sample_poly_normal under a pinned seed (libstdc++
+    // normal_distribution parity check).
+    auto parms = bfv_parms();
+    random_seed_type seed;
+    for (size_t i = 0; i < seed.size(); i++) seed[i] = 91 + i;
+    auto rng = make_shared<BlakePRNG>(seed);
+    size_t n = parms.poly_modulus_degree();
+    size_t L = parms.coeff_modulus().size();
+    vector<uint64_t> dest(n * L);
+    util::sample_poly_normal(rng, parms, dest.data());
+    for (size_t i = 0; i < dest.size(); i++) printf("%llx\n", (unsigned long long)dest[i]);
     return 0;
   }
   cerr << "unknown command\n";
