@@ -13,7 +13,6 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Optional
 
-import jax.numpy as jnp
 import numpy as np
 
 from .params import PARMS_ID_ZERO, ParmsId
@@ -102,7 +101,7 @@ class Ciphertext:
     """size polynomials of L RNS limbs of N coefficients
     (reference: ciphertext.h:56+, data layout :709-721)."""
 
-    data: jnp.ndarray                     # u64[size, L, N]
+    data: object                          # u64[size, L, N]
     parms_id: ParmsId
     is_ntt_form: bool = False
     scale: float = 1.0
@@ -127,7 +126,7 @@ class Ciphertext:
         (reference: ciphertext.h:700-707)."""
         if self.size < CIPHERTEXT_SIZE_MIN:
             return True
-        return bool(jnp.all(self.data[1:] == 0))
+        return bool(np.all(np.asarray(self.data[1:]) == 0))
 
     @staticmethod
     def zero(context_data, size: int = 2, is_ntt_form: bool = False) -> "Ciphertext":
@@ -136,7 +135,7 @@ class Ciphertext:
         parms = context_data.parms
         shape = (size, len(parms.coeff_modulus), parms.poly_modulus_degree)
         return Ciphertext(
-            data=jnp.zeros(shape, dtype=jnp.uint64),
+            data=np.zeros(shape, dtype=np.uint64),
             parms_id=context_data.parms_id,
             is_ntt_form=is_ntt_form,
         )

@@ -7,7 +7,6 @@ plaintext.  invariant_noise_budget mirrors decryptor.cpp:269-325.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
 
 from .ciphertext import Ciphertext, Plaintext
@@ -39,7 +38,7 @@ class Decryptor:
                 dyadic_product(self._sk_powers[-1], self._sk_powers[0], limbs)
             )
 
-    def _dot_product_ct_sk(self, encrypted: Ciphertext) -> jnp.ndarray:
+    def _dot_product_ct_sk(self, encrypted: Ciphertext):
         """c_0 + c_1 s + ... + c_{k-1} s^{k-1} mod q, in the ciphertext's
         (NTT or coefficient) domain (decryptor.cpp:218-267)."""
         cd = self.context.get_context_data(encrypted.parms_id)
@@ -96,7 +95,7 @@ class Decryptor:
         limbs = cd.limb_constants
         t = cd.parms.plain_modulus.value
         acc = self._dot_product_ct_sk(encrypted)
-        noise = multiply_poly_scalar(acc, jnp.uint64(t), limbs)
+        noise = multiply_poly_scalar(acc, np.uint64(t), limbs)
         # CRT-compose on host and take the centered infinity norm
         res = np.asarray(noise)
         big = cd.rns_base.compose_array(res)

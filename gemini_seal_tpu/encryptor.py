@@ -10,12 +10,12 @@ from __future__ import annotations
 
 from typing import Optional
 
-import jax.numpy as jnp
 import numpy as np
 
 from .ciphertext import Ciphertext, Plaintext
 from .context import SealContext
 from .keys import PublicKey, SecretKey
+from .ops.backend import set_at
 from .ops.dyadic import add_poly
 from .ops.ntt import ntt_forward, ntt_inverse
 from .ops.rnsops import (
@@ -111,10 +111,10 @@ class Encryptor:
             pdata = np.asarray(plain.data)
             m[: pdata.shape[0]] = pdata
             c0 = multiply_add_plain_with_scaling_variant(
-                ct.data[0], jnp.asarray(m), context_data
+                ct.data[0], m, context_data
             )
             return Ciphertext(
-                data=ct.data.at[0].set(c0),
+                data=set_at(ct.data, 0, c0),
                 parms_id=ct.parms_id,
                 is_ntt_form=ct.is_ntt_form,
                 scale=ct.scale,
@@ -128,10 +128,10 @@ class Encryptor:
             ct = self._encrypt_zero_internal(plain.parms_id, is_asymmetric)
             # c0 += m in NTT domain (encryptor.cpp:227-252)
             c0 = add_poly(
-                ct.data[0], jnp.asarray(plain.data), context_data.limb_constants
+                ct.data[0], np.asarray(plain.data), context_data.limb_constants
             )
             return Ciphertext(
-                data=ct.data.at[0].set(c0),
+                data=set_at(ct.data, 0, c0),
                 parms_id=ct.parms_id,
                 is_ntt_form=True,
                 scale=plain.scale,

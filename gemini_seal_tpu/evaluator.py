@@ -19,13 +19,13 @@ from __future__ import annotations
 import math
 from typing import Dict, List, Optional, Sequence
 
-import jax.numpy as jnp
 import numpy as np
 
 from .ciphertext import Ciphertext, Plaintext
 from .context import ContextData, SealContext
 from .keys import GaloisKeys, KSwitchKeys, RelinKeys
 from .ops import modops
+from .ops.backend import set_at, xp
 from .ops.dyadic import (
     add_poly,
     dyadic_product,
@@ -117,8 +117,9 @@ class Evaluator:
             data = add_poly(a.data, b.data, limbs)
         else:
             big, small = (a, b) if a.size > b.size else (b, a)
-            data = big.data.at[: small.size].set(
-                add_poly(big.data[: small.size], small.data, limbs)
+            data = set_at(
+                big.data, slice(None, small.size),
+                add_poly(big.data[: small.size], small.data, limbs),
             )
         return Ciphertext(data, a.parms_id, a.is_ntt_form, a.scale)
 
@@ -131,10 +132,10 @@ class Evaluator:
         if a.size == b.size:
             data = head
         elif a.size > b.size:
-            data = a.data.at[:min_sz].set(head)
+            data = set_at(a.data, slice(None, min_sz), head)
         else:
             tail = negate_poly(b.data[min_sz:], limbs)
-            data = jnp.concatenate([head, tail], axis=0)
+            data = xp(a.data).concatenate([head, tail], axis=0)
         return Ciphertext(data, a.parms_id, a.is_ntt_form, a.scale)
 
     def add_many(self, encrypteds: Sequence[Ciphertext]) -> Ciphertext:
@@ -156,9 +157,9 @@ class Evaluator:
                 raise ValueError("BFV add_plain operands cannot be in NTT form")
             m = self._plain_to_full(plain, cd.parms.poly_modulus_degree)
             c0 = multiply_add_plain_with_scaling_variant(
-                encrypted.data[0], jnp.asarray(m), cd
+                encrypted.data[0], m, cd
             )
-            data = encrypted.data.at[0].set(c0)
+            data = set_at(encrypted.data, 0, c0)
             return Ciphertext(data, encrypted.parms_id, False, encrypted.scale)
         # CKKS
         if not encrypted.is_ntt_form or not plain.is_ntt_form:
@@ -167,9 +168,9 @@ class Evaluator:
             raise ValueError("encrypted and plain parameter mismatch")
         if not _same_scale(encrypted.scale, plain.scale):
             raise ValueError("scale mismatch")
-        c0 = add_poly(encrypted.data[0], jnp.asarray(plain.data), cd.limb_constants)
+        c0 = add_poly(encrypted.data[0], np.asarray(plain.data), cd.limb_constants)
         return Ciphertext(
-            encrypted.data.at[0].set(c0), encrypted.parms_id, True, encrypted.scale
+            set_at(encrypted.data, 0, c0), encrypted.parms_id, True, encrypted.scale
         )
 
     def sub_plain(self, encrypted: Ciphertext, plain: Plaintext) -> Ciphertext:
@@ -180,18 +181,18 @@ class Evaluator:
                 raise ValueError("BFV sub_plain operands cannot be in NTT form")
             m = self._plain_to_full(plain, cd.parms.poly_modulus_degree)
             c0 = multiply_sub_plain_with_scaling_variant(
-                encrypted.data[0], jnp.asarray(m), cd
+                encrypted.data[0], m, cd
             )
             return Ciphertext(
-                encrypted.data.at[0].set(c0), encrypted.parms_id, False, encrypted.scale
+                set_at(encrypted.data, 0, c0), encrypted.parms_id, False, encrypted.scale
             )
         if not encrypted.is_ntt_form or not plain.is_ntt_form:
             raise ValueError("CKKS sub_plain operands must be in NTT form")
         if not _same_scale(encrypted.scale, plain.scale):
             raise ValueError("scale mismatch")
-        c0 = sub_poly(encrypted.data[0], jnp.asarray(plain.data), cd.limb_constants)
+        c0 = sub_poly(encrypted.data[0], np.asarray(plain.data), cd.limb_constants)
         return Ciphertext(
-            encrypted.data.at[0].set(c0), encrypted.parms_id, True, encrypted.scale
+            set_at(encrypted.data, 0, c0), encrypted.parms_id, True, encrypted.scale
         )
 
     def multiply_plain(self, encrypted: Ciphertext, plain: Plaintext) -> Ciphertext:
@@ -208,7 +209,7 @@ class Evaluator:
         new_scale = encrypted.scale * plain.scale
         self._check_scale_bounds(new_scale, cd)
         data = dyadic_product(
-            encrypted.data, jnp.asarray(plain.data), cd.limb_constants
+            encrypted.data, np.asarray(plain.data), cd.limb_constants
         )
         return Ciphertext(data, encrypted.parms_id, True, new_scale)
 
@@ -235,15 +236,11 @@ class Evaluator:
                     lifted = cd.rns_base.decompose(
                         c + (cd.total_coeff_modulus - parms.plain_modulus.value)
                     )
-                    mono = jnp.asarray(
-                        np.array(lifted, dtype=np.uint64).reshape(-1, 1)
-                    )
+                    mono = np.array(lifted, dtype=np.uint64).reshape(-1, 1)
                 else:
-                    mono = jnp.asarray(
-                        (cd.plain_upper_half_increment + np.uint64(c)).reshape(-1, 1)
-                    )
+                    mono = (cd.plain_upper_half_increment + np.uint64(c)).reshape(-1, 1)
             else:
-                mono = jnp.uint64(c)
+                mono = np.uint64(c)
             data = negacyclic_mono_mul_poly(encrypted.data, mono, e, limbs)
             return Ciphertext(data, encrypted.parms_id, False, new_scale)
 
@@ -259,7 +256,7 @@ class Evaluator:
         else:
             inc = cd.plain_upper_half_increment.reshape(-1, 1)   # [L,1]
             temp = np.where(m >= thresh, m + inc, np.broadcast_to(m, (L, n)))
-        temp = ntt_forward(jnp.asarray(temp, dtype=jnp.uint64), cd.ntt_tables)
+        temp = ntt_forward(np.asarray(temp, dtype=np.uint64), cd.ntt_tables)
         ct_ntt = ntt_forward(encrypted.data, cd.ntt_tables)
         prod = dyadic_product(ct_ntt, temp, limbs)
         data = ntt_inverse(prod, cd.ntt_tables)
@@ -306,7 +303,7 @@ class Evaluator:
         tool = cd.device_rns_tool
         limbs = cd.limb_constants
         bsk_limbs = tool.Bsk_limbs
-        t = jnp.uint64(parms.plain_modulus.value)
+        t = np.uint64(parms.plain_modulus.value)
 
         def extend(ct: Ciphertext):
             # steps (1)-(3): lift to q U Bsk, NTT both
@@ -333,7 +330,7 @@ class Evaluator:
             floored = fast_floor(tq, tbsk, tool)
             out_polys.append(fastbconv_sk(floored, tool))
         return Ciphertext(
-            jnp.stack(out_polys), a.parms_id, False, a.scale
+            xp(*out_polys).stack(out_polys), a.parms_id, False, a.scale
         )
 
     def _ckks_multiply(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
@@ -345,7 +342,7 @@ class Evaluator:
         self._check_scale_bounds(new_scale, cd)
         limbs = cd.limb_constants
         dest = self._convolve(list(a.data), list(b.data), limbs)
-        return Ciphertext(jnp.stack(dest), a.parms_id, True, new_scale)
+        return Ciphertext(xp(*dest).stack(dest), a.parms_id, True, new_scale)
 
     def _check_scale_bounds(self, scale: float, cd: ContextData):
         if scale <= 0 or int(math.log2(scale)) >= cd.total_coeff_modulus_bit_count:
@@ -380,11 +377,11 @@ class Evaluator:
         for power in range(sz - 1, destination_size - 1, -1):
             target = data[power]
             key_vec = relin_keys.key(power)
-            kdata = jnp.stack([pk.data.data for pk in key_vec])
+            kdata = np.stack([np.asarray(pk.data.data) for pk in key_vec])
             d0, d1 = switch_key(target, kdata, plan, encrypted.is_ntt_form)
             c0 = add_poly(data[0], d0, limbs)
             c1 = add_poly(data[1], d1, limbs)
-            data = data[:power].at[0].set(c0).at[1].set(c1)
+            data = set_at(set_at(data[:power], 0, c0), 1, c1)
         out = Ciphertext(
             data,
             encrypted.parms_id,
@@ -418,11 +415,11 @@ class Evaluator:
 
         plan = self._ks_plan(encrypted.parms_id)
         key_vec = galois_keys.key(galois_elt)
-        kdata = jnp.stack([pk.data.data for pk in key_vec])
+        kdata = np.stack([np.asarray(pk.data.data) for pk in key_vec])
         d0, d1 = switch_key(c1, kdata, plan, encrypted.is_ntt_form)
         new_c0 = add_poly(c0, d0, limbs)
         new_c1 = d1
-        data = jnp.stack([new_c0, new_c1])
+        data = xp(new_c0, new_c1).stack([new_c0, new_c1])
         return Ciphertext(data, encrypted.parms_id, encrypted.is_ntt_form, encrypted.scale)
 
     def _rotate_internal(
@@ -607,7 +604,7 @@ class Evaluator:
         else:
             inc = cd.plain_upper_half_increment.reshape(-1, 1)
             temp = np.where(m >= thresh, m + inc, np.broadcast_to(m, (L, n)))
-        data = ntt_forward(jnp.asarray(temp, dtype=jnp.uint64), cd.ntt_tables)
+        data = ntt_forward(np.asarray(temp, dtype=np.uint64), cd.ntt_tables)
         return Plaintext(data=np.asarray(data), parms_id=cd.parms_id, scale=plain.scale)
 
     # ------------------------------------------------------------------

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence
 
-import jax.numpy as jnp
 import numpy as np
 
 from .ciphertext import Ciphertext
@@ -19,6 +18,7 @@ from .context import SealContext
 from .keys import GaloisKeys, KSwitchKeys, PublicKey, RelinKeys, SecretKey
 from .modulus import CIPHERTEXT_SIZE_MAX
 from .ops import modops
+from .ops.backend import set_at
 from .ops.dyadic import add_poly, dyadic_product, multiply_poly_scalar
 from .ops.ntt import ntt_forward
 from .rlwe import encrypt_zero_symmetric, parms_rng
@@ -41,7 +41,7 @@ class KeyGenerator:
             moduli = [m.value for m in parms.coeff_modulus]
             n = parms.poly_modulus_degree
             rng = parms_rng(parms)
-            sk = jnp.asarray(sample_poly_ternary(rng, moduli, n))
+            sk = np.asarray(sample_poly_ternary(rng, moduli, n))
             sk_ntt = ntt_forward(sk, cd.ntt_tables)
             self._secret_key = SecretKey(data=sk_ntt, parms_id=cd.parms_id)
 
@@ -70,13 +70,13 @@ class KeyGenerator:
                 dyadic_product(self._sk_powers[-1], self._sk_powers[0], limbs)
             )
 
-    def sk_power(self, power: int) -> jnp.ndarray:
+    def sk_power(self, power: int):
         """NTT-form s^power at the key level."""
         self._compute_sk_powers(power)
         return self._sk_powers[power - 1]
 
     # -- hybrid key-switching keygen (fork) ------------------------------
-    def _generate_one_kswitch_key(self, new_key: jnp.ndarray) -> List[PublicKey]:
+    def _generate_one_kswitch_key(self, new_key) -> List[PublicKey]:
         """Bundle-wise keys for switching from `new_key` (NTT form,
         [n_ct_rns(+), N]) back to the secret key
         (reference: keygenerator.cpp:325-369)."""
@@ -108,13 +108,13 @@ class KeyGenerator:
             rns1 = min(rns0 + n_sp_rns, n_ct_rns)
             # c0[rns] += new_key[rns] * P mod q_rns for the bundle's limbs
             sel = np.arange(rns0, rns1)
-            fac = jnp.asarray(factors[sel].reshape(-1, 1))
+            fac = factors[sel].reshape(-1, 1)
             p_sel = limbs.p[sel]
             r0_sel = limbs.ratio0[sel]
             r1_sel = limbs.ratio1[sel]
             add_term = modops.mul_mod(new_key[sel, :], fac, p_sel, r0_sel, r1_sel)
             c0_sel = modops.add_mod(ct.data[0, sel, :], add_term, p_sel)
-            data = ct.data.at[0, sel, :].set(c0_sel)
+            data = set_at(ct.data, (0, sel, slice(None)), c0_sel)
             ct = Ciphertext(data, ct.parms_id, ct.is_ntt_form, ct.scale)
             out.append(PublicKey(data=ct, parms_id=key_cd.parms_id))
         return out

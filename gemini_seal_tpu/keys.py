@@ -12,7 +12,6 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Dict, List
 
-import jax.numpy as jnp
 
 from .ciphertext import Ciphertext
 from .params import PARMS_ID_ZERO, ParmsId
@@ -24,7 +23,7 @@ __all__ = ["SecretKey", "PublicKey", "KSwitchKeys", "RelinKeys", "GaloisKeys"]
 class SecretKey:
     """Ternary secret in NTT form at the key level (keygenerator.cpp:66-103)."""
 
-    data: jnp.ndarray                    # u64[L_key, N], NTT form
+    data: object                         # u64[L_key, N], NTT form
     parms_id: ParmsId = PARMS_ID_ZERO
 
 

@@ -14,12 +14,11 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..modulus import Modulus
 from . import modops
+from .backend import xp
 
 __all__ = [
     "LimbConstants",
@@ -43,9 +42,9 @@ class LimbConstants:
     reference: modulus.h:122-129).
     """
 
-    p: jnp.ndarray
-    ratio0: jnp.ndarray
-    ratio1: jnp.ndarray
+    p: np.ndarray
+    ratio0: np.ndarray
+    ratio1: np.ndarray
 
     @staticmethod
     def from_moduli(moduli) -> "LimbConstants":
@@ -58,17 +57,23 @@ class LimbConstants:
             r1.append(m.const_ratio[1])
         shape = (len(vals), 1)
         return LimbConstants(
-            p=jnp.asarray(np.array(vals, dtype=np.uint64).reshape(shape)),
-            ratio0=jnp.asarray(np.array(r0, dtype=np.uint64).reshape(shape)),
-            ratio1=jnp.asarray(np.array(r1, dtype=np.uint64).reshape(shape)),
+            p=np.array(vals, dtype=np.uint64).reshape(shape),
+            ratio0=np.array(r0, dtype=np.uint64).reshape(shape),
+            ratio1=np.array(r1, dtype=np.uint64).reshape(shape),
         )
 
 
-jax.tree_util.register_pytree_node(
-    LimbConstants,
-    lambda c: ((c.p, c.ratio0, c.ratio1), None),
-    lambda _, ch: LimbConstants(*ch),
-)
+def _register_pytree():
+    import jax
+
+    jax.tree_util.register_pytree_node(
+        LimbConstants,
+        lambda c: ((c.p, c.ratio0, c.ratio1), None),
+        lambda _, ch: LimbConstants(*ch),
+    )
+
+
+_register_pytree()
 
 
 def add_poly(a, b, limbs: LimbConstants):
@@ -111,14 +116,14 @@ def negacyclic_shift_poly(a, shift: int, limbs: LimbConstants):
     shift = shift % (2 * n)
     if shift == 0:
         return a
+    m_ = xp(a)
     rot = shift % n
-    rolled = jnp.roll(a, rot, axis=-1)
+    rolled = m_.roll(a, rot, axis=-1)
     # Coefficients that wrapped past X^N pick up a -1.
-    idx = jnp.arange(n)
-    wrapped = idx < rot
+    wrapped = np.arange(n) < rot
     if (shift // n) % 2 == 1:
         wrapped = ~wrapped  # shifting by n negates everything
-    return jnp.where(wrapped, modops.neg_mod(rolled, limbs.p), rolled)
+    return m_.where(wrapped, modops.neg_mod(rolled, limbs.p), rolled)
 
 
 def negacyclic_mono_mul_poly(a, mono_coeff, mono_exponent: int, limbs: LimbConstants):
@@ -130,7 +135,8 @@ def negacyclic_mono_mul_poly(a, mono_coeff, mono_exponent: int, limbs: LimbConst
 
 def poly_infty_norm(a, limbs: LimbConstants):
     """Max |a_i| under centered lift per limb (polyarithsmallmod.h:599)."""
+    m_ = xp(a)
     p = limbs.p
-    half = p >> jnp.uint64(1)
-    mag = jnp.where(a > half, p - a, a)
-    return jnp.max(mag, axis=-1)
+    half = p >> np.uint64(1)
+    mag = m_.where(a > half, p - a, a)
+    return m_.max(mag, axis=-1)

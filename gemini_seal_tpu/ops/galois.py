@@ -4,7 +4,7 @@ TPU-native rework of the reference's GaloisTool
 (reference: native/src/seal/util/galois.{h,cpp}).  Both the power-basis
 version (index map + sign flip, galois.cpp:144-186) and the NTT-domain
 version (a bit-reversed index permutation, galois.cpp:18-47) become
-precomputed gather indices applied with jnp.take — one fused gather per
+precomputed gather indices applied with one fused gather per
 [..., L, N] tensor instead of scalar loops.
 """
 
@@ -12,11 +12,11 @@ from __future__ import annotations
 
 from typing import Dict, List, Sequence
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..utils import numth
 from . import modops
+from .backend import xp
 from .dyadic import LimbConstants
 
 __all__ = ["GaloisTool"]
@@ -88,7 +88,7 @@ class GaloisTool:
             index = index_raw & (n - 1)
             src[index] = i
             neg[index] = bool((index_raw >> self.coeff_count_power) & 1)
-        entry = (jnp.asarray(src), jnp.asarray(neg))
+        entry = (src, neg)
         self._coeff_tables[galois_elt] = entry
         return entry
 
@@ -104,23 +104,23 @@ class GaloisTool:
             reversed_i = numth.reverse_bits(i, logn + 1)
             index_raw = ((galois_elt * reversed_i) >> 1) & (n - 1)
             table[i - n] = numth.reverse_bits(index_raw, logn)
-        entry = jnp.asarray(table)
-        self._ntt_tables[galois_elt] = entry
-        return entry
+        self._ntt_tables[galois_elt] = table
+        return table
 
     # -- application ------------------------------------------------------
     def apply_galois(self, x, galois_elt: int, limbs: LimbConstants):
         """Power-basis automorphism over [..., L, N]."""
         self._check_elt(galois_elt)
         src, neg = self._coeff_table(galois_elt)
-        gathered = jnp.take(x, src, axis=-1)
-        return jnp.where(neg, modops.neg_mod(gathered, limbs.p), gathered)
+        m_ = xp(x)
+        gathered = m_.take(x, src, axis=-1)
+        return m_.where(neg, modops.neg_mod(gathered, limbs.p), gathered)
 
     def apply_galois_ntt(self, x, galois_elt: int):
         """NTT-domain automorphism (pure permutation) over [..., L, N]."""
         self._check_elt(galois_elt)
         table = self._ntt_table(galois_elt)
-        return jnp.take(x, table, axis=-1)
+        return xp(x).take(x, table, axis=-1)
 
     def _check_elt(self, galois_elt: int):
         if not (galois_elt & 1) or galois_elt >= 2 * self.coeff_count:

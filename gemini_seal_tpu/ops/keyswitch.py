@@ -24,11 +24,11 @@ from __future__ import annotations
 
 from typing import List
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..utils import numth
 from . import modops
+from .backend import xp
 from .dyadic import LimbConstants
 from .ntt import NTTTables, ntt_forward, ntt_inverse
 from .rnsops import _dot_mod_128, _slice_tables
@@ -114,14 +114,7 @@ class KeySwitchPlan:
                 inv[a] = inv_a
                 for dst in range(self.n_ext):
                     mat[dst, a] = punc % ext_moduli[dst]
-            self.bundles.append(
-                (
-                    rns0,
-                    rns1,
-                    jnp.asarray(inv.reshape(-1, 1)),
-                    jnp.asarray(mat),
-                )
-            )
+            self.bundles.append((rns0, rns1, inv.reshape(-1, 1), mat))
 
         # Special-prime rescale constants (:186-234, 291-299).
         sp0 = self.n_ct_all_rns
@@ -136,7 +129,7 @@ class KeySwitchPlan:
             if r is None:
                 raise ValueError("key-switch rescale: inverse failed")
             inv_hat[j] = r
-        self.inv_hat_pj_pj = jnp.asarray(inv_hat.reshape(-1, 1))
+        self.inv_hat_pj_pj = inv_hat.reshape(-1, 1)
         self.sp_limbs = LimbConstants.from_moduli(sp_moduli)
 
         neg_hat = np.zeros((n_ct, n_sp), dtype=np.uint64)
@@ -156,8 +149,8 @@ class KeySwitchPlan:
             if r is None:
                 raise ValueError("key-switch rescale: P not invertible")
             invP[i] = r
-        self.neg_hat_pj_qi = jnp.asarray(neg_hat)     # [n_ct, n_sp]
-        self.inv_P_qi = jnp.asarray(invP.reshape(-1, 1))
+        self.neg_hat_pj_qi = neg_hat                   # [n_ct, n_sp]
+        self.inv_P_qi = invP.reshape(-1, 1)
 
 
 def _modup_bundle(power_target, plan: KeySwitchPlan, b: int):
@@ -223,14 +216,15 @@ def switch_key(target, key_vector_data, plan: KeySwitchPlan, is_ntt_form: bool):
     batch = target.shape[:-2]
     ext = plan.ext_limbs
 
+    m_ = xp(target)
     power_target = ntt_inverse(target, plan.ct_tables) if is_ntt_form else target
     ntt_target = target if is_ntt_form else ntt_forward(target, plan.ct_tables)
     pad_width = [(0, 0)] * len(batch) + [(0, n_ext - n_ct), (0, 0)]
-    ntt_target_ext = jnp.pad(ntt_target, pad_width)
+    ntt_target_ext = m_.pad(ntt_target, pad_width)
 
     # digit accumulators for the 128-bit inner product, per component
     d = [
-        [jnp.zeros(batch + (n_ext, N), dtype=jnp.uint64) for _ in range(4)]
+        [m_.zeros(batch + (n_ext, N), dtype=m_.uint64) for _ in range(4)]
         for _ in range(2)
     ]
     for b in range(plan.n_bundles):
@@ -238,9 +232,9 @@ def switch_key(target, key_vector_data, plan: KeySwitchPlan, is_ntt_form: bool):
         lifted = _modup_bundle(power_target, plan, b)          # [..., n_ext, N]
         lifted_ntt = ntt_forward(lifted, plan.ext_tables)
         # diagonal limbs use the original NTT-domain target (exact, no lift)
-        row = jnp.arange(n_ext)[:, None]
+        row = np.arange(n_ext)[:, None]
         diag = (row >= rns0) & (row < rns1)
-        ct_k = jnp.where(diag, ntt_target_ext, lifted_ntt)
+        ct_k = m_.where(diag, ntt_target_ext, lifted_ntt)
         # key rows for the extended limbs
         key_b = key_vector_data[b][:, plan.ext_key_indices, :]  # [2, n_ext, N]
         for l in range(2):

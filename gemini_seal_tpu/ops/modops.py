@@ -19,8 +19,9 @@ kernel compositions (NTT -> dyadic -> base conversion) stay overflow-free:
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
+
+from .backend import xp
 
 __all__ = [
     "mul64_wide",
@@ -43,8 +44,9 @@ _MASK32 = np.uint64(0xFFFFFFFF)
 _U32 = np.uint64(32)
 
 
-def _u64(x):
-    return jnp.asarray(x, dtype=jnp.uint64)
+def _u64(x, m=None):
+    m = m or xp(x)
+    return m.asarray(x, dtype=m.uint64)
 
 
 def mul64_wide(a, b):
@@ -52,8 +54,9 @@ def mul64_wide(a, b):
 
     Reference analogue: multiply_uint64 (util/uintarith.h:802).
     """
-    a = _u64(a)
-    b = _u64(b)
+    m = xp(a, b)
+    a = _u64(a, m)
+    b = _u64(b, m)
     a_lo = a & _MASK32
     a_hi = a >> _U32
     b_lo = b & _MASK32
@@ -76,8 +79,9 @@ def mulhi64(a, b):
 
 def add128(hi_a, lo_a, hi_b, lo_b):
     """(hi_a:lo_a) + (hi_b:lo_b) mod 2^128 as (hi, lo)."""
+    m = xp(hi_a, lo_a, hi_b, lo_b)
     lo = lo_a + lo_b
-    carry = (lo < lo_a).astype(jnp.uint64)
+    carry = (lo < lo_a).astype(m.uint64)
     return hi_a + hi_b + carry, lo
 
 
@@ -88,23 +92,24 @@ def barrett_reduce_128(hi, lo, p, ratio0, ratio1):
     approximates q = floor(x * floor(2^128/p) / 2^128) and corrects once.
     ratio0/ratio1 are the low/high words of floor(2^128/p).
     """
-    hi, lo = _u64(hi), _u64(lo)
-    p = _u64(p)
-    ratio0 = _u64(ratio0)
-    ratio1 = _u64(ratio1)
+    m = xp(hi, lo, p, ratio0, ratio1)
+    hi, lo = _u64(hi, m), _u64(lo, m)
+    p = _u64(p, m)
+    ratio0 = _u64(ratio0, m)
+    ratio1 = _u64(ratio1, m)
 
     carry = mulhi64(lo, ratio0)
     t2_hi, t2_lo = mul64_wide(lo, ratio1)
     tmp1 = t2_lo + carry
-    c1 = (tmp1 < t2_lo).astype(jnp.uint64)
+    c1 = (tmp1 < t2_lo).astype(m.uint64)
     tmp3 = t2_hi + c1
     t2_hi, t2_lo = mul64_wide(hi, ratio0)
     tmp1b = tmp1 + t2_lo
-    c2 = (tmp1b < tmp1).astype(jnp.uint64)
+    c2 = (tmp1b < tmp1).astype(m.uint64)
     carry2 = t2_hi + c2
     tmp1c = hi * ratio1 + tmp3 + carry2
     result = lo - tmp1c * p
-    return jnp.where(result >= p, result - p, result)
+    return m.where(result >= p, result - p, result)
 
 
 def divmod_128(hi, lo, p, ratio0, ratio1):
@@ -114,24 +119,25 @@ def divmod_128(hi, lo, p, ratio0, ratio1):
     corrected and returned (used by BFV plain scaling,
     reference: scalingvariant.cpp:40-44 divide_uint128_inplace).
     """
-    hi, lo = _u64(hi), _u64(lo)
-    p = _u64(p)
-    ratio0 = _u64(ratio0)
-    ratio1 = _u64(ratio1)
+    m = xp(hi, lo, p, ratio0, ratio1)
+    hi, lo = _u64(hi, m), _u64(lo, m)
+    p = _u64(p, m)
+    ratio0 = _u64(ratio0, m)
+    ratio1 = _u64(ratio1, m)
 
     carry = mulhi64(lo, ratio0)
     t2_hi, t2_lo = mul64_wide(lo, ratio1)
     tmp1 = t2_lo + carry
-    c1 = (tmp1 < t2_lo).astype(jnp.uint64)
+    c1 = (tmp1 < t2_lo).astype(m.uint64)
     tmp3 = t2_hi + c1
     t2_hi, t2_lo = mul64_wide(hi, ratio0)
     tmp1b = tmp1 + t2_lo
-    c2 = (tmp1b < tmp1).astype(jnp.uint64)
+    c2 = (tmp1b < tmp1).astype(m.uint64)
     carry2 = t2_hi + c2
     q = hi * ratio1 + tmp3 + carry2
     r = lo - q * p
-    fix = (r >= p).astype(jnp.uint64)
-    return q + fix, jnp.where(r >= p, r - p, r)
+    fix = (r >= p).astype(m.uint64)
+    return q + fix, m.where(r >= p, r - p, r)
 
 
 def barrett_reduce_64(x, p, ratio1):
@@ -142,11 +148,12 @@ def barrett_reduce_64(x, p, ratio1):
     one conditional subtract... the reference restricts inputs to 63 bits
     (uintarithsmallmod.h:181-207); we keep the same contract.
     """
-    x = _u64(x)
-    p = _u64(p)
+    m = xp(x, p, ratio1)
+    x = _u64(x, m)
+    p = _u64(p, m)
     q = mulhi64(x, ratio1)
     result = x - q * p
-    return jnp.where(result >= p, result - p, result)
+    return m.where(result >= p, result - p, result)
 
 
 def mul_mod(a, b, p, ratio0, ratio1):
@@ -161,48 +168,54 @@ def mul_mod_shoup_lazy(x, w, w_shoup, p):
     Harvey/Shoup lazy multiplication (reference: ntt.cpp:230-234,
     multi_special_primes.cpp:2-20).  Valid for any 64-bit x and w < p.
     """
-    x = _u64(x)
+    m = xp(x, w, w_shoup, p)
+    x = _u64(x, m)
     q = mulhi64(x, w_shoup)
-    return x * _u64(w) - q * _u64(p)
+    return x * _u64(w, m) - q * _u64(p, m)
 
 
 def mul_mod_shoup(x, w, w_shoup, p):
     """Canonical-output Shoup multiplication: [0, p)."""
+    m = xp(x, w, w_shoup, p)
     r = mul_mod_shoup_lazy(x, w, w_shoup, p)
-    p = _u64(p)
-    return jnp.where(r >= p, r - p, r)
+    p = _u64(p, m)
+    return m.where(r >= p, r - p, r)
 
 
 def add_mod(a, b, p):
     """(a + b) mod p for a, b in [0, p) (polyarithsmallmod.h add)."""
-    s = _u64(a) + _u64(b)
-    p = _u64(p)
-    return jnp.where(s >= p, s - p, s)
+    m = xp(a, b, p)
+    s = _u64(a, m) + _u64(b, m)
+    p = _u64(p, m)
+    return m.where(s >= p, s - p, s)
 
 
 def sub_mod(a, b, p):
     """(a - b) mod p for a, b in [0, p)."""
-    a = _u64(a)
-    b = _u64(b)
-    p = _u64(p)
+    m = xp(a, b, p)
+    a = _u64(a, m)
+    b = _u64(b, m)
+    p = _u64(p, m)
     d = a - b
-    return jnp.where(a < b, d + p, d)
+    return m.where(a < b, d + p, d)
 
 
 def neg_mod(a, p):
     """(-a) mod p for a in [0, p) (polyarithsmallmod.h:176-259)."""
-    a = _u64(a)
-    p = _u64(p)
-    return jnp.where(a == 0, a, p - a)
+    m = xp(a, p)
+    a = _u64(a, m)
+    p = _u64(p, m)
+    return m.where(a == 0, a, p - a)
 
 
 def reduce_once(x, p):
     """[0, 2p) -> [0, p)."""
-    x = _u64(x)
-    p = _u64(p)
-    return jnp.where(x >= p, x - p, x)
+    m = xp(x, p)
+    x = _u64(x, m)
+    p = _u64(p, m)
+    return m.where(x >= p, x - p, x)
 
 
 def reduce_twice(x, p):
     """[0, 4p) -> [0, p)."""
-    return reduce_once(reduce_once(x, _u64(p) * jnp.uint64(2)), p)
+    return reduce_once(reduce_once(x, _u64(p, xp(x, p)) * np.uint64(2)), p)

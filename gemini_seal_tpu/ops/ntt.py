@@ -28,9 +28,9 @@ from dataclasses import dataclass
 from typing import List, Sequence
 
 import numpy as np
-import jax.numpy as jnp
 
 from ..utils import numth
+from .backend import xp
 from ..modulus import Modulus
 from . import modops
 
@@ -177,7 +177,7 @@ def build_ntt_tables(coeff_count_power: int, moduli: Sequence) -> NTTTables:
 
 def _expand(v, extra_dims: int):
     """[L] or [L, m] constant -> broadcastable against [..., L, m, h]."""
-    v = jnp.asarray(v, dtype=jnp.uint64)
+    v = np.asarray(v, dtype=np.uint64)
     return v.reshape(v.shape + (1,) * extra_dims)
 
 
@@ -191,10 +191,11 @@ def ntt_forward_lazy(x, tables):
     log_n = tables.coeff_count_power
     batch = x.shape[:-1]
     L = x.shape[-2]
+    m_ = xp(x)
     p = _expand(tables.modulus, 2)        # [L,1,1]
-    two_p = p * jnp.uint64(2)
-    w_all = jnp.asarray(tables.root_powers, dtype=jnp.uint64)
-    ws_all = jnp.asarray(tables.scaled_root_powers, dtype=jnp.uint64)
+    two_p = p * np.uint64(2)
+    w_all = np.asarray(tables.root_powers, dtype=np.uint64)
+    ws_all = np.asarray(tables.scaled_root_powers, dtype=np.uint64)
 
     for s in range(log_n):
         m = 1 << s
@@ -209,9 +210,9 @@ def ntt_forward_lazy(x, tables):
         # omits this and overflows u64 for 60-bit moduli at N >= 2048 —
         # e.g. its own 60-bit Bsk base-conversion primes; we keep the
         # overflow-free contract for all <= 61-bit moduli at every N.
-        x0 = jnp.where(x0 >= two_p, x0 - two_p, x0)
+        x0 = m_.where(x0 >= two_p, x0 - two_p, x0)
         v = modops.mul_mod_shoup_lazy(x1, w, ws, p)
-        x = jnp.stack([x0 + v, x0 - v + two_p], axis=-2).reshape(batch + (n,))
+        x = m_.stack([x0 + v, x0 - v + two_p], axis=-2).reshape(batch + (n,))
     return x
 
 
@@ -233,10 +234,11 @@ def ntt_inverse_lazy(x, tables):
     log_n = tables.coeff_count_power
     batch = x.shape[:-1]
     L = x.shape[-2]
+    m_ = xp(x)
     p = _expand(tables.modulus, 2)
-    two_p = p * jnp.uint64(2)
-    w_all = jnp.asarray(tables.inv_root_powers, dtype=jnp.uint64)
-    ws_all = jnp.asarray(tables.scaled_inv_root_powers, dtype=jnp.uint64)
+    two_p = p * np.uint64(2)
+    w_all = np.asarray(tables.inv_root_powers, dtype=np.uint64)
+    ws_all = np.asarray(tables.scaled_inv_root_powers, dtype=np.uint64)
     inv_n = _expand(tables.inv_degree_modulo, 2)
     inv_n_s = _expand(tables.scaled_inv_degree, 2)
 
@@ -251,14 +253,14 @@ def ntt_inverse_lazy(x, tables):
         ws = ws_all[:, ofs : ofs + m][:, :, None]
         ofs += m
         t = x0 + x1
-        t = jnp.where(t >= two_p, t - two_p, t)
+        t = m_.where(t >= two_p, t - two_p, t)
         d = x0 - x1 + two_p
         if m == 1:
             # BackwardLazyLast (ntt.cpp:274-281): x0 *= n^{-1}; the twiddle
             # table entry already carries w * n^{-1}.
             t = modops.mul_mod_shoup_lazy(t, inv_n, inv_n_s, p)
         new_x1 = modops.mul_mod_shoup_lazy(d, w, ws, p)
-        x = jnp.stack([t, new_x1], axis=-2).reshape(batch + (n,))
+        x = m_.stack([t, new_x1], axis=-2).reshape(batch + (n,))
     return x
 
 

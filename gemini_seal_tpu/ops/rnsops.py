@@ -20,13 +20,12 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..modulus import Modulus
 from ..utils.rns import BaseConverter, RNSTool
 from . import modops
+from .backend import xp
 from .dyadic import LimbConstants, add_poly, multiply_poly_scalar, sub_poly
 from .ntt import NTTTables, build_ntt_tables, ntt_forward, ntt_inverse
 
@@ -55,16 +54,16 @@ class DeviceBaseConverter:
 
     ibase: LimbConstants
     obase: LimbConstants
-    matrix: jnp.ndarray          # u64[O, I]
-    inv_punctured: jnp.ndarray   # u64[I, 1]
+    matrix: np.ndarray           # u64[O, I]
+    inv_punctured: np.ndarray    # u64[I, 1]
 
     @staticmethod
     def from_host(conv: BaseConverter) -> "DeviceBaseConverter":
         return DeviceBaseConverter(
             ibase=LimbConstants.from_moduli(conv.ibase.base),
             obase=LimbConstants.from_moduli(conv.obase.base),
-            matrix=jnp.asarray(conv.matrix),
-            inv_punctured=jnp.asarray(conv.inv_punctured.reshape(-1, 1)),
+            matrix=np.asarray(conv.matrix),
+            inv_punctured=np.asarray(conv.inv_punctured.reshape(-1, 1)),
         )
 
 
@@ -76,11 +75,12 @@ def _dot_mod_128(a, b, obase: LimbConstants):
     renormalize and Barrett-reduce.  This is the vectorized equivalent of
     the reference's FMAU128 lazy accumulator + barrett_reduce_128.
     """
+    m_ = xp(a)
     hi, lo = modops.mul64_wide(a[..., None, :, :], b[:, :, None])
-    d0 = jnp.sum(lo & _MASK32, axis=-2)
-    d1 = jnp.sum(lo >> _U32, axis=-2)
-    d2 = jnp.sum(hi & _MASK32, axis=-2)
-    d3 = jnp.sum(hi >> _U32, axis=-2)
+    d0 = m_.sum(lo & _MASK32, axis=-2, dtype=m_.uint64)
+    d1 = m_.sum(lo >> _U32, axis=-2, dtype=m_.uint64)
+    d2 = m_.sum(hi & _MASK32, axis=-2, dtype=m_.uint64)
+    d3 = m_.sum(hi >> _U32, axis=-2, dtype=m_.uint64)
     carry = d0 >> _U32
     s1 = d1 + carry
     carry = s1 >> _U32
@@ -104,7 +104,7 @@ def fast_convert_array(x, conv: DeviceBaseConverter):
 
 
 class DeviceRNSTool:
-    """Device twin of the host RNSTool: jnp constants + converters."""
+    """Constant bundle twin of the host RNSTool (converters + scalars)."""
 
     def __init__(self, host: RNSTool):
         self.host = host
@@ -124,13 +124,13 @@ class DeviceRNSTool:
         self.m_tilde = host.m_tilde
         self.gamma = host.gamma
         self.t = host.t
-        self.prod_B_mod_q = jnp.asarray(host.prod_B_mod_q.reshape(-1, 1))
-        self.inv_prod_q_mod_Bsk = jnp.asarray(host.inv_prod_q_mod_Bsk.reshape(-1, 1))
-        self.inv_prod_B_mod_m_sk = jnp.uint64(host.inv_prod_B_mod_m_sk)
-        self.inv_m_tilde_mod_Bsk = jnp.asarray(host.inv_m_tilde_mod_Bsk.reshape(-1, 1))
-        self.inv_prod_q_mod_m_tilde = jnp.uint64(host.inv_prod_q_mod_m_tilde)
-        self.prod_q_mod_Bsk = jnp.asarray(host.prod_q_mod_Bsk.reshape(-1, 1))
-        self.inv_q_last_mod_q = jnp.asarray(host.inv_q_last_mod_q.reshape(-1, 1))
+        self.prod_B_mod_q = np.asarray(host.prod_B_mod_q.reshape(-1, 1))
+        self.inv_prod_q_mod_Bsk = np.asarray(host.inv_prod_q_mod_Bsk.reshape(-1, 1))
+        self.inv_prod_B_mod_m_sk = np.uint64(host.inv_prod_B_mod_m_sk)
+        self.inv_m_tilde_mod_Bsk = np.asarray(host.inv_m_tilde_mod_Bsk.reshape(-1, 1))
+        self.inv_prod_q_mod_m_tilde = np.uint64(host.inv_prod_q_mod_m_tilde)
+        self.prod_q_mod_Bsk = np.asarray(host.prod_q_mod_Bsk.reshape(-1, 1))
+        self.inv_q_last_mod_q = np.asarray(host.inv_q_last_mod_q.reshape(-1, 1))
         # Bsk NTT tables (for BFV multiply)
         n = host.coeff_count
         log_n = n.bit_length() - 1
@@ -142,11 +142,11 @@ class DeviceRNSTool:
             self.q_to_t_gamma = DeviceBaseConverter.from_host(
                 host.base_q_to_t_gamma_conv
             )
-            self.inv_gamma_mod_t = jnp.uint64(host.inv_gamma_mod_t)
-            self.prod_t_gamma_mod_q = jnp.asarray(
+            self.inv_gamma_mod_t = np.uint64(host.inv_gamma_mod_t)
+            self.prod_t_gamma_mod_q = np.asarray(
                 host.prod_t_gamma_mod_q.reshape(-1, 1)
             )
-            self.neg_inv_q_mod_t_gamma = jnp.asarray(
+            self.neg_inv_q_mod_t_gamma = np.asarray(
                 host.neg_inv_q_mod_t_gamma.reshape(-1, 1)
             )
             self.t_modulus = Modulus(host.t.value)
@@ -173,18 +173,19 @@ def decrypt_scale_and_round(x, tool: DeviceRNSTool):
     )
     t_part = tg[..., 0, :]
     g_part = tg[..., 1, :]
-    gamma_div_2 = jnp.uint64(gamma >> 1)
-    t_r1 = jnp.uint64(t_mod.const_ratio[1])
-    t_u = jnp.uint64(t)
+    m_ = xp(x)
+    gamma_div_2 = np.uint64(gamma >> 1)
+    t_r1 = np.uint64(t_mod.const_ratio[1])
+    t_u = np.uint64(t)
     # centered correction on the gamma component
-    corr_pos = modops.barrett_reduce_64(jnp.uint64(gamma) - g_part, t_u, t_r1)
+    corr_pos = modops.barrett_reduce_64(np.uint64(gamma) - g_part, t_u, t_r1)
     corr_neg = modops.barrett_reduce_64(g_part, t_u, t_r1)
-    dest = jnp.where(
+    dest = m_.where(
         g_part > gamma_div_2,
         modops.add_mod(t_part, corr_pos, t_u),
         modops.sub_mod(t_part, corr_neg, t_u),
     )
-    r0 = jnp.uint64(t_mod.const_ratio[0])
+    r0 = np.uint64(t_mod.const_ratio[0])
     return modops.mul_mod(dest, tool.inv_gamma_mod_t, t_u, r0, t_r1)
 
 
@@ -195,7 +196,7 @@ def divide_and_round_q_last(x, tool: DeviceRNSTool):
     q = tool.q_limbs
     last_p = q.p[L - 1, 0]
     last_r1 = q.ratio1[L - 1, 0]
-    half = last_p >> jnp.uint64(1)
+    half = last_p >> np.uint64(1)
     rest_p = q.p[: L - 1]
     rest_r1 = q.ratio1[: L - 1]
     rest_r0 = q.ratio0[: L - 1]
@@ -218,7 +219,7 @@ def divide_and_round_q_last_ntt(x, tool: DeviceRNSTool, tables: NTTTables):
     q = tool.q_limbs
     last_p = q.p[L - 1, 0]
     last_r1 = q.ratio1[L - 1, 0]
-    half = last_p >> jnp.uint64(1)
+    half = last_p >> np.uint64(1)
     rest_p = q.p[: L - 1]
     rest_r0 = q.ratio0[: L - 1]
     rest_r1 = q.ratio1[: L - 1]
@@ -263,24 +264,25 @@ def multiply_add_plain_with_scaling_variant(c0, plain, context_data):
     c0: [..., L, N]; plain: u64[N] mod t (zero-padded).  Returns new c0.
     """
     t = context_data.parms.plain_modulus
-    t_u = jnp.uint64(t.value)
-    q_mod_t = jnp.uint64(context_data.coeff_modulus_mod_plain_modulus)
-    thresh = jnp.uint64(context_data.plain_upper_half_threshold)
-    delta = jnp.asarray(context_data.coeff_div_plain_modulus.reshape(-1, 1))
+    t_u = np.uint64(t.value)
+    q_mod_t = np.uint64(context_data.coeff_modulus_mod_plain_modulus)
+    thresh = np.uint64(context_data.plain_upper_half_threshold)
+    delta = np.asarray(context_data.coeff_div_plain_modulus.reshape(-1, 1))
     limbs = context_data.limb_constants
 
-    m = jnp.asarray(plain, dtype=jnp.uint64)
+    m_ = xp(c0, plain)
+    m = m_.asarray(plain, dtype=m_.uint64)
     prod_hi, prod_lo = modops.mul64_wide(m, q_mod_t)
     num_lo = prod_lo + thresh
-    carry = (num_lo < prod_lo).astype(jnp.uint64)
+    carry = (num_lo < prod_lo).astype(m_.uint64)
     num_hi = prod_hi + carry
     fix, _ = modops.divmod_128(
-        num_hi, num_lo, t_u, jnp.uint64(t.const_ratio[0]), jnp.uint64(t.const_ratio[1])
+        num_hi, num_lo, t_u, np.uint64(t.const_ratio[0]), np.uint64(t.const_ratio[1])
     )  # [N]
     # (Delta_j * m_i + fix_i) mod q_j
     dm_hi, dm_lo = modops.mul64_wide(delta, m[..., None, :])
     s_lo = dm_lo + fix[..., None, :]
-    s_carry = (s_lo < dm_lo).astype(jnp.uint64)
+    s_carry = (s_lo < dm_lo).astype(m_.uint64)
     s_hi = dm_hi + s_carry
     inc = modops.barrett_reduce_128(s_hi, s_lo, limbs.p, limbs.ratio0, limbs.ratio1)
     return modops.add_mod(c0, inc, limbs.p)
@@ -289,23 +291,24 @@ def multiply_add_plain_with_scaling_variant(c0, plain, context_data):
 def multiply_sub_plain_with_scaling_variant(c0, plain, context_data):
     """c0 -= round(q/t * m) (reference: scalingvariant.cpp:54-92)."""
     t = context_data.parms.plain_modulus
-    t_u = jnp.uint64(t.value)
-    q_mod_t = jnp.uint64(context_data.coeff_modulus_mod_plain_modulus)
-    thresh = jnp.uint64(context_data.plain_upper_half_threshold)
-    delta = jnp.asarray(context_data.coeff_div_plain_modulus.reshape(-1, 1))
+    t_u = np.uint64(t.value)
+    q_mod_t = np.uint64(context_data.coeff_modulus_mod_plain_modulus)
+    thresh = np.uint64(context_data.plain_upper_half_threshold)
+    delta = np.asarray(context_data.coeff_div_plain_modulus.reshape(-1, 1))
     limbs = context_data.limb_constants
 
-    m = jnp.asarray(plain, dtype=jnp.uint64)
+    m_ = xp(c0, plain)
+    m = m_.asarray(plain, dtype=m_.uint64)
     prod_hi, prod_lo = modops.mul64_wide(m, q_mod_t)
     num_lo = prod_lo + thresh
-    carry = (num_lo < prod_lo).astype(jnp.uint64)
+    carry = (num_lo < prod_lo).astype(m_.uint64)
     num_hi = prod_hi + carry
     fix, _ = modops.divmod_128(
-        num_hi, num_lo, t_u, jnp.uint64(t.const_ratio[0]), jnp.uint64(t.const_ratio[1])
+        num_hi, num_lo, t_u, np.uint64(t.const_ratio[0]), np.uint64(t.const_ratio[1])
     )
     dm_hi, dm_lo = modops.mul64_wide(delta, m[..., None, :])
     s_lo = dm_lo + fix[..., None, :]
-    s_carry = (s_lo < dm_lo).astype(jnp.uint64)
+    s_carry = (s_lo < dm_lo).astype(m_.uint64)
     s_hi = dm_hi + s_carry
     dec = modops.barrett_reduce_128(s_hi, s_lo, limbs.p, limbs.ratio0, limbs.ratio1)
     return modops.sub_mod(c0, dec, limbs.p)
@@ -320,34 +323,35 @@ def fastbconv_m_tilde(x, tool: DeviceRNSTool):
     (reference: rns.cpp:1025-1068).  [..., L, N] -> [..., Bsk+1, N]."""
     q = tool.q_limbs
     temp = modops.mul_mod(
-        x, jnp.uint64(tool.m_tilde.value), q.p, q.ratio0, q.ratio1
+        x, np.uint64(tool.m_tilde.value), q.p, q.ratio0, q.ratio1
     )
     to_bsk = fast_convert_array(temp, tool.q_to_Bsk)
     to_m_tilde = fast_convert_array(temp, tool.q_to_m_tilde)
-    return jnp.concatenate([to_bsk, to_m_tilde], axis=-2)
+    return xp(x).concatenate([to_bsk, to_m_tilde], axis=-2)
 
 
 def sm_mrq(x, tool: DeviceRNSTool):
     """Montgomery reduction Bsk u {m_tilde} -> Bsk
     (reference: rns.cpp:925-981).  [..., Bsk+1, N] -> [..., Bsk, N]."""
+    m_ = xp(x)
     bsk = tool.Bsk_limbs
-    m_tilde = jnp.uint64(tool.m_tilde.value)
-    m_tilde_div_2 = m_tilde >> jnp.uint64(1)
+    m_tilde = np.uint64(tool.m_tilde.value)
+    m_tilde_div_2 = m_tilde >> np.uint64(1)
     x_bsk = x[..., : tool.base_Bsk_size, :]
     x_mt = x[..., tool.base_Bsk_size, :]
 
     # r_m_tilde = -(x_mt / q) mod m_tilde ; m_tilde = 2^32 so plain masking
-    r = (x_mt * tool.inv_prod_q_mod_m_tilde) & jnp.uint64(0xFFFFFFFF)
-    r = (m_tilde - r) & jnp.uint64(0xFFFFFFFF)
+    r = (x_mt * tool.inv_prod_q_mod_m_tilde) & np.uint64(0xFFFFFFFF)
+    r = (m_tilde - r) & np.uint64(0xFFFFFFFF)
     # centered: if r >= m_tilde/2, use r - m_tilde (add p - m_tilde per limb)
     r_b = r[..., None, :]
-    r_centered = jnp.where(
+    r_centered = m_.where(
         r_b >= m_tilde_div_2, r_b + (bsk.p - m_tilde), r_b
     )
     # (x + q * r) * m_tilde^{-1} mod Bsk
     qr_hi, qr_lo = modops.mul64_wide(tool.prod_q_mod_Bsk, r_centered)
     s_lo = qr_lo + x_bsk
-    s_carry = (s_lo < qr_lo).astype(jnp.uint64)
+    s_carry = (s_lo < qr_lo).astype(m_.uint64)
     s_hi = qr_hi + s_carry
     acc = modops.barrett_reduce_128(s_hi, s_lo, bsk.p, bsk.ratio0, bsk.ratio1)
     return modops.mul_mod(acc, tool.inv_m_tilde_mod_Bsk, bsk.p, bsk.ratio0, bsk.ratio1)
@@ -368,8 +372,9 @@ def fast_floor(x_q, x_bsk, tool: DeviceRNSTool):
 
 def fastbconv_sk(x_bsk, tool: DeviceRNSTool):
     """Shenoy-Kumaresan Bsk -> q (reference: rns.cpp:853-923)."""
+    m_ = xp(x_bsk)
     q = tool.q_limbs
-    m_sk = jnp.uint64(tool.m_sk.value)
+    m_sk = np.uint64(tool.m_sk.value)
     x_B = x_bsk[..., : tool.base_B_size, :]
     x_sk = x_bsk[..., tool.base_B_size, :]
 
@@ -377,12 +382,12 @@ def fastbconv_sk(x_bsk, tool: DeviceRNSTool):
     temp = fast_convert_array(x_B, tool.B_to_m_sk)[..., 0, :]  # [..., N]
     # alpha_sk = (temp - x_sk) * B^{-1} mod m_sk
     msk_mod = tool.m_sk
-    r0 = jnp.uint64(msk_mod.const_ratio[0])
-    r1 = jnp.uint64(msk_mod.const_ratio[1])
+    r0 = np.uint64(msk_mod.const_ratio[0])
+    r1 = np.uint64(msk_mod.const_ratio[1])
     diff = temp + (m_sk - x_sk)
     alpha = modops.mul_mod(diff, tool.inv_prod_B_mod_m_sk, m_sk, r0, r1)
 
-    m_sk_div_2 = m_sk >> jnp.uint64(1)
+    m_sk_div_2 = m_sk >> np.uint64(1)
     alpha_b = alpha[..., None, :]
     # negative branch: dest += prod_B * (m_sk - alpha) mod q
     # positive branch: dest += (q - prod_B) * alpha mod q
@@ -392,5 +397,5 @@ def fastbconv_sk(x_bsk, tool: DeviceRNSTool):
     pos_term = modops.mul_mod(
         alpha_b, q.p - tool.prod_B_mod_q, q.p, q.ratio0, q.ratio1
     )
-    term = jnp.where(alpha_b > m_sk_div_2, neg_term, pos_term)
+    term = m_.where(alpha_b > m_sk_div_2, neg_term, pos_term)
     return modops.add_mod(dest, term, q.p)

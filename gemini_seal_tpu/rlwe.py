@@ -1,6 +1,6 @@
 """RLWE zero-encryptions (reference: native/src/seal/util/rlwe.cpp:131-302).
 
-Host PRNG sampling feeds device NTT/dyadic pipelines.  The pk/sk tensors at
+Host-plane sampling + NTT (numpy; the jitted pipelines are the device plane).  The pk/sk tensors at
 the key level are limb-prefix-sliced for encryptions at lower levels —
 the RNS chain drops moduli from the tail, so rows [0:L] of a key-level
 [L_key, N] tensor are exactly the lower level's limbs.
@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-import jax.numpy as jnp
+import numpy as np
 
 from .ciphertext import Ciphertext
 from .keys import PublicKey, SecretKey
@@ -51,7 +51,7 @@ def encrypt_zero_asymmetric(
     rng = parms_rng(parms)
 
     # u <- R_3, to NTT domain
-    u = jnp.asarray(sample_poly_ternary(rng, moduli, n))
+    u = np.asarray(sample_poly_ternary(rng, moduli, n))
     u_ntt = ntt_forward(u, tables)
 
     pk = public_key.data.data[:, :L, :]  # limb-prefix at this level
@@ -65,13 +65,13 @@ def encrypt_zero_asymmetric(
     # e_j <- chi, added in the target domain
     out = []
     for j in range(size):
-        e = jnp.asarray(sample_poly_normal(rng, moduli, n))
+        e = np.asarray(sample_poly_normal(rng, moduli, n))
         if is_ntt_form:
             e = ntt_forward(e, tables)
         out.append(add_poly(cs[j], e, limbs))
 
     return Ciphertext(
-        data=jnp.stack(out),
+        data=np.stack(out),
         parms_id=context_data.parms_id,
         is_ntt_form=is_ntt_form,
         scale=1.0,
@@ -109,9 +109,9 @@ def encrypt_zero_symmetric(
             c1_rng = BlakePRNGFactory().create()
 
     # a (= c1) uniform, sampled directly in NTT form when applicable
-    c1 = jnp.asarray(sample_poly_uniform(c1_rng, coeff_modulus, n))
+    c1 = np.asarray(sample_poly_uniform(c1_rng, coeff_modulus, n))
 
-    e = jnp.asarray(sample_poly_normal(rng_error, moduli, n))
+    e = np.asarray(sample_poly_normal(rng_error, moduli, n))
 
     sk = secret_key.data[:L, :]
     c0 = dyadic_product(sk, c1, limbs)
@@ -123,7 +123,7 @@ def encrypt_zero_symmetric(
     c0 = negate_poly(add_poly(e, c0, limbs), limbs)
 
     return Ciphertext(
-        data=jnp.stack([c0, c1]),
+        data=np.stack([c0, c1]),
         parms_id=context_data.parms_id,
         is_ntt_form=is_ntt_form,
         scale=1.0,

@@ -19,7 +19,6 @@ import struct
 import zlib
 from typing import Optional
 
-import jax.numpy as jnp
 import numpy as np
 
 from .ciphertext import Ciphertext, Plaintext
@@ -263,7 +262,7 @@ def _ciphertext_from(payload: bytes, context):
             raise ValueError("ciphertext metadata mismatch")
 
     if arr.size == size * L * degree:
-        data = jnp.asarray(arr.reshape(size, L, degree))
+        data = np.ascontiguousarray(arr.reshape(size, L, degree))
     elif arr.size == (size // 2 + size % 2) * L * degree or arr.size == L * degree:
         # seeded ciphertext: only c0 stored + seed marker
         if context is None:
@@ -279,7 +278,7 @@ def _ciphertext_from(payload: bytes, context):
         c1 = sample_poly_uniform(rng, cd.parms.coeff_modulus, degree)
         if not is_ntt:
             pass  # sampled directly in target domain for non-NTT seeded saves
-        data = jnp.asarray(
+        data = np.asarray(
             np.concatenate([c0, c1[None, :, :]], axis=0)
         )
     else:
@@ -294,7 +293,7 @@ def load_ciphertext(data: bytes, context=None) -> Ciphertext:
 
 def load_secret_key(data: bytes, context=None) -> SecretKey:
     p = load_plaintext(data, context)
-    return SecretKey(data=jnp.asarray(p.data), parms_id=p.parms_id)
+    return SecretKey(data=np.asarray(p.data), parms_id=p.parms_id)
 
 
 def load_public_key(data: bytes, context=None) -> PublicKey:

@@ -19,12 +19,42 @@ _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
 
+def _try_build(path: str) -> None:
+    """Best-effort on-demand build (the .so is a build artifact, not vendored).
+
+    The pure-Python blake2xb fallback is ~50x slower, which turns keygen at
+    N=8192 into minutes; a 2-second g++ invocation avoids that for any fresh
+    checkout that has a toolchain.
+    """
+    import subprocess
+
+    src = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        "native",
+        "gst_native.cpp",
+    )
+    if not os.path.exists(src):
+        return
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             src, "-o", path],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except Exception:
+        pass
+
+
 def _load():
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
     path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "_gst_native.so")
+    if not os.path.exists(path):
+        _try_build(path)
     if not os.path.exists(path):
         return None
     try:
