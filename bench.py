@@ -12,16 +12,21 @@ comparison point was measured by compiling the reference C++ (g++ -O3
 (Harness: /tmp/refbench.cpp pattern; CKKS N=8192, Create(8192,{50,40,40,50}),
 n_special_primes=1.)
 
+Synchronization: jax's block_until_ready is a no-op through the remote-TPU
+tunnel, so the jitted step returns a uint64 full-tensor checksum (forcing
+every output element to be computed — no dead-code elimination) and the
+timing loop fetches only the final checksum; TPU streams execute in order,
+so its readiness implies all enqueued steps completed.
+
 Prints ONE JSON line:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
 """
 
 import json
 import os
-import sys
 import time
 
-# Persistent compilation cache (first compile through the axon tunnel is
+# Persistent compilation cache (first compile through the remote tunnel is
 # expensive; later runs hit the disk cache).
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
@@ -33,6 +38,7 @@ REF_OPS_PER_S = 1e6 / 5983.7  # reference C++ on this host (see docstring)
 def main():
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from gemini_seal_tpu import (
         CKKSEncoder,
@@ -46,7 +52,7 @@ def main():
     from gemini_seal_tpu.models.pipelines import build_ckks_mul_relin_rescale
 
     n = 8192
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
     parms = EncryptionParameters(SchemeType.CKKS)
     parms.set_poly_modulus_degree(n)
     parms.set_coeff_modulus(CoeffModulus.create(n, [50, 40, 40, 50]))
@@ -60,21 +66,36 @@ def main():
     scale = 2.0 ** 40
     vals = [1.001] * encoder.slot_count
     ct = enc.encrypt(encoder.encode(vals, scale))
-    rk_data = jnp.stack([pk.data.data for pk in rk.key(2)])
+    rk_data = np.stack([np.asarray(pk.data.data) for pk in rk.key(2)])
 
-    a = jnp.broadcast_to(ct.data, (batch,) + ct.data.shape)
-    b = a
+    a = np.broadcast_to(np.asarray(ct.data), (batch,) + ct.data.shape)
 
-    step = jax.jit(build_ckks_mul_relin_rescale(ctx))
-    out = step(a, b, rk_data)
-    out.block_until_ready()  # compile + warm
+    inner = build_ckks_mul_relin_rescale(ctx)
+    # checksum-returning step: the uint64 full-sum depends on every output
+    # element; the salt makes each enqueued call distinct.
+    step = jax.jit(
+        lambda a, b, k, salt: jnp.sum(inner(a, b, k), dtype=jnp.uint64) + salt
+    )
+    dev_a = jax.device_put(a)
+    dev_rk = jax.device_put(rk_data)
+    int(step(dev_a, dev_a, dev_rk, np.uint64(0)))  # compile + warm + sync
 
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    # calibrate iteration count to ~3s of steady-state work
+    iters = int(os.environ.get("BENCH_ITERS", "0"))
+    if not iters:
+        t0 = time.perf_counter()
+        for i in range(5):
+            x = step(dev_a, dev_a, dev_rk, np.uint64(i))
+        int(x)
+        per = (time.perf_counter() - t0) / 5
+        iters = max(10, min(2000, int(3.0 / max(per, 1e-6))))
+
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(a, b, rk_data)
-    out.block_until_ready()
+    for i in range(iters):
+        x = step(dev_a, dev_a, dev_rk, np.uint64(i))
+    checksum = int(x)  # single fetch drains the in-order stream
     dt = time.perf_counter() - t0
+    assert checksum != 0
 
     ops_per_s = batch * iters / dt
     print(
