@@ -1,0 +1,190 @@
+"""Jitted device pipelines must be bit-exact against the eager host
+evaluator (the numpy plane) — the same op functions trace to jax under jit
+via ops.backend dispatch, so any divergence is a backend-semantics bug.
+
+No analogue in the reference (its only execution mode is eager C++);
+closest is the evaluator round-trip suite (tests/seal/evaluator.cpp).
+"""
+
+import numpy as np
+import pytest
+
+from gemini_seal_tpu import (
+    CKKSEncoder,
+    BatchEncoder,
+    CoeffModulus,
+    Decryptor,
+    EncryptionParameters,
+    Encryptor,
+    Evaluator,
+    KeyGenerator,
+    PlainModulus,
+    SchemeType,
+    SecLevelType,
+    SealContext,
+)
+from gemini_seal_tpu.models.pipelines import (
+    build_bfv_mul_relin,
+    build_ckks_mul_relin_rescale,
+    build_ckks_rotate,
+    build_ckks_train_step,
+)
+
+SEED = tuple(range(11, 19))
+
+
+def ckks_setup(n=256, bits=(40, 30, 40)):
+    parms = EncryptionParameters(SchemeType.CKKS)
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.create(n, list(bits)))
+    parms.set_random_seed(SEED)
+    ctx = SealContext(parms, sec_level=SecLevelType.none)
+    kg = KeyGenerator(ctx)
+    return ctx, kg
+
+
+def test_ckks_mul_relin_rescale_matches_host():
+    import jax
+
+    ctx, kg = ckks_setup()
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    ev = Evaluator(ctx)
+    rk = kg.relin_keys()
+    scale = 2.0 ** 30
+
+    ct_a = enc.encrypt(encoder.encode([0.5, -1.0, 2.0], scale))
+    ct_b = enc.encrypt(encoder.encode([1.5, 0.25, -0.5], scale))
+
+    host = ev.rescale_to_next(ev.relinearize(ev.multiply(ct_a, ct_b), rk))
+
+    rk_data = np.stack([np.asarray(pk.data.data) for pk in rk.key(2)])
+    step = jax.jit(build_ckks_mul_relin_rescale(ctx))
+    dev = np.asarray(step(np.asarray(ct_a.data), np.asarray(ct_b.data), rk_data))
+
+    np.testing.assert_array_equal(dev, np.asarray(host.data))
+
+
+def test_ckks_mul_relin_rescale_batched():
+    import jax
+
+    ctx, kg = ckks_setup()
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    ev = Evaluator(ctx)
+    rk = kg.relin_keys()
+    scale = 2.0 ** 30
+
+    cts = [
+        enc.encrypt(encoder.encode([float(i) / 4, -float(i)], scale))
+        for i in range(3)
+    ]
+    hosts = [
+        ev.rescale_to_next(ev.relinearize(ev.multiply(ct, ct), rk)) for ct in cts
+    ]
+
+    rk_data = np.stack([np.asarray(pk.data.data) for pk in rk.key(2)])
+    batch = np.stack([np.asarray(ct.data) for ct in cts])
+    step = jax.jit(build_ckks_mul_relin_rescale(ctx))
+    dev = np.asarray(step(batch, batch, rk_data))
+
+    for i, host in enumerate(hosts):
+        np.testing.assert_array_equal(dev[i], np.asarray(host.data))
+
+
+def test_ckks_rotate_matches_host():
+    import jax
+
+    ctx, kg = ckks_setup()
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    ev = Evaluator(ctx)
+    tool = ctx.first_context_data().galois_tool
+    elt = tool.get_elt_from_step(1)
+    gk = kg.galois_keys([elt])
+    scale = 2.0 ** 30
+
+    ct = enc.encrypt(encoder.encode([0.5, -1.0, 2.0, 3.5], scale))
+    host = ev.rotate_vector(ct, 1, gk)
+
+    gk_data = np.stack([np.asarray(pk.data.data) for pk in gk.key(elt)])
+    step = jax.jit(build_ckks_rotate(ctx, 1))
+    dev = np.asarray(step(np.asarray(ct.data), gk_data))
+
+    np.testing.assert_array_equal(dev, np.asarray(host.data))
+
+
+def test_bfv_mul_relin_matches_host():
+    import jax
+
+    n = 64
+    parms = EncryptionParameters(SchemeType.BFV)
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.create(n, [40, 40, 40]))
+    parms.set_plain_modulus(PlainModulus.batching(n, 20))
+    parms.set_random_seed(SEED)
+    ctx = SealContext(parms, sec_level=SecLevelType.none)
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    be = BatchEncoder(ctx)
+    ev = Evaluator(ctx)
+    rk = kg.relin_keys()
+
+    ct_a = enc.encrypt(be.encode(list(range(n))))
+    ct_b = enc.encrypt(be.encode([3] * n))
+    host = ev.relinearize(ev.multiply(ct_a, ct_b), rk)
+
+    rk_data = np.stack([np.asarray(pk.data.data) for pk in rk.key(2)])
+    step = jax.jit(build_bfv_mul_relin(ctx))
+    dev = np.asarray(step(np.asarray(ct_a.data), np.asarray(ct_b.data), rk_data))
+
+    np.testing.assert_array_equal(dev, np.asarray(host.data))
+
+    # and it decrypts to the product
+    dec = Decryptor(ctx, kg.secret_key)
+    from gemini_seal_tpu.ciphertext import Ciphertext
+
+    out = be.decode(
+        dec.decrypt(Ciphertext(dev, host.parms_id, False, host.scale))
+    )
+    assert out[:n] == [3 * i for i in range(n)]
+
+
+def test_ckks_train_step_decrypts():
+    import jax
+
+    ctx, kg = ckks_setup()
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    dec = Decryptor(ctx, kg.secret_key)
+    tool = ctx.first_context_data().galois_tool
+    elt = tool.get_elt_from_step(1)
+    rk = kg.relin_keys()
+    gk = kg.galois_keys([elt])
+    scale = 2.0 ** 30
+
+    vals = [0.5, -1.25, 2.0, 0.0]
+    ct = enc.encrypt(encoder.encode(vals, scale))
+    rk_data = np.stack([np.asarray(pk.data.data) for pk in rk.key(2)])
+    gk_data = np.stack([np.asarray(pk.data.data) for pk in gk.key(elt)])
+
+    step = jax.jit(build_ckks_train_step(ctx, rotate_steps=1))
+    out = np.asarray(step(np.asarray(ct.data), np.asarray(ct.data), rk_data, gk_data))
+
+    from gemini_seal_tpu.ciphertext import Ciphertext
+
+    next_id = ctx.first_context_data().next_context_data.parms_id
+    # step computes sq + rot(sq): expected slot i = v_i^2 + v_{i+1}^2
+    # (slots beyond the encoded values are zero, so no wraparound terms)
+    sq = [v * v for v in vals]
+    expect = [sq[i] + (sq[i + 1] if i + 1 < len(vals) else 0.0)
+              for i in range(len(vals))]
+    # the true post-rescale scale comes from the host evaluator
+    ev = Evaluator(ctx)
+    prod = ev.rescale_to_next(ev.relinearize(ev.multiply(
+        enc.encrypt(encoder.encode(vals, scale)),
+        enc.encrypt(encoder.encode(vals, scale))), rk))
+    ct2 = Ciphertext(out, next_id, True, prod.scale)
+    got = encoder.decode(dec.decrypt(ct2))
+    for g, e in zip(got[: len(vals)], expect):
+        assert abs(g - e) < 1e-3, (got[: len(vals)], expect)
