@@ -75,12 +75,25 @@ def _dot_mod_128(a, b, obase: LimbConstants):
     renormalize and Barrett-reduce.  This is the vectorized equivalent of
     the reference's FMAU128 lazy accumulator + barrett_reduce_128.
     """
-    m_ = xp(a)
-    hi, lo = modops.mul64_wide(a[..., None, :, :], b[:, :, None])
-    d0 = m_.sum(lo & _MASK32, axis=-2, dtype=m_.uint64)
-    d1 = m_.sum(lo >> _U32, axis=-2, dtype=m_.uint64)
-    d2 = m_.sum(hi & _MASK32, axis=-2, dtype=m_.uint64)
-    d3 = m_.sum(hi >> _U32, axis=-2, dtype=m_.uint64)
+    # Unrolled contraction over the (small) input-base axis: accumulating
+    # digit planes per input limb keeps live intermediates at [..., O, N]
+    # instead of materializing the full [..., O, I, N] broadcast product
+    # (at N=8192 that is tens of MB of HBM traffic per call).
+    I = a.shape[-2]
+    d0 = d1 = d2 = d3 = None
+    for i in range(I):
+        hi, lo = modops.mul64_wide(a[..., None, i, :], b[:, i, None])
+        t0 = lo & _MASK32
+        t1 = lo >> _U32
+        t2 = hi & _MASK32
+        t3 = hi >> _U32
+        if d0 is None:
+            d0, d1, d2, d3 = t0, t1, t2, t3
+        else:
+            d0 = d0 + t0
+            d1 = d1 + t1
+            d2 = d2 + t2
+            d3 = d3 + t3
     carry = d0 >> _U32
     s1 = d1 + carry
     carry = s1 >> _U32
