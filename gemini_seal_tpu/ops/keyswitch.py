@@ -116,6 +116,34 @@ class KeySwitchPlan:
                     mat[dst, a] = punc % ext_moduli[dst]
             self.bundles.append((rns0, rns1, inv.reshape(-1, 1), mat))
 
+        # Stacked (bundle-batched) mod-up constants: one gather + one batched
+        # modular matmul + one batched NTT cover every bundle at once.  The
+        # last bundle may be short (n_ct % n_sp != 0); its padding columns use
+        # inv = 0 so they contribute nothing, with clamped gather indices.
+        s_max = max(r1 - r0 for r0, r1, _, _ in self.bundles)
+        self.bundle_sel = np.zeros((self.n_bundles, s_max), dtype=np.int64)
+        self.bundle_inv = np.zeros((self.n_bundles, s_max, 1), dtype=np.uint64)
+        self.bundle_mat = np.zeros(
+            (self.n_bundles, self.n_ext, s_max), dtype=np.uint64
+        )
+        self.bundle_diag = np.zeros((self.n_bundles, self.n_ext, 1), dtype=bool)
+        for b, (rns0, rns1, inv, mat) in enumerate(self.bundles):
+            s = rns1 - rns0
+            self.bundle_sel[b, :s] = np.arange(rns0, rns1)
+            self.bundle_inv[b, :s] = inv
+            self.bundle_mat[b, :, :s] = mat
+            self.bundle_diag[b, rns0:rns1, 0] = True
+        # per-(bundle, slot) modulus constants for the pre-multiply
+        self.bundle_p = self.ct_limbs.p[self.bundle_sel.ravel()].reshape(
+            self.n_bundles, s_max, 1
+        )
+        self.bundle_r0 = self.ct_limbs.ratio0[self.bundle_sel.ravel()].reshape(
+            self.n_bundles, s_max, 1
+        )
+        self.bundle_r1 = self.ct_limbs.ratio1[self.bundle_sel.ravel()].reshape(
+            self.n_bundles, s_max, 1
+        )
+
         # Special-prime rescale constants (:186-234, 291-299).
         sp0 = self.n_ct_all_rns
         sp_moduli = [key_modulus[sp0 + j] for j in range(n_sp)]
@@ -151,23 +179,6 @@ class KeySwitchPlan:
             invP[i] = r
         self.neg_hat_pj_qi = neg_hat                   # [n_ct, n_sp]
         self.inv_P_qi = invP.reshape(-1, 1)
-
-
-def _modup_bundle(power_target, plan: KeySwitchPlan, b: int):
-    """CRT-lift bundle b's limbs onto all extended limbs (power basis).
-
-    power_target: [n_ct, N] power-basis target.  Returns [n_ext, N]; the
-    diagonal rows contain the lifted value too (ignored by the caller).
-    Mirrors modup_rns / modup_to_single_rns
-    (multi_special_primes.cpp:80-185) as one modular matmul.
-    """
-    rns0, rns1, inv, mat = plan.bundles[b]
-    x = power_target[..., rns0:rns1, :]
-    S_p = plan.ct_limbs.p[rns0:rns1]
-    S_r0 = plan.ct_limbs.ratio0[rns0:rns1]
-    S_r1 = plan.ct_limbs.ratio1[rns0:rns1]
-    temp = modops.mul_mod(x, inv, S_p, S_r0, S_r1)
-    return _dot_mod_128(temp, mat, plan.ext_limbs)
 
 
 def rescale_special(ext_poly_ntt, plan: KeySwitchPlan, is_ntt_output: bool):
@@ -222,23 +233,55 @@ def switch_key(target, key_vector_data, plan: KeySwitchPlan, is_ntt_form: bool):
     pad_width = [(0, 0)] * len(batch) + [(0, n_ext - n_ct), (0, 0)]
     ntt_target_ext = m_.pad(ntt_target, pad_width)
 
+    # Bundle-batched mod-up: gather every bundle's limb set, pre-multiply by
+    # the punctured-product inverses, CRT-contract, and run ONE batched NTT
+    # over [..., n_bundles, n_ext, N] (instead of a Python loop of per-bundle
+    # NTTs — same math as modup_rns, multi_special_primes.cpp:151-185).
+    nb, s_max = plan.bundle_sel.shape
+    x_sel = m_.take(power_target, plan.bundle_sel.ravel(), axis=-2)
+    x_sel = x_sel.reshape(batch + (nb, s_max, N))
+    temp = modops.mul_mod(
+        x_sel, plan.bundle_inv, plan.bundle_p, plan.bundle_r0, plan.bundle_r1
+    )
+    l0 = l1 = l2 = l3 = None
+    for i in range(s_max):
+        hi, lo = modops.mul64_wide(
+            temp[..., :, None, i, :], plan.bundle_mat[:, :, i, None]
+        )
+        if l0 is None:
+            l0, l1, l2, l3 = (lo & _MASK32), (lo >> _U32), (hi & _MASK32), (hi >> _U32)
+        else:
+            l0 = l0 + (lo & _MASK32)
+            l1 = l1 + (lo >> _U32)
+            l2 = l2 + (hi & _MASK32)
+            l3 = l3 + (hi >> _U32)
+    carry = l0 >> _U32
+    s1 = l1 + carry
+    carry = s1 >> _U32
+    s2 = l2 + carry
+    carry = s2 >> _U32
+    s3 = l3 + carry
+    lifted = modops.barrett_reduce_128(
+        (s2 & _MASK32) | (s3 << _U32),
+        (l0 & _MASK32) | (s1 << _U32),
+        plan.ext_limbs.p, plan.ext_limbs.ratio0, plan.ext_limbs.ratio1,
+    )  # [..., nb, n_ext, N]
+    lifted_ntt = ntt_forward(lifted, plan.ext_tables)
+    # diagonal limbs use the original NTT-domain target (exact, no lift)
+    ct_k = m_.where(
+        plan.bundle_diag, ntt_target_ext[..., None, :, :], lifted_ntt
+    )
+
+    # key rows for the extended limbs: [nb, 2, n_ext, N]
+    key_ext = key_vector_data[:, :, plan.ext_key_indices, :]
     # digit accumulators for the 128-bit inner product, per component
     d = [
         [m_.zeros(batch + (n_ext, N), dtype=m_.uint64) for _ in range(4)]
         for _ in range(2)
     ]
-    for b in range(plan.n_bundles):
-        rns0, rns1, _, _ = plan.bundles[b]
-        lifted = _modup_bundle(power_target, plan, b)          # [..., n_ext, N]
-        lifted_ntt = ntt_forward(lifted, plan.ext_tables)
-        # diagonal limbs use the original NTT-domain target (exact, no lift)
-        row = np.arange(n_ext)[:, None]
-        diag = (row >= rns0) & (row < rns1)
-        ct_k = m_.where(diag, ntt_target_ext, lifted_ntt)
-        # key rows for the extended limbs
-        key_b = key_vector_data[b][:, plan.ext_key_indices, :]  # [2, n_ext, N]
+    for b in range(nb):
         for l in range(2):
-            hi, lo = modops.mul64_wide(ct_k, key_b[l])
+            hi, lo = modops.mul64_wide(ct_k[..., b, :, :], key_ext[b, l])
             d[l][0] = d[l][0] + (lo & _MASK32)
             d[l][1] = d[l][1] + (lo >> _U32)
             d[l][2] = d[l][2] + (hi & _MASK32)
