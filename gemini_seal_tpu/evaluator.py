@@ -34,7 +34,8 @@ from .ops.dyadic import (
     negate_poly,
     sub_poly,
 )
-from .ops.keyswitch import KeySwitchPlan, switch_key
+from .ops.keyswitch import (KeySwitchPlan, compute_modup_digits,
+                            keyswitch_inner_product, switch_key)
 from .ops.ntt import ntt_forward, ntt_inverse
 from .ops.rnsops import (
     divide_and_round_q_last,
@@ -466,6 +467,76 @@ class Evaluator:
             raise ValueError("unsupported scheme")
         n = self._cd(encrypted).parms.poly_modulus_degree
         return self.apply_galois(encrypted, 2 * n - 1, galois_keys)
+
+    # Hoisted multi-rotation (no analogue in the reference; standard
+    # hoisting optimization: the mod-up digit decomposition of c1 is computed
+    # ONCE and reused for every Galois element — the automorphism commutes
+    # with the per-coefficient CRT lift up to Q_bundle multiples, which the
+    # key-switch absorbs as bounded extra noise).
+    def apply_galois_many(
+        self,
+        encrypted: Ciphertext,
+        galois_elts: Sequence[int],
+        galois_keys: GaloisKeys,
+    ) -> List[Ciphertext]:
+        if galois_keys.parms_id != self.context.key_parms_id:
+            raise ValueError("galois_keys is not valid for encryption parameters")
+        cd = self._cd(encrypted)
+        if encrypted.size > 2:
+            raise ValueError("encrypted size must be 2")
+        tool = cd.galois_tool
+        limbs = cd.limb_constants
+        for elt in galois_elts:
+            if not galois_keys.has_key(elt):
+                raise ValueError("Galois key not present")
+        plan = self._ks_plan(encrypted.parms_id)
+        is_ntt = encrypted.is_ntt_form
+        c0, c1 = encrypted.data[0], encrypted.data[1]
+        ct_k = compute_modup_digits(c1, plan, is_ntt)   # hoisted (once)
+
+        outs = []
+        for elt in galois_elts:
+            ct_k_rot = tool.apply_galois_ntt(ct_k, elt)
+            key_vec = galois_keys.key(elt)
+            kdata = np.stack([np.asarray(pk.data.data) for pk in key_vec])
+            d0, d1 = keyswitch_inner_product(ct_k_rot, kdata, plan, is_ntt)
+            if is_ntt:
+                p0 = tool.apply_galois_ntt(c0, elt)
+            else:
+                p0 = tool.apply_galois(c0, elt, limbs)
+            new_c0 = add_poly(p0, d0, limbs)
+            data = xp(new_c0, d1).stack([new_c0, d1])
+            outs.append(
+                Ciphertext(data, encrypted.parms_id, is_ntt, encrypted.scale)
+            )
+        return outs
+
+    def rotate_vector_many(
+        self,
+        encrypted: Ciphertext,
+        steps: Sequence[int],
+        galois_keys: GaloisKeys,
+    ) -> List[Ciphertext]:
+        """k CKKS rotations for one mod-up (hoisting): ~(modup + NTT) saved
+        per extra rotation; every step must have a direct key."""
+        if self._scheme() != SchemeType.CKKS:
+            raise ValueError("unsupported scheme")
+        tool = self._cd(encrypted).galois_tool
+        elts = tool.get_elts_from_steps(list(steps))
+        return self.apply_galois_many(encrypted, elts, galois_keys)
+
+    def rotate_rows_many(
+        self,
+        encrypted: Ciphertext,
+        steps: Sequence[int],
+        galois_keys: GaloisKeys,
+    ) -> List[Ciphertext]:
+        """k BFV row rotations for one mod-up (hoisting)."""
+        if self._scheme() != SchemeType.BFV:
+            raise ValueError("unsupported scheme")
+        tool = self._cd(encrypted).galois_tool
+        elts = tool.get_elts_from_steps(list(steps))
+        return self.apply_galois_many(encrypted, elts, galois_keys)
 
     # ------------------------------------------------------------------
     # modulus switching / rescaling

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from ..context import SealContext
 from ..ops import modops
 from ..ops.dyadic import add_poly, dyadic_product, multiply_poly_scalar
-from ..ops.keyswitch import KeySwitchPlan, switch_key
+from ..ops.keyswitch import (KeySwitchPlan, compute_modup_digits,
+                             keyswitch_inner_product, switch_key)
 from ..ops.ntt import ntt_forward, ntt_inverse
 from ..ops.rnsops import (
     divide_and_round_q_last_ntt,
@@ -35,6 +36,7 @@ from ..ops.rnsops import (
 __all__ = [
     "build_ckks_mul_relin_rescale",
     "build_ckks_rotate",
+    "build_ckks_rotate_many",
     "build_bfv_mul_relin",
     "build_ckks_train_step",
 ]
@@ -167,5 +169,37 @@ def build_ckks_train_step(context: SealContext, rotate_steps: int = 1) -> Callab
         prod = mul_step(a, b, relin_key)
         rot = rot_step(prod, galois_key)
         return add_poly(prod, rot, limbs)
+
+    return step
+
+
+def build_ckks_rotate_many(context: SealContext, steps, parms_id=None) -> Callable:
+    """fn(ct, galois_keys_stack) -> [n_steps, ..., 2, L, N] rotated batch.
+
+    Hoisted rotations: one mod-up digit decomposition feeds every step's
+    key-switch inner product (no reference analogue; the rotation-heavy
+    inner loop of encrypted matrix-vector / convolution workloads).
+    galois_keys_stack: u64[n_steps, n_bundles, 2, L_key, N] — key(elt_i) for
+    each step, in order.
+    """
+    if parms_id is None:
+        parms_id = context.first_parms_id
+    cd = context.get_context_data(parms_id)
+    limbs = cd.limb_constants
+    tool = cd.galois_tool
+    elts = tool.get_elts_from_steps(list(steps))
+    plan = KeySwitchPlan(context, parms_id)
+
+    def step(ct, keys_stack):
+        c0 = ct[..., 0, :, :]
+        c1 = ct[..., 1, :, :]
+        ct_k = compute_modup_digits(c1, plan, True)        # hoisted
+        outs = []
+        for i, elt in enumerate(elts):
+            ct_k_rot = tool.apply_galois_ntt(ct_k, elt)
+            d0, d1 = keyswitch_inner_product(ct_k_rot, keys_stack[i], plan, True)
+            p0 = tool.apply_galois_ntt(c0, elt)
+            outs.append(jnp.stack([add_poly(p0, d0, limbs), d1], axis=-3))
+        return jnp.stack(outs)
 
     return step

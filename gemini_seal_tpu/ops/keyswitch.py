@@ -36,7 +36,8 @@ from .rnsops import _dot_mod_128, _slice_tables
 _MASK32 = np.uint64(0xFFFFFFFF)
 _U32 = np.uint64(32)
 
-__all__ = ["KeySwitchPlan", "switch_key"]
+__all__ = ["KeySwitchPlan", "switch_key", "compute_modup_digits",
+           "keyswitch_inner_product"]
 
 
 def _gather_tables(t: NTTTables, idx) -> NTTTables:
@@ -212,31 +213,28 @@ def rescale_special(ext_poly_ntt, plan: KeySwitchPlan, is_ntt_output: bool):
     return modops.mul_mod(acc, plan.inv_P_qi, q.p, q.ratio0, q.ratio1)
 
 
-def switch_key(target, key_vector_data, plan: KeySwitchPlan, is_ntt_form: bool):
-    """Core hybrid key switch (evaluator.cpp:2259-2368).
+def compute_modup_digits(target, plan: KeySwitchPlan, is_ntt_form: bool):
+    """Bundle-batched mod-up digit decomposition: [..., n_ct, N] target ->
+    [..., n_bundles, n_ext, N] NTT-domain digit polynomials (ct_k).
 
-    target: [..., n_ct, N] in the ciphertext domain (NTT iff is_ntt_form);
-    leading batch axes broadcast.
-    key_vector_data: [n_bundles, 2, L_key, N] stacked key ciphertexts
-    (NTT form at the key level).
-    Returns (delta0, delta1): [..., n_ct, N] contributions in the
-    ciphertext domain, to be added onto c0/c1.
+    Gathers every bundle's limb set, pre-multiplies by the punctured-product
+    inverses, CRT-contracts, and runs ONE batched NTT (same math as
+    modup_rns, multi_special_primes.cpp:151-185).  Diagonal limbs use the
+    original NTT-domain target (exact, no lift).
+
+    This is the expensive half of a key switch; rotation hoisting reuses it
+    across many Galois elements (see hoisted_galois_keyswitch).
     """
     n_ct, n_ext = plan.n_ct_rns, plan.n_ext
     N = target.shape[-1]
     batch = target.shape[:-2]
-    ext = plan.ext_limbs
-
     m_ = xp(target)
+
     power_target = ntt_inverse(target, plan.ct_tables) if is_ntt_form else target
     ntt_target = target if is_ntt_form else ntt_forward(target, plan.ct_tables)
     pad_width = [(0, 0)] * len(batch) + [(0, n_ext - n_ct), (0, 0)]
     ntt_target_ext = m_.pad(ntt_target, pad_width)
 
-    # Bundle-batched mod-up: gather every bundle's limb set, pre-multiply by
-    # the punctured-product inverses, CRT-contract, and run ONE batched NTT
-    # over [..., n_bundles, n_ext, N] (instead of a Python loop of per-bundle
-    # NTTs — same math as modup_rns, multi_special_primes.cpp:151-185).
     nb, s_max = plan.bundle_sel.shape
     x_sel = m_.take(power_target, plan.bundle_sel.ravel(), axis=-2)
     x_sel = x_sel.reshape(batch + (nb, s_max, N))
@@ -267,14 +265,26 @@ def switch_key(target, key_vector_data, plan: KeySwitchPlan, is_ntt_form: bool):
         plan.ext_limbs.p, plan.ext_limbs.ratio0, plan.ext_limbs.ratio1,
     )  # [..., nb, n_ext, N]
     lifted_ntt = ntt_forward(lifted, plan.ext_tables)
-    # diagonal limbs use the original NTT-domain target (exact, no lift)
-    ct_k = m_.where(
-        plan.bundle_diag, ntt_target_ext[..., None, :, :], lifted_ntt
-    )
+    return m_.where(plan.bundle_diag, ntt_target_ext[..., None, :, :], lifted_ntt)
 
-    # key rows for the extended limbs: [nb, 2, n_ext, N]
+
+def keyswitch_inner_product(ct_k, key_vector_data, plan: KeySwitchPlan,
+                            is_ntt_output: bool):
+    """128-bit-exact inner product of mod-up digits with a key-switch key,
+    then special-prime rescale (evaluator.cpp:2313-2361).
+
+    ct_k: [..., n_bundles, n_ext, N] NTT-domain digits;
+    key_vector_data: [n_bundles, 2, L_key, N].
+    Returns (delta0, delta1): [..., n_ct, N].
+    """
+    n_ext = plan.n_ext
+    N = ct_k.shape[-1]
+    batch = ct_k.shape[:-3]
+    ext = plan.ext_limbs
+    nb = plan.bundle_sel.shape[0]
+    m_ = xp(ct_k)
+
     key_ext = key_vector_data[:, :, plan.ext_key_indices, :]
-    # digit accumulators for the 128-bit inner product, per component
     d = [
         [m_.zeros(batch + (n_ext, N), dtype=m_.uint64) for _ in range(4)]
         for _ in range(2)
@@ -299,5 +309,19 @@ def switch_key(target, key_vector_data, plan: KeySwitchPlan, is_ntt_form: bool):
         lo128 = (d0 & _MASK32) | (s1 << _U32)
         hi128 = (s2 & _MASK32) | (s3 << _U32)
         acc = modops.barrett_reduce_128(hi128, lo128, ext.p, ext.ratio0, ext.ratio1)
-        out.append(rescale_special(acc, plan, is_ntt_output=is_ntt_form))
+        out.append(rescale_special(acc, plan, is_ntt_output=is_ntt_output))
     return out[0], out[1]
+
+
+def switch_key(target, key_vector_data, plan: KeySwitchPlan, is_ntt_form: bool):
+    """Core hybrid key switch (evaluator.cpp:2259-2368).
+
+    target: [..., n_ct, N] in the ciphertext domain (NTT iff is_ntt_form);
+    leading batch axes broadcast.
+    key_vector_data: [n_bundles, 2, L_key, N] stacked key ciphertexts
+    (NTT form at the key level).
+    Returns (delta0, delta1): [..., n_ct, N] contributions in the
+    ciphertext domain, to be added onto c0/c1.
+    """
+    ct_k = compute_modup_digits(target, plan, is_ntt_form)
+    return keyswitch_inner_product(ct_k, key_vector_data, plan, is_ntt_form)

@@ -188,3 +188,69 @@ def test_ckks_train_step_decrypts():
     got = encoder.decode(dec.decrypt(ct2))
     for g, e in zip(got[: len(vals)], expect):
         assert abs(g - e) < 1e-3, (got[: len(vals)], expect)
+
+
+def test_hoisted_rotate_many():
+    """Hoisted multi-rotation decrypts to the same plaintext as individual
+    rotations (values differ only in absorbed lift noise)."""
+    import jax
+
+    ctx, kg = ckks_setup()
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    dec = Decryptor(ctx, kg.secret_key)
+    ev = Evaluator(ctx)
+    tool = ctx.first_context_data().galois_tool
+    steps = [1, 2, 5]
+    elts = tool.get_elts_from_steps(steps)
+    gk = kg.galois_keys(elts)
+    scale = 2.0 ** 30
+
+    vals = [0.5, -1.25, 2.0, 3.5, -0.75, 1.0, 0.25, -2.0]
+    ct = enc.encrypt(encoder.encode(vals, scale))
+
+    # host evaluator API
+    outs = ev.rotate_vector_many(ct, steps, gk)
+    for s, out in zip(steps, outs):
+        want = encoder.decode(dec.decrypt(ev.rotate_vector(ct, s, gk)))
+        got = encoder.decode(dec.decrypt(out))
+        for g, w in zip(got[: len(vals)], want[: len(vals)]):
+            assert abs(g - w) < 1e-4, (s, got[:4], want[:4])
+
+    # jitted pipeline
+    from gemini_seal_tpu.models.pipelines import build_ckks_rotate_many
+
+    keys_stack = np.stack([
+        np.stack([np.asarray(pk.data.data) for pk in gk.key(elt)])
+        for elt in elts
+    ])
+    step = jax.jit(build_ckks_rotate_many(ctx, steps))
+    dev = np.asarray(step(np.asarray(ct.data), keys_stack))
+    for i, host_out in enumerate(outs):
+        np.testing.assert_array_equal(dev[i], np.asarray(host_out.data))
+
+
+def test_hoisted_rotate_rows_bfv():
+    n = 64
+    parms = EncryptionParameters(SchemeType.BFV)
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.create(n, [40, 40, 40]))
+    parms.set_plain_modulus(PlainModulus.batching(n, 20))
+    parms.set_random_seed(SEED)
+    ctx = SealContext(parms, sec_level=SecLevelType.none)
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    be = BatchEncoder(ctx)
+    ev = Evaluator(ctx)
+    dec = Decryptor(ctx, kg.secret_key)
+    tool = ctx.first_context_data().galois_tool
+    steps = [1, 3, -2]
+    gk = kg.galois_keys(tool.get_elts_from_steps(steps))
+
+    vals = list(range(n))
+    ct = enc.encrypt(be.encode(vals))
+    outs = ev.rotate_rows_many(ct, steps, gk)
+    for s, out in zip(steps, outs):
+        want = be.decode(dec.decrypt(ev.rotate_rows(ct, s, gk)))
+        got = be.decode(dec.decrypt(out))
+        assert got == want, s
