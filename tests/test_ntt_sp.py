@@ -1,0 +1,68 @@
+"""Coefficient-sharded NTT (sequence parallelism) is bit-exact vs the local
+kernel on the virtual CPU mesh (no reference analogue — SURVEY §2.4 NTT-SP)."""
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gemini_seal_tpu.ops.ntt import build_ntt_tables, ntt_forward, ntt_inverse
+from gemini_seal_tpu.parallel.ntt_sp import ntt_forward_sharded, ntt_inverse_sharded
+from gemini_seal_tpu.utils.numth import get_primes
+
+RNG = np.random.default_rng(7)
+
+
+def make_mesh(c):
+    devs = jax.devices()[:c]
+    return Mesh(np.asarray(devs), axis_names=("coeff",))
+
+
+@pytest.mark.parametrize("c", [2, 4, 8])
+@pytest.mark.parametrize("log_n", [5, 8])
+def test_forward_sharded_bit_exact(c, log_n):
+    if len(jax.devices()) < c:
+        pytest.skip("not enough devices")
+    n = 1 << log_n
+    primes = get_primes(2 * n, 50, 3)
+    tables = build_ntt_tables(log_n, primes)
+    x = np.stack([RNG.integers(0, int(p), size=(2, n), dtype=np.uint64)
+                  for p in primes], axis=1)  # [2, L, n]
+    want = np.asarray(ntt_forward(x, tables))
+    mesh = make_mesh(c)
+    sh = NamedSharding(mesh, P(None, None, "coeff"))
+    got = np.asarray(ntt_forward_sharded(jax.device_put(x, sh), tables, mesh))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("c", [2, 4, 8])
+@pytest.mark.parametrize("log_n", [5, 8])
+def test_inverse_sharded_bit_exact(c, log_n):
+    if len(jax.devices()) < c:
+        pytest.skip("not enough devices")
+    n = 1 << log_n
+    primes = get_primes(2 * n, 50, 2)
+    tables = build_ntt_tables(log_n, primes)
+    x = np.stack([RNG.integers(0, int(p), size=(n,), dtype=np.uint64)
+                  for p in primes])  # [L, n]
+    want = np.asarray(ntt_inverse(x, tables))
+    mesh = make_mesh(c)
+    sh = NamedSharding(mesh, P(None, "coeff"))
+    got = np.asarray(ntt_inverse_sharded(jax.device_put(x, sh), tables, mesh))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_roundtrip_sharded():
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    n = 256
+    primes = get_primes(2 * n, 40, 2)
+    tables = build_ntt_tables(8, primes)
+    x = np.stack([RNG.integers(0, int(p), size=(n,), dtype=np.uint64)
+                  for p in primes])
+    mesh = make_mesh(4)
+    sh = NamedSharding(mesh, P(None, "coeff"))
+    fwd = ntt_forward_sharded(jax.device_put(x, sh), tables, mesh)
+    back = np.asarray(ntt_inverse_sharded(fwd, tables, mesh))
+    np.testing.assert_array_equal(back, x)
