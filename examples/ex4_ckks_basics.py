@@ -20,17 +20,19 @@ from gemini_seal_tpu import (
     KeyGenerator,
     SchemeType,
     SealContext,
+    SecLevelType,
 )
 
 
 def main():
     parms = EncryptionParameters(SchemeType.CKKS)
     n = 8192
-    # mirror 4_ckks_basics.cpp:74 (fork): several special primes
-    parms.set_coeff_modulus(CoeffModulus.create(n, [45, 30, 30, 30, 45, 45, 45]))
+    # mirror the fork's 4_ckks_basics.cpp:72-75: three special primes,
+    # Create(8192, {55, 40, 40, 50, 50, 50}), sec_level_type::none
     parms.set_poly_modulus_degree(n)
     parms.set_n_special_primes(3)
-    ctx = SealContext(parms)
+    parms.set_coeff_modulus(CoeffModulus.create(n, [55, 40, 40, 50, 50, 50]))
+    ctx = SealContext(parms, sec_level=SecLevelType.none)
     print_parameters(ctx)
     print(f"first level L = {len(ctx.first_context_data().parms.coeff_modulus)}")
 
@@ -41,7 +43,7 @@ def main():
     encoder = CKKSEncoder(ctx)
     rk = keygen.relin_keys()
 
-    scale = 2.0 ** 30
+    scale = 2.0 ** 40  # reference: 4_ckks_basics.cpp scale = pow(2.0, 40)
     xs = [i / encoder.slot_count for i in range(encoder.slot_count)]
     x = enc.encrypt(encoder.encode(xs, scale))
 

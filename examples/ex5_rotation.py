@@ -18,6 +18,7 @@ from gemini_seal_tpu import (
     PlainModulus,
     SchemeType,
     SealContext,
+    SecLevelType,
 )
 
 
@@ -59,10 +60,13 @@ def bfv_rotation_demo():
 def ckks_rotation_demo():
     print("--- CKKS rotation ---")
     parms = EncryptionParameters(SchemeType.CKKS)
-    n = 4096
+    # mirror the fork's 5_rotation.cpp:133-136: n_special_primes(1),
+    # Create(8192, {40, 40, 40, 40, 50, 50})
+    n = 8192
     parms.set_poly_modulus_degree(n)
-    parms.set_coeff_modulus(CoeffModulus.create(n, [40, 30, 30]))
-    ctx = SealContext(parms)
+    parms.set_n_special_primes(1)
+    parms.set_coeff_modulus(CoeffModulus.create(n, [40, 40, 40, 40, 50, 50]))
+    ctx = SealContext(parms, sec_level=SecLevelType.none)
     keygen = KeyGenerator(ctx)
     enc = Encryptor(ctx, public_key=keygen.public_key())
     dec = Decryptor(ctx, keygen.secret_key)

@@ -36,8 +36,8 @@ def timeit(fn, count):
     t0 = time.perf_counter()
     for _ in range(count):
         out = fn()
-    if hasattr(out, "data"):
-        out.data.block_until_ready()
+    if hasattr(out, "data") and hasattr(out.data, "block_until_ready"):
+        out.data.block_until_ready()  # device plane; host plane is eager numpy
     dt = (time.perf_counter() - t0) / count
     return dt * 1e6
 
@@ -54,8 +54,9 @@ def bfv_performance(n, count):
     keygen = KeyGenerator(ctx)
     pk = keygen.public_key()
     print(f"keygen (sk+pk): {(time.perf_counter()-t0)*1e6:.0f} us")
-    rk = keygen.relin_keys()
-    gk = keygen.galois_keys()
+    use_ks = ctx.using_keyswitching
+    rk = keygen.relin_keys() if use_ks else None
+    gk = keygen.galois_keys() if use_ks else None
     enc = Encryptor(ctx, public_key=pk, secret_key=keygen.secret_key)
     dec = Decryptor(ctx, keygen.secret_key)
     ev = Evaluator(ctx)
@@ -75,12 +76,17 @@ def bfv_performance(n, count):
         "multiply": timeit(lambda: ev.multiply(ct1, ct2), count),
         "multiply_plain": timeit(lambda: ev.multiply_plain(ct1, plain), count),
         "square": timeit(lambda: ev.square(ct1), count),
-        "relinearize": timeit(
-            lambda: ev.relinearize(ev.multiply(ct1, ct2), rk), count
-        ),
-        "rotate_rows_one_step": timeit(lambda: ev.rotate_rows(ct1, 1, gk), count),
-        "rotate_columns": timeit(lambda: ev.rotate_columns(ct1, gk), count),
     }
+    if use_ks:
+        results.update({
+            "relinearize": timeit(
+                lambda: ev.relinearize(ev.multiply(ct1, ct2), rk), count
+            ),
+            "rotate_rows_one_step": timeit(
+                lambda: ev.rotate_rows(ct1, 1, gk), count
+            ),
+            "rotate_columns": timeit(lambda: ev.rotate_columns(ct1, gk), count),
+        })
     for op, us in results.items():
         print(f"  {op:24s}: {us:10.0f} us")
 
@@ -89,14 +95,15 @@ def ckks_performance(n, count):
     parms = EncryptionParameters(SchemeType.CKKS)
     parms.set_poly_modulus_degree(n)
     bits = CoeffModulus.max_bit_count(n) // 2
-    sizes = {4096: [36, 36, 37], 8192: [43, 43, 44, 44, 44], 16384: [48, 48, 48, 49, 49, 49, 49, 49, 49]}
+    sizes = {1024: [27], 2048: [54], 4096: [36, 36, 37], 8192: [43, 43, 44, 44, 44], 16384: [48, 48, 48, 49, 49, 49, 49, 49, 49]}
     parms.set_coeff_modulus(CoeffModulus.create(n, sizes.get(n, [40, 40, 40])))
     ctx = SealContext(parms)
     print_parameters(ctx)
 
     keygen = KeyGenerator(ctx)
-    rk = keygen.relin_keys()
-    gk = keygen.galois_keys()
+    use_ks = ctx.using_keyswitching
+    rk = keygen.relin_keys() if use_ks else None
+    gk = keygen.galois_keys() if use_ks else None
     enc = Encryptor(ctx, public_key=keygen.public_key())
     dec = Decryptor(ctx, keygen.secret_key)
     ev = Evaluator(ctx)
@@ -117,16 +124,29 @@ def ckks_performance(n, count):
         "multiply": timeit(lambda: ev.multiply(ct1, ct2), count),
         "multiply_plain": timeit(lambda: ev.multiply_plain(ct1, plain), count),
         "square": timeit(lambda: ev.square(ct1), count),
-        "relinearize": timeit(
-            lambda: ev.relinearize(ev.multiply(ct1, ct2), rk), count
-        ),
-        "rescale_to_next": timeit(
-            lambda: ev.rescale_to_next(ev.relinearize(ev.multiply(ct1, ct2), rk)),
-            count,
-        ),
-        "rotate_vector_one_step": timeit(lambda: ev.rotate_vector(ct1, 1, gk), count),
-        "complex_conjugate": timeit(lambda: ev.complex_conjugate(ct1, gk), count),
     }
+    if len(ctx.first_context_data().parms.coeff_modulus) > 1:
+        results["rescale_to_next_raw"] = timeit(
+            lambda: ev.rescale_to_next(ev.multiply(ct1, ct2)), count
+        )
+    if use_ks:
+        results.update({
+            "relinearize": timeit(
+                lambda: ev.relinearize(ev.multiply(ct1, ct2), rk), count
+            ),
+            "rescale_to_next": timeit(
+                lambda: ev.rescale_to_next(
+                    ev.relinearize(ev.multiply(ct1, ct2), rk)
+                ),
+                count,
+            ),
+            "rotate_vector_one_step": timeit(
+                lambda: ev.rotate_vector(ct1, 1, gk), count
+            ),
+            "complex_conjugate": timeit(
+                lambda: ev.complex_conjugate(ct1, gk), count
+            ),
+        })
     for op, us in results.items():
         print(f"  {op:24s}: {us:10.0f} us")
 

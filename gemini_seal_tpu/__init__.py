@@ -39,6 +39,7 @@ from .encryptor import Encryptor  # noqa: E402
 from .decryptor import Decryptor  # noqa: E402
 from .evaluator import Evaluator  # noqa: E402
 from .encoders import BatchEncoder, CKKSEncoder, IntegerEncoder  # noqa: E402
+from .biguint import BigUInt  # noqa: E402
 
 __version__ = "0.1.0"
 
@@ -64,4 +65,5 @@ __all__ = [
     "BatchEncoder",
     "CKKSEncoder",
     "IntegerEncoder",
+    "BigUInt",
 ]

@@ -19,8 +19,7 @@ def make_mesh(c):
     return Mesh(np.asarray(devs), axis_names=("coeff",))
 
 
-@pytest.mark.parametrize("c", [2, 4, 8])
-@pytest.mark.parametrize("log_n", [5, 8])
+@pytest.mark.parametrize("c,log_n", [(2, 5), (4, 8), (8, 5)])
 def test_forward_sharded_bit_exact(c, log_n):
     if len(jax.devices()) < c:
         pytest.skip("not enough devices")
@@ -36,8 +35,7 @@ def test_forward_sharded_bit_exact(c, log_n):
     np.testing.assert_array_equal(got, want)
 
 
-@pytest.mark.parametrize("c", [2, 4, 8])
-@pytest.mark.parametrize("log_n", [5, 8])
+@pytest.mark.parametrize("c,log_n", [(2, 5), (4, 8), (8, 5)])
 def test_inverse_sharded_bit_exact(c, log_n):
     if len(jax.devices()) < c:
         pytest.skip("not enough devices")
