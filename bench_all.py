@@ -1,0 +1,235 @@
+"""Full benchmark suite: the five BASELINE.md configs + NTT throughput.
+
+bench.py (the driver's single-line benchmark) measures config 4's hot op;
+this suite covers every BASELINE config end-to-end on the current backend
+(run plain for the real TPU).  One JSON line per metric, same honest
+checksum-fetch synchronization as bench.py.
+
+Usage: python bench_all.py [--batch 16] [--iters 0 (auto)] [--small]
+`--small` shrinks N for a quick CPU smoke run.
+"""
+
+import argparse
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+
+def _sync_time(step, args, batch, iters):
+    """Enqueue `iters` checksummed steps, fetch the last checksum."""
+    import numpy as np
+
+    x = step(np.uint64(0), *args)
+    int(x)  # warm + sync
+    if not iters:
+        t0 = time.perf_counter()
+        for i in range(3):
+            x = step(np.uint64(i), *args)
+        int(x)
+        per = (time.perf_counter() - t0) / 3
+        iters = max(5, min(500, int(2.0 / max(per, 1e-6))))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        x = step(np.uint64(i), *args)
+    int(x)
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def emit(metric, value, unit):
+    print(json.dumps({"metric": metric, "value": round(value, 2), "unit": unit}),
+          flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=0)
+    ap.add_argument("--small", action="store_true")
+    cfg = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gemini_seal_tpu import (
+        BatchEncoder, CKKSEncoder, CoeffModulus, Decryptor,
+        EncryptionParameters, Encryptor, KeyGenerator, PlainModulus,
+        SchemeType, SecLevelType, SealContext,
+    )
+    from gemini_seal_tpu.models.pipelines import (
+        build_bfv_mul_relin, build_ckks_mul_relin_rescale,
+        build_ckks_poly_eval, build_ckks_rotate,
+    )
+    from gemini_seal_tpu.ops.ntt import ntt_forward
+
+    B = cfg.batch
+    small = cfg.small
+
+    def checksum_jit(fn):
+        return jax.jit(
+            lambda salt, *a: jnp.sum(fn(*a), dtype=jnp.uint64) + salt
+        )
+
+    # ---- config 1: BFV encrypt/add/multiply/decrypt, N=4096 -------------
+    n = 1024 if small else 4096
+    parms = EncryptionParameters(SchemeType.BFV)
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.bfv_default(n) if not small
+                            else CoeffModulus.create(n, [30, 30, 30]))
+    parms.set_plain_modulus(PlainModulus.batching(n, 20))
+    parms.set_random_seed(tuple(range(8)))
+    ctx = SealContext(parms, sec_level=SecLevelType.none if small else SecLevelType.tc128)
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    be = BatchEncoder(ctx)
+    ct = enc.encrypt(be.encode(list(range(n))))
+    a = np.broadcast_to(np.asarray(ct.data), (B,) + ct.data.shape)
+    rk = kg.relin_keys()
+    rk_data = np.stack([np.asarray(pk.data.data) for pk in rk.key(2)])
+    step = checksum_jit(build_bfv_mul_relin(ctx))
+    da, dk = jax.device_put(a), jax.device_put(rk_data)
+    ops = _sync_time(lambda s, x, k: step(s, x, x, k), (da, dk), B, cfg.iters)
+    emit(f"bfv_mul_relin_n{n}_ops_per_s", ops, "ciphertext_ops/s")
+
+    # ---- config 2: BFV rotate_rows, N=8192 ------------------------------
+    n = 1024 if small else 8192
+    parms = EncryptionParameters(SchemeType.BFV)
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.bfv_default(n) if not small
+                            else CoeffModulus.create(n, [30, 30, 30]))
+    parms.set_plain_modulus(PlainModulus.batching(n, 20))
+    parms.set_random_seed(tuple(range(8)))
+    ctx = SealContext(parms, sec_level=SecLevelType.none if small else SecLevelType.tc128)
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    be = BatchEncoder(ctx)
+    tool = ctx.first_context_data().galois_tool
+    elt = tool.get_elt_from_step(1)
+    gk = kg.galois_keys([elt])
+    ct = enc.encrypt(be.encode(list(range(n))))
+    # rotate via the generic keyswitch pipeline on power-basis data
+    from gemini_seal_tpu.ops.keyswitch import KeySwitchPlan, switch_key
+    from gemini_seal_tpu.ops.dyadic import add_poly
+    plan = KeySwitchPlan(ctx, ctx.first_parms_id)
+    limbs = ctx.first_context_data().limb_constants
+    gk_data = np.stack([np.asarray(pk.data.data) for pk in gk.key(elt)])
+
+    def bfv_rotate(x, k):
+        c0 = tool.apply_galois(x[..., 0, :, :], elt, limbs)
+        c1 = tool.apply_galois(x[..., 1, :, :], elt, limbs)
+        d0, d1 = switch_key(c1, k, plan, False)
+        return jnp.stack([add_poly(c0, d0, limbs), d1], axis=-3)
+
+    step = checksum_jit(bfv_rotate)
+    a = np.broadcast_to(np.asarray(ct.data), (B,) + ct.data.shape)
+    da, dk = jax.device_put(a), jax.device_put(gk_data)
+    ops = _sync_time(lambda s, x, k: step(s, x, k), (da, dk), B, cfg.iters)
+    emit(f"bfv_rotate_rows_n{n}_ops_per_s", ops, "ciphertext_ops/s")
+
+    # ---- config 3: multiply+relin+mod_switch down the chain -------------
+    n = 1024 if small else 8192
+    bits = [30, 30, 30] if small else [50, 40, 40, 40, 50]
+    parms = EncryptionParameters(SchemeType.BFV)
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.create(n, bits))
+    parms.set_plain_modulus(PlainModulus.batching(n, 20))
+    parms.set_random_seed(tuple(range(8)))
+    ctx = SealContext(parms, sec_level=SecLevelType.none)
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    be = BatchEncoder(ctx)
+    rk = kg.relin_keys()
+    rk_data = np.stack([np.asarray(pk.data.data) for pk in rk.key(2)])
+    ct = enc.encrypt(be.encode([3] * n))
+    mul = build_bfv_mul_relin(ctx)
+    L_first = len(ctx.first_context_data().parms.coeff_modulus)
+
+    def chain(x, k):
+        y = mul(x, x, k)
+        # mod_switch_to_next down the chain: BFV drop with rounding
+        from gemini_seal_tpu.ops.rnsops import divide_and_round_q_last
+        cd = ctx.first_context_data()
+        while cd.next_context_data is not None:
+            y = divide_and_round_q_last(y, cd.device_rns_tool)
+            cd = cd.next_context_data
+        return y
+
+    step = checksum_jit(chain)
+    a = np.broadcast_to(np.asarray(ct.data), (B,) + ct.data.shape)
+    da, dk = jax.device_put(a), jax.device_put(rk_data)
+    ops = _sync_time(lambda s, x, k: step(s, x, k), (da, dk), B, cfg.iters)
+    emit(f"bfv_mul_relin_chain_n{n}_ops_per_s", ops, "ciphertext_ops/s")
+
+    # ---- config 4: CKKS mult+relin+rescale, N=16384 ----------------------
+    n = 1024 if small else 16384
+    bits = [40, 30, 40] if small else [50, 40, 40, 40, 40, 50]
+    parms = EncryptionParameters(SchemeType.CKKS)
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.create(n, bits))
+    parms.set_random_seed(tuple(range(8)))
+    ctx = SealContext(parms, sec_level=SecLevelType.none)
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    rk = kg.relin_keys()
+    rk_data = np.stack([np.asarray(pk.data.data) for pk in rk.key(2)])
+    ct = enc.encrypt(encoder.encode([1.001] * encoder.slot_count, 2.0 ** 40))
+    step = checksum_jit(build_ckks_mul_relin_rescale(ctx))
+    a = np.broadcast_to(np.asarray(ct.data), (B,) + ct.data.shape)
+    da, dk = jax.device_put(a), jax.device_put(rk_data)
+    ops = _sync_time(lambda s, x, k: step(s, x, x, k), (da, dk), B, cfg.iters)
+    emit(f"ckks_mul_relin_rescale_n{n}_ops_per_s", ops, "ciphertext_ops/s")
+
+    # NTT/s per chip at the same config
+    tables = ctx.first_context_data().ntt_tables
+    L = len(ctx.first_context_data().parms.coeff_modulus)
+    nttstep = checksum_jit(lambda x: ntt_forward(x, tables))
+    x = np.asarray(ct.data)[None].repeat(B, 0)
+    dx = jax.device_put(x)
+    per = _sync_time(lambda s, x: nttstep(s, x), (dx,), B * 2 * L, cfg.iters)
+    emit(f"ntt_n{n}_per_s", per, "poly_limb_ntts/s")
+
+    # ---- config 5: deep CKKS poly eval + rotations, N=32768 -------------
+    n = 1024 if small else 32768
+    bits = [59, 30, 30, 30, 59] if small else [59, 40, 40, 40, 40, 40, 40, 59]
+    scale = 2.0 ** 30 if small else 2.0 ** 40
+    parms = EncryptionParameters(SchemeType.CKKS)
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.create(n, bits))
+    parms.set_random_seed(tuple(range(8)))
+    ctx = SealContext(parms, sec_level=SecLevelType.none)
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    tool = ctx.first_context_data().galois_tool
+    rk = kg.relin_keys()
+    elts = [tool.get_elt_from_step(1), tool.get_elt_from_step(2)]
+    gk = kg.galois_keys(elts)
+    coeffs = [1.0, -0.5, 0.25, 0.125, 0.0625]
+    stepfn, deep_id, out_scale = build_ckks_poly_eval(
+        ctx, coeffs, scale, encoder, rotate_sum_log2=2,
+        coeff_precision_bits=25,
+    )
+    ct = enc.encrypt(encoder.encode([0.5] * encoder.slot_count, scale))
+    rk_data = np.stack([np.asarray(pk.data.data) for pk in rk.key(2)])
+    gk_stack = np.stack([
+        np.stack([np.asarray(pk.data.data) for pk in gk.key(e)]) for e in elts
+    ])
+    deep_batch = max(B // 4, 1)
+    a = np.broadcast_to(np.asarray(ct.data), (deep_batch,) + ct.data.shape)
+    step = checksum_jit(stepfn)
+    da = jax.device_put(a)
+    dk = jax.device_put(rk_data)
+    dg = jax.device_put(gk_stack)
+    ops = _sync_time(lambda s, x, k, g: step(s, x, k, g), (da, dk, dg),
+                     deep_batch, cfg.iters)
+    emit(f"ckks_deep_poly4_rot_n{n}_ops_per_s", ops, "ciphertext_ops/s")
+
+
+if __name__ == "__main__":
+    main()

@@ -37,6 +37,7 @@ __all__ = [
     "build_ckks_mul_relin_rescale",
     "build_ckks_rotate",
     "build_ckks_rotate_many",
+    "build_ckks_poly_eval",
     "build_bfv_mul_relin",
     "build_ckks_train_step",
 ]
@@ -203,3 +204,85 @@ def build_ckks_rotate_many(context: SealContext, steps, parms_id=None) -> Callab
         return jnp.stack(outs)
 
     return step
+
+
+def build_ckks_poly_eval(context: SealContext, coeffs, scale: float,
+                         encoder, rotate_sum_log2: int = 0,
+                         coeff_precision_bits: int = 30):
+    """Deep encrypted polynomial evaluation (BASELINE config 5).
+
+    Computes p(x) = sum_k coeffs[k] * x^k over len(coeffs)-2 multiplicative
+    levels: a sequential power chain (each step multiply + relinearize +
+    rescale), then the plaintext linear combination at the deepest level
+    with per-term scale alignment, optionally followed by a log-tree of
+    rotations summing 2^rotate_sum_log2 adjacent slots.
+
+    Returns (step, out_parms_id, out_scale):
+    step(x_data, relin_key, galois_keys_stack) -> u64[..., 2, L_deep, N].
+    x_data: fresh ciphertext of x at `scale`; galois_keys_stack:
+    u64[rotate_sum_log2, n_bundles, 2, L_key, N] (pass a zero-size array
+    when rotate_sum_log2 == 0).
+    """
+    import numpy as np
+
+    degree = len(coeffs) - 1
+    if degree < 2:
+        raise ValueError("need a polynomial of degree >= 2")
+    n_levels = degree - 1              # multiplies in the power chain
+    ids = [context.first_parms_id]
+    while len(ids) < n_levels + 1:
+        nxt = context.get_context_data(ids[-1]).next_context_data
+        if nxt is None:
+            raise ValueError("modulus chain too short for this degree")
+        ids.append(nxt.parms_id)
+    deep_id = ids[n_levels]
+    deep_cd = context.get_context_data(deep_id)
+    deep_limbs = deep_cd.limb_constants
+    L_deep = len(deep_cd.parms.coeff_modulus)
+
+    muls = [build_ckks_mul_relin_rescale(context, ids[k]) for k in range(n_levels)]
+
+    # scale of x^k after the chain + mod-switch-down to the deepest level
+    power_scales = [None, float(scale)]
+    for k in range(n_levels):
+        q_last = context.get_context_data(ids[k]).parms.coeff_modulus[-1].value
+        power_scales.append(power_scales[-1] * scale / q_last)
+
+    # plaintext multipliers aligned to one common output scale
+    target_scale = float(scale) * (2.0 ** coeff_precision_bits)
+    plains = []
+    for k in range(1, degree + 1):
+        pl = encoder.encode(coeffs[k], target_scale / power_scales[k], deep_id)
+        plains.append(np.asarray(pl.data))
+    const_plain = np.asarray(encoder.encode(coeffs[0], target_scale, deep_id).data)
+
+    rot_plan = KeySwitchPlan(context, deep_id) if rotate_sum_log2 else None
+
+    def step(x, relin_key, galois_keys_stack):
+        # power chain: powers[k] = x^(k+1) data at level k (scale chain above)
+        powers = [x]
+        for k in range(n_levels):
+            L_k = len(context.get_context_data(ids[k]).parms.coeff_modulus)
+            xk = x[..., :L_k, :]                       # mod-switch-drop of x
+            powers.append(muls[k](powers[-1], xk, relin_key))
+        # linear combination at the deepest level
+        acc_c0 = const_plain
+        acc = None
+        for k in range(1, degree + 1):
+            pk = powers[k - 1][..., :L_deep, :]        # mod-switch-drop
+            term = dyadic_product(pk, plains[k - 1], deep_limbs)
+            acc = term if acc is None else add_poly(acc, term, deep_limbs)
+        c0 = add_poly(acc[..., 0, :, :], acc_c0, deep_limbs)
+        r = jnp.concatenate([c0[..., None, :, :], acc[..., 1:, :, :]], axis=-3)
+        if rotate_sum_log2:
+            tool = deep_cd.galois_tool
+            for i in range(rotate_sum_log2):
+                elt = tool.get_elt_from_step(1 << i)
+                rc0 = tool.apply_galois_ntt(r[..., 0, :, :], elt)
+                rc1 = tool.apply_galois_ntt(r[..., 1, :, :], elt)
+                d0, d1 = switch_key(rc1, galois_keys_stack[i], rot_plan, True)
+                rot = jnp.stack([add_poly(rc0, d0, deep_limbs), d1], axis=-3)
+                r = add_poly(r, rot, deep_limbs)
+        return r
+
+    return step, deep_id, target_scale

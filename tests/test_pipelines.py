@@ -254,3 +254,53 @@ def test_hoisted_rotate_rows_bfv():
         want = be.decode(dec.decrypt(ev.rotate_rows(ct, s, gk)))
         got = be.decode(dec.decrypt(out))
         assert got == want, s
+
+
+def test_deep_poly_eval():
+    """Config-5-style deep pipeline: degree-4 polynomial, 3 levels of
+    mult+relin+rescale, plaintext linear combination, one rotation-sum."""
+    import jax
+    from gemini_seal_tpu.models.pipelines import build_ckks_poly_eval
+
+    parms = EncryptionParameters(SchemeType.CKKS)
+    n = 512
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.create(n, [59, 30, 30, 30, 59]))
+    parms.set_random_seed(SEED)
+    ctx = SealContext(parms, sec_level=SecLevelType.none)
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    dec = Decryptor(ctx, kg.secret_key)
+    tool = ctx.first_context_data().galois_tool
+    rk = kg.relin_keys()
+    elts = [tool.get_elt_from_step(1)]
+    gk = kg.galois_keys(elts)
+
+    coeffs = [1.0, -0.5, 0.25, 0.125, 0.0625]  # degree 4
+    scale = 2.0 ** 30  # stabilized against the 30-bit chain primes
+    step, deep_id, out_scale = build_ckks_poly_eval(
+        ctx, coeffs, scale, encoder, rotate_sum_log2=1,
+        coeff_precision_bits=25,
+    )
+
+    vals = [0.5, -0.8, 0.3, 1.1]
+    ct = enc.encrypt(encoder.encode(vals, scale))
+    rk_data = np.stack([np.asarray(pk.data.data) for pk in rk.key(2)])
+    gk_stack = np.stack([
+        np.stack([np.asarray(pk.data.data) for pk in gk.key(e)]) for e in elts
+    ])
+
+    out = np.asarray(jax.jit(step)(np.asarray(ct.data), rk_data, gk_stack))
+
+    from gemini_seal_tpu.ciphertext import Ciphertext
+
+    got = encoder.decode(dec.decrypt(Ciphertext(out, deep_id, True, out_scale)))
+
+    def p(x):
+        return sum(c * x ** k for k, c in enumerate(coeffs))
+
+    padded = vals + [0.0]
+    expect = [p(padded[i]) + p(padded[i + 1]) for i in range(len(vals))]
+    for g, e in zip(got[: len(vals)], expect):
+        assert abs(g - e) < 1e-3, (got[: len(vals)], expect)
