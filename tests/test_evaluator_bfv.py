@@ -192,3 +192,91 @@ def test_multiply_many_exponentiate(setup):
     ct = enc.encrypt(Plaintext.from_hex("2"))
     p4 = ev.exponentiate(ct, 4, rk)
     assert plain_coeffs(dec.decrypt(p4), 64)[0] == 16
+
+
+# ---------------------------------------------------------------------------
+# Multiple coeff-modulus regimes (reference runs each test under several
+# modulus sets, e.g. {40}, {40,40}, {59,59,59}) and the remaining op surface.
+# ---------------------------------------------------------------------------
+
+def make_regime(bits, t=257, n=64):
+    parms = EncryptionParameters(SchemeType.BFV)
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.create(n, list(bits)))
+    parms.set_plain_modulus(t)
+    parms.set_random_seed(SEED)
+    ctx = SealContext(parms, sec_level=SecLevelType.none)
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    dec = Decryptor(ctx, kg.secret_key)
+    return ctx, kg, enc, dec, Evaluator(ctx)
+
+
+@pytest.mark.parametrize("bits", [[40, 40], [59, 59, 59], [30, 30, 30, 30]])
+def test_multiply_regimes(bits):
+    ctx, kg, enc, dec, ev = make_regime(bits)
+    a = Plaintext.from_hex("3x^3 + 2x^1 + 1")
+    b = Plaintext.from_hex("5x^2 + 4")
+    ct = ev.multiply(enc.encrypt(a), enc.encrypt(b))
+    got = plain_coeffs(dec.decrypt(ct), 64)
+    want = poly_mul_mod_t(plain_coeffs(a, 64), plain_coeffs(b, 64), 64, T)
+    assert got == want
+
+
+def test_transform_to_from_ntt_roundtrip():
+    ctx, kg, enc, dec, ev = make_regime([40, 40])
+    pt = Plaintext.from_hex("7x^5 + 3x^2 + 2")
+    ct = enc.encrypt(pt)
+    ntt = ev.transform_to_ntt(ct)
+    assert ntt.is_ntt_form
+    back = ev.transform_from_ntt(ntt)
+    assert not back.is_ntt_form
+    np.testing.assert_array_equal(np.asarray(back.data), np.asarray(ct.data))
+    assert plain_coeffs(dec.decrypt(back), 64) == plain_coeffs(pt, 64)
+
+
+def test_multiply_plain_in_ntt_domain():
+    ctx, kg, enc, dec, ev = make_regime([40, 40])
+    pt = Plaintext.from_hex("2x^2 + 3")
+    mult = Plaintext.from_hex("4x^1 + 1")
+    ct = ev.transform_to_ntt(enc.encrypt(pt))
+    pm = ev.transform_plain_to_ntt(mult, ct.parms_id)
+    prod = ev.transform_from_ntt(ev.multiply_plain(ct, pm))
+    got = plain_coeffs(dec.decrypt(prod), 64)
+    want = poly_mul_mod_t(plain_coeffs(pt, 64), plain_coeffs(mult, 64), 64, T)
+    assert got == want
+
+
+def test_mod_switch_plain_to_next():
+    ctx, kg, enc, dec, ev = make_regime([40, 40, 40])
+    pt = Plaintext.from_hex("6x^4 + 5")
+    ct = enc.encrypt(pt)
+    ct2 = ev.mod_switch_to_next(ct)
+    ct3 = ev.mod_switch_to(ct, ctx.last_parms_id)
+    assert plain_coeffs(dec.decrypt(ct2), 64) == plain_coeffs(pt, 64)
+    assert plain_coeffs(dec.decrypt(ct3), 64) == plain_coeffs(pt, 64)
+
+
+def test_exponentiate_regime():
+    ctx, kg, enc, dec, ev = make_regime([59, 59, 59])
+    pt = Plaintext.from_hex("2")
+    rk = kg.relin_keys()
+    ct = ev.exponentiate(enc.encrypt(pt), 4, rk)
+    got = plain_coeffs(dec.decrypt(ct), 64)
+    assert got[0] == 16 and not any(got[1:])
+
+
+def test_sub_different_sizes():
+    ctx, kg, enc, dec, ev = make_regime([59, 59, 59])
+    a = enc.encrypt(Plaintext.from_hex("5x^1 + 3"))
+    b = enc.encrypt(Plaintext.from_hex("2x^1 + 1"))
+    big = ev.multiply(a, a)          # size 3
+    out = ev.sub(big, b)
+    want = poly_mul_mod_t(plain_coeffs(Plaintext.from_hex("5x^1 + 3"), 64),
+                          plain_coeffs(Plaintext.from_hex("5x^1 + 3"), 64), 64, T)
+    want[0] = (want[0] - 1) % T
+    want[1] = (want[1] - 2) % T
+    assert plain_coeffs(dec.decrypt(out), 64) == want
+    out2 = ev.sub(b, big)            # smaller minus larger
+    neg = [(T - v) % T for v in want]
+    assert plain_coeffs(dec.decrypt(out2), 64) == neg
