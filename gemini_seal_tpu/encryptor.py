@@ -59,8 +59,31 @@ class Encryptor:
     def encrypt_zero_symmetric(self, parms_id=None) -> Ciphertext:
         return self.encrypt_zero(parms_id, is_asymmetric=False)
 
+    # -- seeded (Serializable<Ciphertext>) variants -----------------------
+    def encrypt_symmetric_serializable(self, plain: Plaintext):
+        """Seed-compressed symmetric encryption: the returned wrapper
+        serializes at half size (c0 + the c1 seed — reference:
+        Encryptor::encrypt_symmetric returning Serializable<Ciphertext>,
+        seed flow rlwe.cpp:295-301)."""
+        from .serialization import SerializableCiphertext
+        from .utils.prng import random_seed
+
+        seed = random_seed()
+        ct = self._encrypt_internal(plain, is_asymmetric=False, c1_seed=seed)
+        return SerializableCiphertext(ct, seed)
+
+    def encrypt_zero_symmetric_serializable(self, parms_id=None):
+        from .serialization import SerializableCiphertext
+        from .utils.prng import random_seed
+
+        if parms_id is None:
+            parms_id = self.context.first_parms_id
+        seed = random_seed()
+        ct = self._encrypt_zero_internal(parms_id, False, c1_seed=seed)
+        return SerializableCiphertext(ct, seed)
+
     # -- internals --------------------------------------------------------
-    def _encrypt_zero_internal(self, parms_id, is_asymmetric: bool) -> Ciphertext:
+    def _encrypt_zero_internal(self, parms_id, is_asymmetric: bool, c1_seed=None) -> Ciphertext:
         ctx = self.context
         context_data = ctx.get_context_data(parms_id)
         if context_data is None:
@@ -94,15 +117,17 @@ class Encryptor:
             return encrypt_zero_asymmetric(self.public_key, ctx, parms_id, is_ntt_form)
         if self.secret_key is None:
             raise ValueError("secret key is not set")
-        return encrypt_zero_symmetric(self.secret_key, ctx, parms_id, is_ntt_form)
+        return encrypt_zero_symmetric(
+            self.secret_key, ctx, parms_id, is_ntt_form, c1_seed=c1_seed
+        )
 
-    def _encrypt_internal(self, plain: Plaintext, is_asymmetric: bool) -> Ciphertext:
+    def _encrypt_internal(self, plain: Plaintext, is_asymmetric: bool, c1_seed=None) -> Ciphertext:
         scheme = self.context.key_context_data().parms.scheme
         if scheme == SchemeType.BFV:
             if plain.is_ntt_form:
                 raise ValueError("plain cannot be in NTT form")
             ct = self._encrypt_zero_internal(
-                self.context.first_parms_id, is_asymmetric
+                self.context.first_parms_id, is_asymmetric, c1_seed=c1_seed
             )
             # c0 += round(q/t * m) (scalingvariant.cpp:15-52)
             context_data = self.context.first_context_data()
@@ -125,7 +150,7 @@ class Encryptor:
             context_data = self.context.get_context_data(plain.parms_id)
             if context_data is None:
                 raise ValueError("plain is not valid for encryption parameters")
-            ct = self._encrypt_zero_internal(plain.parms_id, is_asymmetric)
+            ct = self._encrypt_zero_internal(plain.parms_id, is_asymmetric, c1_seed=c1_seed)
             # c0 += m in NTT domain (encryptor.cpp:227-252)
             c0 = add_poly(
                 ct.data[0], np.asarray(plain.data), context_data.limb_constants

@@ -84,12 +84,19 @@ def encrypt_zero_symmetric(
     parms_id,
     is_ntt_form: bool,
     c1_rng: Optional[Blake2xbPRNG] = None,
+    c1_seed: Optional[tuple] = None,
 ) -> Ciphertext:
     """(c0, c1) = ([-(a s + e)]_q, a) (reference: rlwe.cpp:204-302).
 
     c1 is drawn from its own PRNG (`c1_rng`), mirroring the reference's
     separate seed-publishable generator; defaults to fresh entropy (or a
     derived stream when the parameter seed is pinned, for reproducibility).
+
+    When `c1_seed` is given, the seeded dataflow is used (rlwe.cpp
+    save_seed=true): the raw uniform sample IS the stored c1 in the
+    ciphertext's own domain, so a receiver can regenerate it from the seed
+    alone — for BFV the sample is treated as power basis and forward-NTT'd
+    only to compute c0.
     """
     context_data = context.get_context_data(parms_id)
     parms = context_data.parms
@@ -101,25 +108,30 @@ def encrypt_zero_symmetric(
     limbs = context_data.limb_constants
 
     rng_error = parms_rng(parms)
-    if c1_rng is None:
+    if c1_seed is not None:
+        c1_rng = Blake2xbPRNG(tuple(int(s) for s in c1_seed))
+    elif c1_rng is None:
         if parms.random_seed is not None:
             # deterministic-but-distinct stream for reproducible tests
             c1_rng = Blake2xbPRNG(tuple((s ^ 0xA5A5A5A5A5A5A5A5) for s in parms.random_seed))
         else:
             c1_rng = BlakePRNGFactory().create()
 
-    # a (= c1) uniform, sampled directly in NTT form when applicable
+    # a (= c1) uniform, sampled directly in the ciphertext's domain
     c1 = np.asarray(sample_poly_uniform(c1_rng, coeff_modulus, n))
+    seeded_bfv = c1_seed is not None and not is_ntt_form
 
     e = np.asarray(sample_poly_normal(rng_error, moduli, n))
 
     sk = secret_key.data[:L, :]
-    c0 = dyadic_product(sk, c1, limbs)
+    a_ntt = ntt_forward(c1, tables) if seeded_bfv else c1
+    c0 = dyadic_product(sk, a_ntt, limbs)
     if is_ntt_form:
         e = ntt_forward(e, tables)
     else:
         c0 = ntt_inverse(c0, tables)
-        c1 = ntt_inverse(c1, tables)
+        if not seeded_bfv:
+            c1 = ntt_inverse(c1, tables)
     c0 = negate_poly(add_poly(e, c0, limbs), limbs)
 
     return Ciphertext(

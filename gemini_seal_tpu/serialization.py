@@ -27,6 +27,7 @@ from .modulus import Modulus
 from .params import PARMS_ID_ZERO, EncryptionParameters, SchemeType
 
 __all__ = [
+    "SerializableCiphertext",
     "COMPR_NONE",
     "COMPR_DEFLATE",
     "save",
@@ -70,6 +71,12 @@ def _unframe(data: bytes, offset: int = 0):
     if magic != SEAL_MAGIC:
         raise ValueError("loaded SEALHeader is invalid (bad magic)")
     if hsize != HEADER_SIZE:
+        if hsize == 0:
+            # legacy SEAL 3.4 header: {magic u16, zero u8, compr u8, size u32}
+            # (reference: serialization.h:309+ back-compat loader)
+            raise ValueError(
+                "legacy SEAL 3.4 header detected; re-serialize with SEAL 3.5"
+            )
         raise ValueError("loaded SEALHeader is invalid (bad header size)")
     if compr == COMPR_DEFLATE:
         payload = zlib.decompress(data[offset + HEADER_SIZE : offset + size])
@@ -284,6 +291,37 @@ def _ciphertext_from(payload: bytes, context):
     else:
         raise ValueError("ciphertext data size mismatch")
     return Ciphertext(data=data, parms_id=parms_id, is_ntt_form=bool(is_ntt), scale=scale)
+
+
+class SerializableCiphertext:
+    """Seed-compressed ciphertext wrapper (reference: serializable.h).
+
+    Saves at roughly half size: the c0 polynomial plus the 64-byte c1 seed
+    (wire format: ciphertext members with a half-size IntArray followed by
+    the raw seed — matching Ciphertext::save_members' has_seed_marker
+    branch, ciphertext.cpp:189-209).  Load through load_ciphertext with a
+    context; expansion regenerates c1 from the seed.
+    """
+
+    def __init__(self, ct: Ciphertext, seed):
+        self.ct = ct
+        self.seed = tuple(int(s) for s in seed)
+
+    def save(self, compr_mode: int = COMPR_NONE) -> bytes:
+        c = self.ct
+        arr = np.asarray(c.data)
+        if arr.shape[0] != 2:
+            raise ValueError("seeded serialization needs a size-2 ciphertext")
+        payload = bytearray()
+        payload += _u64s(np.asarray(c.parms_id, dtype=np.uint64))
+        payload += struct.pack("<B", 1 if c.is_ntt_form else 0)
+        payload += struct.pack("<Q", 2)
+        payload += struct.pack("<Q", arr.shape[2])
+        payload += struct.pack("<Q", arr.shape[1])
+        payload += struct.pack("<d", c.scale)
+        payload += _int_array_save(arr[0])
+        payload += _u64s(np.asarray(self.seed, dtype=np.uint64))
+        return _frame(bytes(payload), compr_mode)
 
 
 def load_ciphertext(data: bytes, context=None) -> Ciphertext:

@@ -176,3 +176,72 @@ class TestPRNGParity:
             [ORACLE, "seedednoise", "/tmp"], check=True, capture_output=True, text=True
         )
         assert [int(x, 16) for x in ref.stdout.split()] == [int(v) for v in mine]
+
+
+def test_seeded_symmetric_ciphertext_roundtrip():
+    """Serializable<Ciphertext> equivalent: seed-compressed symmetric
+    encryption saves at ~half size and decrypts after expansion
+    (reference: serializable.h; rlwe.cpp:295-301 seed flow)."""
+    ctx, parms = make_ctx()
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, secret_key=kg.secret_key)
+    dec = Decryptor(ctx, kg.secret_key)
+
+    pt = Plaintext.from_hex("5x^3 + 4x^1 + 3")
+    sctx = enc.encrypt_symmetric_serializable(pt)
+    blob = sctx.save()
+    full_blob = ser.save(enc.encrypt_symmetric(pt))
+    assert len(blob) < 0.6 * len(full_blob)
+
+    ct = ser.load_ciphertext(blob, ctx)
+    assert ct.size == 2
+    out = dec.decrypt(ct)
+    a = np.zeros(8, dtype=np.uint64)
+    b = np.zeros(8, dtype=np.uint64)
+    a[: np.asarray(out.data).shape[0]] = np.asarray(out.data)
+    b[: np.asarray(pt.data).shape[0]] = np.asarray(pt.data)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_seeded_ckks_symmetric_roundtrip():
+    parms = EncryptionParameters(SchemeType.CKKS)
+    parms.set_poly_modulus_degree(64)
+    parms.set_coeff_modulus(CoeffModulus.create(64, [40, 30, 40]))
+    parms.set_random_seed(SEED)
+    ctx = SealContext(parms, sec_level=SecLevelType.none)
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, secret_key=kg.secret_key)
+    dec = Decryptor(ctx, kg.secret_key)
+
+    from gemini_seal_tpu import CKKSEncoder
+
+    encoder = CKKSEncoder(ctx)
+    vals = [0.5, -1.25, 2.0]
+    sct = enc.encrypt_symmetric_serializable(encoder.encode(vals, 2.0 ** 30))
+    ct = ser.load_ciphertext(sct.save(), ctx)
+    got = encoder.decode(dec.decrypt(ct))
+    for g, w in zip(got[:3], vals):
+        assert abs(g - w) < 1e-4
+
+
+@pytest.mark.skipif(not os.path.exists(ORACLE), reason="reference oracle not built")
+def test_seeded_encrypt_here_expand_there(tmp_path):
+    """Our seed-compressed symmetric ciphertext must expand and decrypt in
+    the C++ reference: validates the seeded wire format AND that our
+    uniform sampler matches the reference's expand_seed bit-for-bit."""
+    d = tmp_path / "o"
+    d.mkdir()
+    subprocess.run([ORACLE, "gen", str(d)], check=True, capture_output=True)
+    parms = ser.load_parms((d / "parms.bin").read_bytes())
+    ctx = SealContext(parms, sec_level=SecLevelType.none)
+    sk = ser.load_secret_key((d / "sk.bin").read_bytes(), ctx)
+
+    enc = Encryptor(ctx, secret_key=sk)
+    sct = enc.encrypt_symmetric_serializable(Plaintext.from_hex("6x^4 + 5"))
+    blob_path = tmp_path / "seeded.bin"
+    blob_path.write_bytes(sct.save())
+    res = subprocess.run(
+        [ORACLE, "dec", str(d), str(blob_path)],
+        check=True, capture_output=True, text=True,
+    )
+    assert res.stdout.strip() == "6x^4 + 5"
