@@ -40,9 +40,23 @@ def _sync_time(step, args, batch, iters):
     return batch * iters / dt
 
 
+# Reference C++ single-thread baselines measured on this host (g++ -O3
+# -march=native against the compiled fork; harness /tmp/refbench2.cpp
+# pattern — see PERF.md):
+REF_OPS = {
+    "bfv_mul_relin_n4096_ops_per_s": 74.98,
+    "bfv_rotate_rows_n8192_ops_per_s": 113.22,
+    "bfv_mul_relin_chain_n8192_ops_per_s": 15.74,
+    "ckks_mul_relin_rescale_n16384_ops_per_s": 26.50,
+    "ckks_deep_poly4_rot_n32768_ops_per_s": 2.05,
+}
+
+
 def emit(metric, value, unit):
-    print(json.dumps({"metric": metric, "value": round(value, 2), "unit": unit}),
-          flush=True)
+    rec = {"metric": metric, "value": round(value, 2), "unit": unit}
+    if metric in REF_OPS:
+        rec["vs_baseline"] = round(value / REF_OPS[metric], 3)
+    print(json.dumps(rec), flush=True)
 
 
 def main():

@@ -133,6 +133,12 @@ class KeyGenerator:
         rk.parms_id = self.context.key_parms_id
         return rk
 
+    def galois_keys_from_steps(self, steps: Sequence[int]) -> GaloisKeys:
+        """Keys for a list of rotation steps (reference:
+        KeyGenerator::galois_keys(const vector<int>&))."""
+        tool = self.context.key_context_data().galois_tool
+        return self.galois_keys(tool.get_elts_from_steps(list(steps)))
+
     def galois_keys(self, galois_elts: Optional[Sequence[int]] = None) -> GaloisKeys:
         """Keys for the Galois automorphisms x -> x^elt
         (reference: keygenerator.cpp:180-245)."""
