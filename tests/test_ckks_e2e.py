@@ -160,3 +160,38 @@ def test_square_rescale_square(setup):
     sq2 = ev.rescale_to_next(ev.relinearize(ev.square(sq), rk))
     out = encoder.decode(dec.decrypt(sq2))
     assert close(out[:2], [1.1 ** 4, 0.9 ** 4], 5e-2)
+
+
+def test_encode_scalar_double(setup):
+    ctx, kg, enc, dec, ev, encoder = setup
+    pt = encoder.encode(3.14159, 2.0 ** 30)
+    got = encoder.decode(pt)
+    # scalar encodes broadcast to every slot (ckks.cpp:80-173)
+    assert all(abs(g - 3.14159) < 1e-5 for g in got[:8])
+
+
+def test_encode_int64(setup):
+    ctx, kg, enc, dec, ev, encoder = setup
+    pt = encoder.encode_int(-7)
+    got = encoder.decode(pt)
+    assert all(abs(g + 7) < 1e-6 for g in got[:8])
+
+
+def test_encode_complex_roundtrip(setup):
+    ctx, kg, enc, dec, ev, encoder = setup
+    vals = [1 + 2j, -0.5 - 0.25j, 3.0 + 0j]
+    pt = encoder.encode(vals, 2.0 ** 30)
+    got = encoder.decode(pt, as_complex=True)
+    for g, w in zip(got[:3], vals):
+        assert abs(g - w) < 1e-5
+
+
+def test_conjugate_on_complex(setup):
+    ctx, kg, enc, dec, ev, encoder = setup
+    gk = kg.galois_keys()
+    vals = [1 + 2j, -0.5 - 0.25j]
+    ct = enc.encrypt(encoder.encode(vals, 2.0 ** 30))
+    conj = ev.complex_conjugate(ct, gk)
+    got = encoder.decode(dec.decrypt(conj), as_complex=True)
+    for g, w in zip(got[:2], vals):
+        assert abs(g - w.conjugate()) < 1e-4
