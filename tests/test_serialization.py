@@ -245,3 +245,58 @@ def test_seeded_encrypt_here_expand_there(tmp_path):
         check=True, capture_output=True, text=True,
     )
     assert res.stdout.strip() == "6x^4 + 5"
+
+
+@pytest.mark.skipif(not os.path.exists(ORACLE), reason="reference oracle not built")
+def test_reference_keys_drive_our_keyswitch(tmp_path):
+    """Relin/Galois keys generated by the C++ reference drive our hybrid
+    key-switch: (a) multiply+relinearize decrypts to the squares in the
+    reference itself; (b) apply_galois with the reference's key acts as the
+    exact coefficient automorphism on the decrypted polynomial (checked at
+    the poly level — the fork's own BatchEncoder/rotation generators are
+    incoherent, see README deviation #2, so slot semantics can't be used).
+    """
+    d = tmp_path / "o"
+    d.mkdir()
+    subprocess.run([ORACLE, "genkeys", str(d)], check=True, capture_output=True)
+    parms = ser.load_parms((d / "parms.bin").read_bytes())
+    ctx = SealContext(parms, sec_level=SecLevelType.none)
+    sk = ser.load_secret_key((d / "sk.bin").read_bytes(), ctx)
+    rk = ser.load_relin_keys((d / "rk.bin").read_bytes(), ctx)
+    gk = ser.load_galois_keys((d / "gk.bin").read_bytes(), ctx)
+    ct = ser.load_ciphertext((d / "ct_batch.bin").read_bytes(), ctx)
+
+    ev = Evaluator(ctx)
+    dec = Decryptor(ctx, sk)
+
+    # (a) multiply + relinearize with THEIR keys, decrypt THERE
+    sq = ev.relinearize(ev.multiply(ct, ct), rk)
+    out_path = tmp_path / "sq.bin"
+    out_path.write_bytes(ser.save(sq))
+    res = subprocess.run(
+        [ORACLE, "decbatch", str(d), str(out_path)],
+        check=True, capture_output=True, text=True,
+    )
+    got = [int(x) for x in res.stdout.split()]
+    want = [(i % 17) ** 2 % 257 for i in range(8)]
+    assert got == want, (got, want)
+
+    # (b) apply_galois with THEIR key == coefficient automorphism mod t
+    n = 64
+    t = 257
+    tool = ctx.first_context_data().galois_tool
+    elt = tool.get_elt_from_step(1)
+    rot = ev.apply_galois(ct, elt, gk)
+    base = np.zeros(n, dtype=np.int64)
+    pdata = np.asarray(dec.decrypt(ct).data)
+    base[: pdata.shape[0]] = pdata
+    want_poly = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        raw = i * elt
+        idx = raw % n
+        sign = (raw // n) % 2
+        want_poly[idx] = (-base[i]) % t if sign else base[i]
+    got_poly = np.zeros(n, dtype=np.int64)
+    gdata = np.asarray(dec.decrypt(rot).data)
+    got_poly[: gdata.shape[0]] = gdata
+    np.testing.assert_array_equal(got_poly, want_poly)

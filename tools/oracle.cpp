@@ -105,6 +105,47 @@ int main(int argc, char **argv) {
     printf("%.6f %.6f %.6f %.6f\n", res[0], res[1], res[2], res[3]);
     return 0;
   }
+  if (cmd == "genkeys") {
+    // Emit relin + galois keys alongside the standard gen artifacts, for
+    // cross-implementation key-switching interop tests.
+    auto parms = bfv_parms();
+    auto ctx = SEALContext::Create(parms, true, sec_level_type::none);
+    KeyGenerator keygen(ctx);
+    auto pk = keygen.public_key();
+    auto sk = keygen.secret_key();
+    auto rk = keygen.relin_keys_local();
+    auto gk = keygen.galois_keys_local(vector<int>{1});
+    Encryptor enc(ctx, pk);
+    save_to(parms, dir + "/parms.bin");
+    save_to(sk, dir + "/sk.bin");
+    save_to(pk, dir + "/pk.bin");
+    save_to(rk, dir + "/rk.bin");
+    save_to(gk, dir + "/gk.bin");
+    BatchEncoder be(ctx);
+    vector<uint64_t> v(be.slot_count());
+    for (size_t i = 0; i < v.size(); i++) v[i] = i % 17;
+    Plaintext p; be.encode(v, p);
+    Ciphertext c; enc.encrypt(p, c);
+    save_to(c, dir + "/ct_batch.bin");
+    cout << "genkeys ok" << endl;
+    return 0;
+  }
+  if (cmd == "decbatch") {
+    auto parms = bfv_parms();
+    auto ctx = SEALContext::Create(parms, true, sec_level_type::none);
+    SecretKey sk;
+    { ifstream f(dir + "/sk.bin", ios::binary); sk.load(ctx, f); }
+    Decryptor dec(ctx, sk);
+    BatchEncoder be(ctx);
+    Ciphertext c;
+    { ifstream f(argv[3], ios::binary); c.load(ctx, f); }
+    Plaintext out;
+    dec.decrypt(c, out);
+    vector<uint64_t> v; be.decode(out, v);
+    for (int i = 0; i < 8; i++) printf("%llu ", (unsigned long long)v[i]);
+    printf("\n");
+    return 0;
+  }
   if (cmd == "seededsk") {
     // Generate the secret key under a pinned BlakePRNG seed and dump its
     // NTT-form limbs as hex, for bit-exact PRNG/sampler/NTT parity checks.
