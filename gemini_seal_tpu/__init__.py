@@ -40,6 +40,7 @@ from .decryptor import Decryptor  # noqa: E402
 from .evaluator import Evaluator  # noqa: E402
 from .encoders import BatchEncoder, CKKSEncoder, IntegerEncoder  # noqa: E402
 from .biguint import BigUInt  # noqa: E402
+from .models.device_evaluator import DeviceEvaluator  # noqa: E402
 
 __version__ = "0.1.0"
 
@@ -66,4 +67,5 @@ __all__ = [
     "CKKSEncoder",
     "IntegerEncoder",
     "BigUInt",
+    "DeviceEvaluator",
 ]

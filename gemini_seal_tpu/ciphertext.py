@@ -126,6 +126,12 @@ class Ciphertext:
         (reference: ciphertext.h:700-707)."""
         if self.size < CIPHERTEXT_SIZE_MIN:
             return True
+        from .ops.backend import is_device_array
+
+        if is_device_array(self.data):
+            # traced/device data: the check runs on the host plane only
+            # (the reference gates it behind SEAL_THROW_ON_TRANSPARENT_CIPHERTEXT)
+            return False
         return bool(np.all(np.asarray(self.data[1:]) == 0))
 
     @staticmethod

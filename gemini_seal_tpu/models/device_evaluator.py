@@ -1,0 +1,323 @@
+"""DeviceEvaluator: the SEAL-style op API at device speed.
+
+The eager `Evaluator` runs exact numpy on the host plane — right for
+correctness work, ~100x too slow for serving.  DeviceEvaluator mirrors its
+surface but executes every op as ONE cached jitted XLA program and keeps
+ciphertext data resident on the device between calls: the per-op dispatch
+cost is one executable launch, not a per-primitive round trip.
+
+Compiled executables are cached per (op, parms_id, operand shape) — the
+modulus-switching chain gives each level static shapes, so the cache is
+small and hit after the first call at each level (and persists across
+processes via the JAX compilation cache).
+
+Keys are uploaded once per (keys object, level) and reused.
+
+reference parity: evaluator.h op surface; no reference analogue for the
+execution model (the reference is single-threaded eager C++).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..ciphertext import Ciphertext, Plaintext
+from ..context import SealContext
+from ..evaluator import Evaluator, _same_scale
+from ..keys import GaloisKeys, RelinKeys
+from ..ops import modops
+from ..ops.dyadic import add_poly, dyadic_product, multiply_poly_scalar, negate_poly, sub_poly
+from ..ops.keyswitch import (
+    KeySwitchPlan,
+    compute_modup_digits,
+    keyswitch_inner_product,
+    switch_key,
+)
+from ..ops.ntt import ntt_forward, ntt_inverse
+from ..ops.rnsops import divide_and_round_q_last, divide_and_round_q_last_ntt
+from ..params import SchemeType
+
+__all__ = ["DeviceEvaluator"]
+
+
+class DeviceEvaluator:
+    def __init__(self, context: SealContext):
+        import jax
+
+        self._jax = jax
+        self.context = context
+        self.host = Evaluator(context)  # metadata/validation logic + fallback
+        self._jit_cache: Dict[tuple, object] = {}
+        self._plan_cache: Dict[tuple, KeySwitchPlan] = {}
+        self._key_cache: Dict[tuple, object] = {}
+
+    # -- infrastructure ----------------------------------------------------
+    def put(self, ct: Ciphertext) -> Ciphertext:
+        """Upload a ciphertext's data to the device."""
+        return Ciphertext(
+            self._jax.device_put(np.asarray(ct.data)),
+            ct.parms_id, ct.is_ntt_form, ct.scale,
+        )
+
+    def get(self, ct: Ciphertext) -> Ciphertext:
+        """Pull a ciphertext's data back to host numpy."""
+        return Ciphertext(
+            np.asarray(ct.data), ct.parms_id, ct.is_ntt_form, ct.scale
+        )
+
+    def _cd(self, ct: Ciphertext):
+        cd = self.context.get_context_data(ct.parms_id)
+        if cd is None:
+            raise ValueError("ciphertext is not valid for encryption parameters")
+        return cd
+
+    def _jit(self, key, builder):
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = self._jax.jit(builder())
+            self._jit_cache[key] = fn
+        return fn
+
+    def _plan(self, parms_id) -> KeySwitchPlan:
+        k = tuple(parms_id)
+        plan = self._plan_cache.get(k)
+        if plan is None:
+            plan = KeySwitchPlan(self.context, parms_id)
+            self._plan_cache[k] = plan
+        return plan
+
+    def _key_data(self, keys, index) -> object:
+        """Stacked [n_bundles, 2, L_key, N] key tensor, uploaded once."""
+        k = (id(keys), index)
+        data = self._key_cache.get(k)
+        if data is None:
+            vec = keys.key(index)
+            data = self._jax.device_put(
+                np.stack([np.asarray(pk.data.data) for pk in vec])
+            )
+            self._key_cache[k] = data
+        return data
+
+    # -- linear ops ---------------------------------------------------------
+    def add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        if a.size != b.size:
+            return self.put(self.host.add(self.get(a), self.get(b)))
+        cd = self._cd(a)
+        limbs = cd.limb_constants
+        fn = self._jit(("add", a.parms_id, a.size),
+                       lambda: lambda x, y: add_poly(x, y, limbs))
+        return Ciphertext(fn(a.data, b.data), a.parms_id, a.is_ntt_form, a.scale)
+
+    def sub(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        if a.size != b.size:
+            return self.put(self.host.sub(self.get(a), self.get(b)))
+        cd = self._cd(a)
+        limbs = cd.limb_constants
+        fn = self._jit(("sub", a.parms_id, a.size),
+                       lambda: lambda x, y: sub_poly(x, y, limbs))
+        return Ciphertext(fn(a.data, b.data), a.parms_id, a.is_ntt_form, a.scale)
+
+    def negate(self, a: Ciphertext) -> Ciphertext:
+        cd = self._cd(a)
+        limbs = cd.limb_constants
+        fn = self._jit(("neg", a.parms_id, a.size),
+                       lambda: lambda x: negate_poly(x, limbs))
+        return Ciphertext(fn(a.data), a.parms_id, a.is_ntt_form, a.scale)
+
+    # -- multiplication -----------------------------------------------------
+    def multiply(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        cd = self._cd(a)
+        scheme = cd.parms.scheme
+        if scheme == SchemeType.CKKS and a.size == 2 and b.size == 2:
+            limbs = cd.limb_constants
+
+            def build():
+                import jax.numpy as jnp
+
+                def fn(x, y):
+                    x0, x1 = x[..., 0, :, :], x[..., 1, :, :]
+                    y0, y1 = y[..., 0, :, :], y[..., 1, :, :]
+                    c0 = dyadic_product(x0, y0, limbs)
+                    c1 = add_poly(dyadic_product(x0, y1, limbs),
+                                  dyadic_product(x1, y0, limbs), limbs)
+                    c2 = dyadic_product(x1, y1, limbs)
+                    return jnp.stack([c0, c1, c2], axis=-3)
+
+                return fn
+
+            f = self._jit(("ckks_mul", a.parms_id), build)
+            new_scale = a.scale * b.scale
+            return Ciphertext(f(a.data, b.data), a.parms_id, True, new_scale)
+        # BFV (BEHZ) and odd sizes: run the host evaluator's exact logic
+        # traced under jit once per shape signature.
+        host = self.host
+        key = ("mul_generic", a.parms_id, a.size, b.size, a.is_ntt_form)
+
+        def build():
+            def fn(x, y):
+                ca = Ciphertext(x, a.parms_id, a.is_ntt_form, a.scale)
+                cb = Ciphertext(y, b.parms_id, b.is_ntt_form, b.scale)
+                return host.multiply(ca, cb).data
+
+            return fn
+
+        f = self._jit(key, build)
+        out = f(a.data, b.data)
+        new_scale = a.scale * b.scale if cd.parms.scheme == SchemeType.CKKS else a.scale
+        return Ciphertext(out, a.parms_id, a.is_ntt_form, new_scale)
+
+    def square(self, a: Ciphertext) -> Ciphertext:
+        return self.multiply(a, a)
+
+    # -- key switching --------------------------------------------------
+    def relinearize(self, a: Ciphertext, relin_keys: RelinKeys) -> Ciphertext:
+        if a.size != 3:
+            return self.put(self.host.relinearize(self.get(a), relin_keys))
+        plan = self._plan(a.parms_id)
+        cd = self._cd(a)
+        limbs = cd.limb_constants
+        is_ntt = a.is_ntt_form
+
+        def build():
+            import jax.numpy as jnp
+
+            def fn(x, kdata):
+                d0, d1 = switch_key(x[..., 2, :, :], kdata, plan, is_ntt)
+                c0 = add_poly(x[..., 0, :, :], d0, limbs)
+                c1 = add_poly(x[..., 1, :, :], d1, limbs)
+                return jnp.stack([c0, c1], axis=-3)
+
+            return fn
+
+        f = self._jit(("relin", a.parms_id, is_ntt), build)
+        kdata = self._key_data(relin_keys, 2)
+        return Ciphertext(f(a.data, kdata), a.parms_id, is_ntt, a.scale)
+
+    def apply_galois(self, a: Ciphertext, galois_elt: int,
+                     galois_keys: GaloisKeys) -> Ciphertext:
+        cd = self._cd(a)
+        plan = self._plan(a.parms_id)
+        tool = cd.galois_tool
+        limbs = cd.limb_constants
+        is_ntt = a.is_ntt_form
+
+        def build():
+            import jax.numpy as jnp
+
+            def fn(x, kdata):
+                if is_ntt:
+                    c0 = tool.apply_galois_ntt(x[..., 0, :, :], galois_elt)
+                    c1 = tool.apply_galois_ntt(x[..., 1, :, :], galois_elt)
+                else:
+                    c0 = tool.apply_galois(x[..., 0, :, :], galois_elt, limbs)
+                    c1 = tool.apply_galois(x[..., 1, :, :], galois_elt, limbs)
+                d0, d1 = switch_key(c1, kdata, plan, is_ntt)
+                return jnp.stack([add_poly(c0, d0, limbs), d1], axis=-3)
+
+            return fn
+
+        f = self._jit(("galois", a.parms_id, galois_elt, is_ntt), build)
+        kdata = self._key_data(galois_keys, galois_elt)
+        return Ciphertext(f(a.data, kdata), a.parms_id, is_ntt, a.scale)
+
+    def rotate_vector(self, a, steps, galois_keys):
+        tool = self._cd(a).galois_tool
+        return self.apply_galois(a, tool.get_elt_from_step(steps), galois_keys)
+
+    rotate_rows = rotate_vector
+
+    def complex_conjugate(self, a, galois_keys):
+        n = self._cd(a).parms.poly_modulus_degree
+        return self.apply_galois(a, 2 * n - 1, galois_keys)
+
+    def rotate_vector_many(self, a: Ciphertext, steps: Sequence[int],
+                           galois_keys: GaloisKeys) -> List[Ciphertext]:
+        """Hoisted: one mod-up for all rotations, one jitted program."""
+        cd = self._cd(a)
+        plan = self._plan(a.parms_id)
+        tool = cd.galois_tool
+        limbs = cd.limb_constants
+        is_ntt = a.is_ntt_form
+        elts = tuple(tool.get_elt_from_step(s) for s in steps)
+
+        def build():
+            import jax.numpy as jnp
+
+            def fn(x, kstack):
+                c0 = x[..., 0, :, :]
+                c1 = x[..., 1, :, :]
+                ct_k = compute_modup_digits(c1, plan, is_ntt)
+                outs = []
+                for i, elt in enumerate(elts):
+                    ct_k_rot = tool.apply_galois_ntt(ct_k, elt)
+                    d0, d1 = keyswitch_inner_product(ct_k_rot, kstack[i], plan, is_ntt)
+                    p0 = (tool.apply_galois_ntt(c0, elt) if is_ntt
+                          else tool.apply_galois(c0, elt, limbs))
+                    outs.append(jnp.stack([add_poly(p0, d0, limbs), d1], axis=-3))
+                return jnp.stack(outs)
+
+            return fn
+
+        f = self._jit(("rot_many", a.parms_id, elts, is_ntt), build)
+        kstack_key = (id(galois_keys), elts)
+        kstack = self._key_cache.get(kstack_key)
+        if kstack is None:
+            kstack = self._jax.device_put(np.stack([
+                np.stack([np.asarray(pk.data.data) for pk in galois_keys.key(e)])
+                for e in elts
+            ]))
+            self._key_cache[kstack_key] = kstack
+        out = f(a.data, kstack)
+        return [
+            Ciphertext(out[i], a.parms_id, is_ntt, a.scale)
+            for i in range(len(elts))
+        ]
+
+    # -- level movement ---------------------------------------------------
+    def rescale_to_next(self, a: Ciphertext) -> Ciphertext:
+        cd = self._cd(a)
+        if cd.parms.scheme != SchemeType.CKKS or not a.is_ntt_form:
+            return self.put(self.host.rescale_to_next(self.get(a)))
+        nxt = cd.next_context_data
+        if nxt is None:
+            raise ValueError("end of modulus switching chain reached")
+        tool = cd.device_rns_tool
+        tables = cd.ntt_tables
+        fn = self._jit(("rescale", a.parms_id, a.size),
+                       lambda: lambda x: divide_and_round_q_last_ntt(x, tool, tables))
+        q_last = cd.parms.coeff_modulus[-1].value
+        return Ciphertext(fn(a.data), nxt.parms_id, True, a.scale / q_last)
+
+    def mod_switch_to_next(self, a: Ciphertext) -> Ciphertext:
+        cd = self._cd(a)
+        nxt = cd.next_context_data
+        if nxt is None:
+            raise ValueError("end of modulus switching chain reached")
+        if cd.parms.scheme == SchemeType.CKKS:
+            # drop the last limb (no scaling)
+            L = len(nxt.parms.coeff_modulus)
+            fn = self._jit(("drop", a.parms_id, a.size),
+                           lambda: lambda x: x[..., :L, :])
+            return Ciphertext(fn(a.data), nxt.parms_id, a.is_ntt_form, a.scale)
+        tool = cd.device_rns_tool
+        fn = self._jit(("bfv_drop", a.parms_id, a.size),
+                       lambda: lambda x: divide_and_round_q_last(x, tool))
+        return Ciphertext(fn(a.data), nxt.parms_id, a.is_ntt_form, a.scale)
+
+    # -- plaintext ops ------------------------------------------------------
+    def add_plain(self, a: Ciphertext, plain: Plaintext) -> Ciphertext:
+        return self.put(self.host.add_plain(self.get(a), plain))
+
+    def multiply_plain(self, a: Ciphertext, plain: Plaintext) -> Ciphertext:
+        cd = self._cd(a)
+        if a.is_ntt_form and plain.is_ntt_form:
+            limbs = cd.limb_constants
+            pdata = np.asarray(plain.data)
+            fn = self._jit(("mul_plain_ntt", a.parms_id, a.size),
+                           lambda: lambda x, p: dyadic_product(x, p, limbs))
+            return Ciphertext(
+                fn(a.data, pdata), a.parms_id, True, a.scale * plain.scale
+            )
+        return self.put(self.host.multiply_plain(self.get(a), plain))
