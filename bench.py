@@ -52,7 +52,7 @@ def main():
     from gemini_seal_tpu.models.pipelines import build_ckks_mul_relin_rescale
 
     n = 8192
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))  # measured sweet spot
     parms = EncryptionParameters(SchemeType.CKKS)
     parms.set_poly_modulus_degree(n)
     parms.set_coeff_modulus(CoeffModulus.create(n, [50, 40, 40, 50]))
