@@ -304,3 +304,37 @@ def test_deep_poly_eval():
     expect = [p(padded[i]) + p(padded[i + 1]) for i in range(len(vals))]
     for g, e in zip(got[: len(vals)], expect):
         assert abs(g - e) < 1e-3, (got[: len(vals)], expect)
+
+
+def test_multi_special_prime_pipeline():
+    """nsp=3 hybrid key-switch through the jitted pipeline is bit-exact vs
+    the host evaluator (the fork's headline configuration, ex4 pattern)."""
+    import jax
+
+    parms = EncryptionParameters(SchemeType.CKKS)
+    n = 256
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.create(n, [40, 30, 30, 40, 40, 40]))
+    parms.set_n_special_primes(3)
+    parms.set_random_seed(SEED)
+    ctx = SealContext(parms, sec_level=SecLevelType.none)
+    assert ctx.first_context_data().parms.n_special_primes == 3
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    dec = Decryptor(ctx, kg.secret_key)
+    ev = Evaluator(ctx)
+    rk = kg.relin_keys()
+    scale = 2.0 ** 30
+
+    v = [0.5, -1.25, 3.0]
+    ct = enc.encrypt(encoder.encode(v, scale))
+    host = ev.rescale_to_next(ev.relinearize(ev.multiply(ct, ct), rk))
+
+    rk_data = np.stack([np.asarray(pk.data.data) for pk in rk.key(2)])
+    step = jax.jit(build_ckks_mul_relin_rescale(ctx))
+    dev = np.asarray(step(np.asarray(ct.data), np.asarray(ct.data), rk_data))
+    np.testing.assert_array_equal(dev, np.asarray(host.data))
+
+    got = encoder.decode(dec.decrypt(host))
+    assert all(abs(g - x * x) < 1e-4 for g, x in zip(got[:3], v))
