@@ -59,6 +59,20 @@ class Encryptor:
     def encrypt_zero_symmetric(self, parms_id=None) -> Ciphertext:
         return self.encrypt_zero(parms_id, is_asymmetric=False)
 
+    def _fresh_c1_seed(self) -> tuple:
+        """c1 seed for seeded encryption: fresh entropy, or (matching every
+        other sampling path) a deterministic derivation when the parameter
+        seed is pinned for reproducibility."""
+        from .utils.prng import random_seed
+
+        pinned = self.context.key_context_data().parms.random_seed
+        if pinned is not None:
+            self._seeded_counter = getattr(self, "_seeded_counter", 0) + 1
+            c = self._seeded_counter
+            return tuple((s ^ 0x5A5A5A5A5A5A5A5A ^ c) & 0xFFFFFFFFFFFFFFFF
+                         for s in pinned)
+        return random_seed()
+
     # -- seeded (Serializable<Ciphertext>) variants -----------------------
     def encrypt_symmetric_serializable(self, plain: Plaintext):
         """Seed-compressed symmetric encryption: the returned wrapper
@@ -66,19 +80,17 @@ class Encryptor:
         Encryptor::encrypt_symmetric returning Serializable<Ciphertext>,
         seed flow rlwe.cpp:295-301)."""
         from .serialization import SerializableCiphertext
-        from .utils.prng import random_seed
 
-        seed = random_seed()
+        seed = self._fresh_c1_seed()
         ct = self._encrypt_internal(plain, is_asymmetric=False, c1_seed=seed)
         return SerializableCiphertext(ct, seed)
 
     def encrypt_zero_symmetric_serializable(self, parms_id=None):
         from .serialization import SerializableCiphertext
-        from .utils.prng import random_seed
 
         if parms_id is None:
             parms_id = self.context.first_parms_id
-        seed = random_seed()
+        seed = self._fresh_c1_seed()
         ct = self._encrypt_zero_internal(parms_id, False, c1_seed=seed)
         return SerializableCiphertext(ct, seed)
 

@@ -382,7 +382,14 @@ class Evaluator:
             d0, d1 = switch_key(target, kdata, plan, encrypted.is_ntt_form)
             c0 = add_poly(data[0], d0, limbs)
             c1 = add_poly(data[1], d1, limbs)
-            data = set_at(set_at(data[:power], 0, c0), 1, c1)
+            head = data[:power]
+            if isinstance(head, np.ndarray):
+                head = head.copy()
+                head[0] = c0
+                head[1] = c1
+                data = head
+            else:
+                data = head.at[0].set(c0).at[1].set(c1)
         out = Ciphertext(
             data,
             encrypted.parms_id,

@@ -36,9 +36,15 @@ class CiphertextMetrics:
 
     def headroom_ok(self, min_budget_bits: int = 10) -> bool:
         """BFV: decryption is safe while the budget stays positive; flag
-        before it runs out.  CKKS: flag when the scale no longer fits the
-        remaining modulus."""
-        if self.noise_budget_bits is not None:
+        before it runs out (requires the snapshot to have been taken with a
+        Decryptor).  CKKS: flag when the scale no longer fits the remaining
+        modulus."""
+        if self.scheme == "BFV":
+            if self.noise_budget_bits is None:
+                raise ValueError(
+                    "BFV noise headroom is unknown without a Decryptor; "
+                    "call inspect(ct, ctx, decryptor)"
+                )
             return self.noise_budget_bits >= min_budget_bits
         return self.log2_scale + min_budget_bits <= self.coeff_modulus_bits
 

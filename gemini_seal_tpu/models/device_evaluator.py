@@ -19,23 +19,21 @@ execution model (the reference is single-threaded eager C++).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import numpy as np
 
 from ..ciphertext import Ciphertext, Plaintext
 from ..context import SealContext
-from ..evaluator import Evaluator, _same_scale
+from ..evaluator import Evaluator
 from ..keys import GaloisKeys, RelinKeys
-from ..ops import modops
-from ..ops.dyadic import add_poly, dyadic_product, multiply_poly_scalar, negate_poly, sub_poly
+from ..ops.dyadic import add_poly, dyadic_product, negate_poly, sub_poly
 from ..ops.keyswitch import (
     KeySwitchPlan,
     compute_modup_digits,
     keyswitch_inner_product,
     switch_key,
 )
-from ..ops.ntt import ntt_forward, ntt_inverse
 from ..ops.rnsops import divide_and_round_q_last, divide_and_round_q_last_ntt
 from ..params import SchemeType
 
@@ -89,15 +87,19 @@ class DeviceEvaluator:
         return plan
 
     def _key_data(self, keys, index) -> object:
-        """Stacked [n_bundles, 2, L_key, N] key tensor, uploaded once."""
+        """Stacked [n_bundles, 2, L_key, N] key tensor, uploaded once.
+
+        The cache entry holds a reference to the keys object so a
+        garbage-collected id() can never alias another object's entry."""
         k = (id(keys), index)
-        data = self._key_cache.get(k)
-        if data is None:
-            vec = keys.key(index)
-            data = self._jax.device_put(
-                np.stack([np.asarray(pk.data.data) for pk in vec])
-            )
-            self._key_cache[k] = data
+        hit = self._key_cache.get(k)
+        if hit is not None and hit[0] is keys:
+            return hit[1]
+        vec = keys.key(index)
+        data = self._jax.device_put(
+            np.stack([np.asarray(pk.data.data) for pk in vec])
+        )
+        self._key_cache[k] = (keys, data)
         return data
 
     # -- linear ops ---------------------------------------------------------
@@ -130,6 +132,11 @@ class DeviceEvaluator:
     def multiply(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
         cd = self._cd(a)
         scheme = cd.parms.scheme
+        # host-plane metadata validation runs on every call (the traced
+        # executable only re-runs per shape, so checks must live out here)
+        self.host._check_same(a, b)
+        if scheme == SchemeType.CKKS:
+            self.host._check_scale_bounds(a.scale * b.scale, cd)
         if scheme == SchemeType.CKKS and a.size == 2 and b.size == 2:
             limbs = cd.limb_constants
 
@@ -262,13 +269,15 @@ class DeviceEvaluator:
 
         f = self._jit(("rot_many", a.parms_id, elts, is_ntt), build)
         kstack_key = (id(galois_keys), elts)
-        kstack = self._key_cache.get(kstack_key)
-        if kstack is None:
+        hit = self._key_cache.get(kstack_key)
+        if hit is not None and hit[0] is galois_keys:
+            kstack = hit[1]
+        else:
             kstack = self._jax.device_put(np.stack([
                 np.stack([np.asarray(pk.data.data) for pk in galois_keys.key(e)])
                 for e in elts
             ]))
-            self._key_cache[kstack_key] = kstack
+            self._key_cache[kstack_key] = (galois_keys, kstack)
         out = f(a.data, kstack)
         return [
             Ciphertext(out[i], a.parms_id, is_ntt, a.scale)

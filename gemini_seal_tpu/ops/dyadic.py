@@ -63,17 +63,16 @@ class LimbConstants:
         )
 
 
-def _register_pytree():
-    import jax
+# Registered eagerly: the package itself imports jax (models/, parallel/),
+# so there is no import-cost to defer; registration must precede any jit
+# trace that closes over a LimbConstants.
+import jax  # noqa: E402
 
-    jax.tree_util.register_pytree_node(
-        LimbConstants,
-        lambda c: ((c.p, c.ratio0, c.ratio1), None),
-        lambda _, ch: LimbConstants(*ch),
-    )
-
-
-_register_pytree()
+jax.tree_util.register_pytree_node(
+    LimbConstants,
+    lambda c: ((c.p, c.ratio0, c.ratio1), None),
+    lambda _, ch: LimbConstants(*ch),
+)
 
 
 def add_poly(a, b, limbs: LimbConstants):
