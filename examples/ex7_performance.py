@@ -109,7 +109,9 @@ def ckks_performance(n, count):
     ev = Evaluator(ctx)
     encoder = CKKSEncoder(ctx)
 
-    scale = 2.0 ** (ctx.first_context_data().parms.coeff_modulus[-1].bit_count - 1)
+    # flat scale: values reach ~N/2 * 1.001, so value*scale must stay under
+    # the first level's modulus for every sweep size
+    scale = 2.0 ** 30
     vals = [1.001 * i for i in range(encoder.slot_count)]
     plain = encoder.encode(vals, scale)
     ct1 = enc.encrypt(plain)
