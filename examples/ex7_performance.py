@@ -109,10 +109,10 @@ def ckks_performance(n, count):
     ev = Evaluator(ctx)
     encoder = CKKSEncoder(ctx)
 
-    # flat scale: values reach ~N/2 * 1.001, so value*scale must stay under
-    # the first level's modulus for every sweep size
-    scale = 2.0 ** 30
-    vals = [1.001 * i for i in range(encoder.slot_count)]
+    # values in [0, 1) and a scale whose square stays under even the
+    # smallest sweep size's single-prime modulus (2048 -> 54 bits)
+    scale = 2.0 ** 25
+    vals = [i / encoder.slot_count for i in range(encoder.slot_count)]
     plain = encoder.encode(vals, scale)
     ct1 = enc.encrypt(plain)
     ct2 = enc.encrypt(encoder.encode(vals[::-1], scale))
