@@ -10,6 +10,7 @@ import pytest
 from gemini_seal_tpu import (
     CoeffModulus,
     EncryptionParameters,
+    Modulus,
     PlainModulus,
     SchemeType,
     SecLevelType,
@@ -153,3 +154,50 @@ def test_rns_tool_constants():
     # prod_B_mod_q
     for i, m in enumerate(q.base):
         assert int(rt.prod_B_mod_q[i]) == rt.base_B.base_prod % m.value
+
+
+# ---------------------------------------------------------------------------
+# Error taxonomy (reference: context.cpp:21-133, 15 error codes)
+# ---------------------------------------------------------------------------
+
+def _qualifier_error(parms, sec=SecLevelType.none):
+    ctx = SealContext(parms, sec_level=sec)
+    assert not ctx.parameters_set()
+    return ctx.key_context_data().qualifiers.parameter_error
+
+
+def test_error_invalid_poly_modulus_degree():
+    parms = EncryptionParameters(SchemeType.BFV)
+    parms.set_poly_modulus_degree(3)  # not a power of two / below min
+    parms.set_coeff_modulus([Modulus(65537)])
+    parms.set_plain_modulus(17)
+    assert _qualifier_error(parms) == ErrorType.invalid_poly_modulus_degree
+
+
+def test_error_coeff_modulus_no_ntt():
+    parms = EncryptionParameters(SchemeType.BFV)
+    parms.set_poly_modulus_degree(64)
+    # 1032193 = prime but != 1 mod 128? 1032193 % 128 == 1? pick 97: 97%128 != 1
+    parms.set_coeff_modulus([Modulus(0x7FFFFFFF)])  # 2^31-1, not NTT-friendly
+    parms.set_plain_modulus(17)
+    assert _qualifier_error(parms) == ErrorType.invalid_coeff_modulus_no_ntt
+
+
+def test_error_plain_modulus_too_large():
+    parms = EncryptionParameters(SchemeType.BFV)
+    parms.set_poly_modulus_degree(64)
+    parms.set_coeff_modulus(CoeffModulus.create(64, [20]))
+    parms.set_plain_modulus(PlainModulus.batching(64, 21).value)  # t > q
+    err = _qualifier_error(parms)
+    assert err != ErrorType.success
+    assert "plain_modulus" in err.value[0]
+
+
+def test_error_scheme_mismatch_plain_modulus():
+    parms = EncryptionParameters(SchemeType.CKKS)
+    parms.set_poly_modulus_degree(64)
+    parms.set_coeff_modulus(CoeffModulus.create(64, [40, 40]))
+    # the setter itself rejects a nonzero t under CKKS (reference:
+    # encryptionparams.h set_plain_modulus logic_error)
+    with pytest.raises(ValueError):
+        parms.set_plain_modulus(17)
