@@ -168,10 +168,10 @@ def _qualifier_error(parms, sec=SecLevelType.none):
 
 def test_error_invalid_poly_modulus_degree():
     parms = EncryptionParameters(SchemeType.BFV)
-    parms.set_poly_modulus_degree(3)  # not a power of two / below min
+    parms.set_poly_modulus_degree(3)  # not a power of two
     parms.set_coeff_modulus([Modulus(65537)])
     parms.set_plain_modulus(17)
-    assert _qualifier_error(parms) == ErrorType.invalid_poly_modulus_degree
+    assert _qualifier_error(parms) == ErrorType.invalid_poly_modulus_degree_non_power_of_two
 
 
 def test_error_coeff_modulus_no_ntt():
