@@ -25,6 +25,7 @@ from .ciphertext import Ciphertext, Plaintext
 from .keys import GaloisKeys, KSwitchKeys, PublicKey, RelinKeys, SecretKey
 from .modulus import Modulus
 from .params import PARMS_ID_ZERO, EncryptionParameters, SchemeType
+from .utils import native
 
 __all__ = [
     "SerializableCiphertext",
@@ -53,6 +54,11 @@ _HEADER_FMT = "<HBBBBHQ"
 
 
 def _frame(payload: bytes, compr_mode: int) -> bytes:
+    # native runtime path (gst_native.cpp gst_frame: header + zlib deflate,
+    # byte-identical); pure-Python fallback below
+    framed = native.frame(payload, compr_mode) if native.available() else None
+    if framed is not None:
+        return framed
     if compr_mode == COMPR_DEFLATE:
         payload = zlib.compress(payload)
     total = HEADER_SIZE + len(payload)

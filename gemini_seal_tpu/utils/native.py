@@ -38,7 +38,7 @@ def _try_build(path: str) -> None:
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             src, "-o", path],
+             src, "-lz", "-o", path],
             check=True,
             capture_output=True,
             timeout=120,
@@ -68,6 +68,16 @@ def _load():
         lib.gst_prng_fill.restype = ctypes.c_int
         lib.gst_prng_fill.argtypes = [
             ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_uint64,
+        ]
+        lib.gst_frame_bound.restype = ctypes.c_int64
+        lib.gst_frame_bound.argtypes = [ctypes.c_uint64]
+        lib.gst_frame.restype = ctypes.c_int64
+        lib.gst_frame.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int,
+        ]
+        lib.gst_unframe.restype = ctypes.c_int64
+        lib.gst_unframe.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_char_p, ctypes.c_uint64,
         ]
         _LIB = lib
     except OSError:
@@ -106,3 +116,34 @@ def prng_fill(nblocks: int, seed, counter_start: int) -> Optional[bytes]:
     if rc != 0:
         raise RuntimeError("gst_prng_fill failed")
     return out.raw
+
+
+def frame(payload: bytes, compr_mode: int) -> Optional[bytes]:
+    """SEALHeader framing (+deflate) in the native runtime; byte-identical
+    to the Python path."""
+    lib = _load()
+    if lib is None:
+        return None
+    cap = lib.gst_frame_bound(len(payload))
+    out = ctypes.create_string_buffer(cap)
+    n = lib.gst_frame(out, payload, len(payload), compr_mode)
+    if n < 0:
+        raise RuntimeError("gst_frame failed")
+    return out.raw[:n]
+
+
+def unframe(data: bytes, out_cap_hint: int = 0) -> Optional[bytes]:
+    """Unframe + inflate in the native runtime.  Returns the payload."""
+    lib = _load()
+    if lib is None:
+        return None
+    cap = max(out_cap_hint, 4 * len(data) + 1024)
+    while True:
+        out = ctypes.create_string_buffer(cap)
+        n = lib.gst_unframe(out, cap, data, len(data))
+        if n == -2:
+            cap *= 4
+            continue
+        if n < 0:
+            raise ValueError("loaded SEALHeader is invalid")
+        return out.raw[:n]

@@ -162,4 +162,72 @@ int gst_prng_fill(uint8_t *out, uint64_t nbytes, const uint64_t seed[8],
   return 0;
 }
 
+
+// ---------------------------------------------------------------------------
+// Serialization framing (the native IO path of the runtime).
+// SEALHeader {magic 0xA15E, size 0x10, version 3.5, compr_mode, reserved,
+// u64 total} + optional zlib deflate — byte-identical to the reference's
+// Serialization::Save (serialization.{h,cpp}) and to the Python fallback
+// (gemini_seal_tpu/serialization.py uses the same zlib at default level).
+// ---------------------------------------------------------------------------
+
+#include <zlib.h>
+
+// Frame `payload` into `out` (caller allocates >= gst_frame_bound(n) bytes).
+// Returns the framed size, or -1 on error.  compr: 0=none, 1=deflate.
+int64_t gst_frame_bound(uint64_t payload_len) {
+  return 16 + (int64_t)compressBound((uLong)payload_len);
+}
+
+int64_t gst_frame(uint8_t *out, const uint8_t *payload, uint64_t payload_len,
+                  int compr) {
+  uint64_t body_len = payload_len;
+  if (compr == 1) {
+    uLongf dest_len = compressBound((uLong)payload_len);
+    if (compress2(out + 16, &dest_len, payload, (uLong)payload_len,
+                  Z_DEFAULT_COMPRESSION) != Z_OK)
+      return -1;
+    body_len = dest_len;
+  } else if (compr == 0) {
+    std::memcpy(out + 16, payload, payload_len);
+  } else {
+    return -1;
+  }
+  uint64_t total = 16 + body_len;
+  out[0] = 0x5E; out[1] = 0xA1;            // magic 0xA15E little-endian
+  out[2] = 0x10;                           // header size
+  out[3] = 3; out[4] = 5;                  // version 3.5
+  out[5] = (uint8_t)compr;
+  out[6] = 0; out[7] = 0;                  // reserved u16
+  std::memcpy(out + 8, &total, 8);
+  return (int64_t)total;
+}
+
+// Unframe: validates the header, inflates if needed.  Returns the payload
+// size written to `out` (caller allocates >= out_cap), or -1 on a bad
+// header / -2 if out_cap is too small / -3 on inflate error.
+int64_t gst_unframe(uint8_t *out, uint64_t out_cap, const uint8_t *data,
+                    uint64_t data_len) {
+  if (data_len < 16) return -1;
+  if (data[0] != 0x5E || data[1] != 0xA1 || data[2] != 0x10) return -1;
+  uint8_t compr = data[5];
+  uint64_t total;
+  std::memcpy(&total, data + 8, 8);
+  if (total > data_len) total = data_len;  // stream semantics (see .py)
+  if (compr == 0) {
+    uint64_t n = data_len - 16;            // hand back the whole remainder
+    if (n > out_cap) return -2;
+    std::memcpy(out, data + 16, n);
+    return (int64_t)n;
+  }
+  if (compr == 1) {
+    uLongf dest_len = (uLongf)out_cap;
+    int rc = uncompress(out, &dest_len, data + 16, (uLong)(total - 16));
+    if (rc == Z_BUF_ERROR) return -2;
+    if (rc != Z_OK) return -3;
+    return (int64_t)dest_len;
+  }
+  return -1;
+}
+
 }  // extern "C"

@@ -317,3 +317,21 @@ def test_seeded_encryption_reproducible_with_pinned_seed():
     a2, b2 = one()
     assert a1 == a2 and b1 == b2   # reproducible across runs
     assert a1 != b1                # distinct seeds within a run
+
+
+def test_native_framing_byte_identical():
+    """The native runtime's SEALHeader framing (gst_native.cpp) must be
+    byte-identical to the pure-Python path for both compression modes."""
+    from gemini_seal_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("native module not built")
+    import struct
+    import zlib
+
+    payload = bytes(range(256)) * 37
+    for compr, body in ((0, payload), (1, zlib.compress(payload))):
+        py = struct.pack("<HBBBBHQ", 0xA15E, 0x10, 3, 5, compr, 0,
+                         16 + len(body)) + body
+        assert native.frame(payload, compr) == py
+        assert native.unframe(py) [: len(payload)] == payload
