@@ -9,9 +9,11 @@ O(n^2) evaluation definition and the negacyclic convolution theorem.
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from gemini_seal_tpu.ops import ntt as ntt_mod
 from gemini_seal_tpu.ops.ntt import build_ntt_tables, ntt_forward, ntt_inverse
+from gemini_seal_tpu.utils.numth import get_primes
 
 P60 = 0xFFFFFFFFFFC0001
 
@@ -157,3 +159,21 @@ def test_large_n_60bit_roundtrip():
     fwd = ntt_forward(jnp.asarray(a), t)
     back = ntt_inverse(fwd, t)
     assert np.array_equal(np.asarray(back), a)
+
+
+@pytest.mark.parametrize("log_n", [12, 15])
+def test_roundtrip_large_n(log_n):
+    """Forward/inverse roundtrip and range contracts across the size sweep
+    up to the fork's POLY_MOD_DEGREE_MAX=65536 neighborhood (59-bit prime,
+    the fork's USER_MOD_BIT_COUNT_MAX)."""
+    n = 1 << log_n
+    primes = get_primes(2 * n, 59, 1)
+    tables = build_ntt_tables(log_n, primes)
+    rng = np.random.default_rng(log_n)
+    x = np.stack([rng.integers(0, int(p), size=(n,), dtype=np.uint64)
+                  for p in primes])
+    fwd = np.asarray(ntt_forward(x, tables))
+    p = np.asarray([int(q) for q in primes], dtype=np.uint64).reshape(-1, 1)
+    assert (fwd < p).all()
+    back = np.asarray(ntt_inverse(fwd, tables))
+    np.testing.assert_array_equal(back, x)
