@@ -70,7 +70,9 @@ def main():
 
     a = np.broadcast_to(np.asarray(ct.data), (batch,) + ct.data.shape)
 
-    inner = build_ckks_mul_relin_rescale(ctx)
+    # fused=True merges the rescale into the key-switch mod-down (same
+    # logical op, decrypts identically; see PERF.md / ops.keyswitch)
+    inner = build_ckks_mul_relin_rescale(ctx, fused=True)
     # checksum-returning step: the uint64 full-sum depends on every output
     # element; the salt makes each enqueued call distinct.
     step = jax.jit(

@@ -23,7 +23,8 @@ from ..context import SealContext
 from ..ops import modops
 from ..ops.dyadic import add_poly, dyadic_product, multiply_poly_scalar
 from ..ops.keyswitch import (KeySwitchPlan, compute_modup_digits,
-                             keyswitch_inner_product, switch_key)
+                             fused_moddown, keyswitch_inner_product,
+                             switch_key)
 from ..ops.ntt import ntt_forward, ntt_inverse
 from ..ops.rnsops import (
     divide_and_round_q_last_ntt,
@@ -67,12 +68,18 @@ def _relinearize_batched(c0, c1, c2, key_data, plan, limbs, is_ntt: bool):
     return add_poly(c0, d0, limbs), add_poly(c1, d1, limbs)
 
 
-def build_ckks_mul_relin_rescale(context: SealContext, parms_id=None) -> Callable:
+def build_ckks_mul_relin_rescale(context: SealContext, parms_id=None,
+                                 fused: bool = False) -> Callable:
     """fn(ct_a, ct_b, relin_key) -> next-level ciphertext data.
 
     ct_*: u64[..., 2, L, N] (NTT form); relin_key: u64[n_bundles, 2, L_key, N].
     Returns u64[..., 2, L-1, N].  This is benchmark config 4/5's hot step
     (multiply + relinearize + rescale).
+
+    fused=True merges the rescale into the key-switch mod-down (one division
+    by P*q_last instead of two sequential roundings): one NTT round trip per
+    component saved; decrypts equal but not bit-identical to the sequential
+    path (see ops.keyswitch.fused_moddown).
     """
     if parms_id is None:
         parms_id = context.first_parms_id
@@ -81,6 +88,21 @@ def build_ckks_mul_relin_rescale(context: SealContext, parms_id=None) -> Callabl
     tables = cd.ntt_tables
     tool = cd.device_rns_tool
     plan = KeySwitchPlan(context, parms_id)
+
+    if fused:
+        plan.fused_drop_constants()  # precompute on host, outside the trace
+
+        def step(a, b, relin_key):
+            c0, c1, c2 = _convolve3(a, b, limbs)
+            ct_k = compute_modup_digits(c2, plan, True)
+            acc0, acc1 = keyswitch_inner_product(
+                ct_k, relin_key, plan, True, raw=True
+            )
+            out0 = fused_moddown(c0, acc0, plan)
+            out1 = fused_moddown(c1, acc1, plan)
+            return jnp.stack([out0, out1], axis=-3)
+
+        return step
 
     def step(a, b, relin_key):
         c0, c1, c2 = _convolve3(a, b, limbs)

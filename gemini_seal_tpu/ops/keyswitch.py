@@ -37,7 +37,7 @@ _MASK32 = np.uint64(0xFFFFFFFF)
 _U32 = np.uint64(32)
 
 __all__ = ["KeySwitchPlan", "switch_key", "compute_modup_digits",
-           "keyswitch_inner_product"]
+           "keyswitch_inner_product", "fused_moddown"]
 
 
 def _gather_tables(t: NTTTables, idx) -> NTTTables:
@@ -180,6 +180,64 @@ class KeySwitchPlan:
             invP[i] = r
         self.neg_hat_pj_qi = neg_hat                   # [n_ct, n_sp]
         self.inv_P_qi = invP.reshape(-1, 1)
+        self._ext_moduli = ext_moduli
+        self._sp_moduli = sp_moduli
+        self._fused = None
+
+    def fused_drop_constants(self):
+        """Constants for the fused mod-down by Q_D = P * q_last (dropping
+        the special primes AND the level's last ciphertext prime in ONE
+        interpolation pass) — no reference analogue; the sequential
+        equivalent is rescale_special followed by divide_and_round_q_last.
+
+        D's limb rows are contiguous in the extended layout:
+        [n_ct-1 (q_last), n_ct .. n_ext-1 (specials)].
+        """
+        if self._fused is not None:
+            return self._fused
+        n_ct = self.n_ct_rns
+        if n_ct < 2:
+            raise ValueError("fused rescale needs at least two ct primes")
+        d_moduli = [self._ext_moduli[n_ct - 1]] + list(self._sp_moduli)
+        out_moduli = self._ext_moduli[: n_ct - 1]
+        q_d = 1
+        for d in d_moduli:
+            q_d *= d
+
+        inv_hat = np.zeros(len(d_moduli), dtype=np.uint64)
+        for j, d in enumerate(d_moduli):
+            hat = (q_d // d) % d
+            r = numth.try_invert_uint_mod(hat, d)
+            if r is None:
+                raise ValueError("fused rescale: punctured product not invertible")
+            inv_hat[j] = r
+        neg_hat = np.zeros((len(out_moduli), len(d_moduli)), dtype=np.uint64)
+        inv_qd = np.zeros(len(out_moduli), dtype=np.uint64)
+        p_mod = np.zeros(n_ct, dtype=np.uint64)
+        P = 1
+        for p in self._sp_moduli:
+            P *= p
+        for i, qi in enumerate(out_moduli):
+            for j, d in enumerate(d_moduli):
+                neg_hat[i, j] = (-(q_d // d)) % qi
+            r = numth.try_invert_uint_mod(q_d % qi, qi)
+            if r is None:
+                raise ValueError("fused rescale: Q_D not invertible")
+            inv_qd[i] = r
+        for i in range(n_ct):
+            p_mod[i] = P % self._ext_moduli[i]
+
+        self._fused = {
+            "d_limbs": LimbConstants.from_moduli(d_moduli),
+            "d_tables": _slice_tables(self.ext_tables, n_ct - 1, self.n_ext),
+            "out_limbs": LimbConstants.from_moduli(out_moduli),
+            "out_tables": _slice_tables(self.ext_tables, 0, n_ct - 1),
+            "inv_hat_d": inv_hat.reshape(-1, 1),
+            "neg_hat_d_qi": neg_hat,
+            "inv_qd_qi": inv_qd.reshape(-1, 1),
+            "p_mod_qi": p_mod.reshape(-1, 1),
+        }
+        return self._fused
 
 
 def rescale_special(ext_poly_ntt, plan: KeySwitchPlan, is_ntt_output: bool):
@@ -269,7 +327,7 @@ def compute_modup_digits(target, plan: KeySwitchPlan, is_ntt_form: bool):
 
 
 def keyswitch_inner_product(ct_k, key_vector_data, plan: KeySwitchPlan,
-                            is_ntt_output: bool):
+                            is_ntt_output: bool, raw: bool = False):
     """128-bit-exact inner product of mod-up digits with a key-switch key,
     then special-prime rescale (evaluator.cpp:2313-2361).
 
@@ -309,8 +367,48 @@ def keyswitch_inner_product(ct_k, key_vector_data, plan: KeySwitchPlan,
         lo128 = (d0 & _MASK32) | (s1 << _U32)
         hi128 = (s2 & _MASK32) | (s3 << _U32)
         acc = modops.barrett_reduce_128(hi128, lo128, ext.p, ext.ratio0, ext.ratio1)
-        out.append(rescale_special(acc, plan, is_ntt_output=is_ntt_output))
+        if raw:
+            out.append(acc)
+        else:
+            out.append(rescale_special(acc, plan, is_ntt_output=is_ntt_output))
     return out[0], out[1]
+
+
+def fused_moddown(c, acc, plan: KeySwitchPlan):
+    """One-pass mod-down of (P*c + acc) by Q_D = P * q_last: folds the
+    ciphertext component into the raw key-switch accumulator and divides by
+    the special primes AND the level's last prime together, landing at the
+    next level in NTT form.
+
+    vs the sequential path (rescale_special + add + divide_and_round_q_last
+    _ntt) this saves one full NTT round trip per component; the single
+    interpolation rounding differs from the two sequential roundings by a
+    bounded (sub-noise) amount, so results decrypt equal but are not
+    bit-identical to the sequential pipeline.
+
+    c: [..., n_ct, N] NTT-form ciphertext component at the current level;
+    acc: [..., n_ext, N] NTT-form raw inner-product accumulator.
+    Returns [..., n_ct-1, N] NTT form at the next level.
+    """
+    k = plan.fused_drop_constants()
+    n_ct = plan.n_ct_rns
+    q = plan.ct_limbs
+
+    pc = modops.mul_mod(c, k["p_mod_qi"], q.p, q.ratio0, q.ratio1)
+    num_ct = modops.add_mod(acc[..., :n_ct, :], pc, q.p)
+    m_ = xp(acc)
+    num = m_.concatenate([num_ct, acc[..., n_ct:, :]], axis=-2)
+
+    # D rows are contiguous: [q_last, specials]
+    d_power = ntt_inverse(num[..., n_ct - 1 :, :], k["d_tables"])
+    dl = k["d_limbs"]
+    scaled = modops.mul_mod(d_power, k["inv_hat_d"], dl.p, dl.ratio0, dl.ratio1)
+    temp = _dot_mod_128(scaled, k["neg_hat_d_qi"], k["out_limbs"])
+    temp = ntt_forward(temp, k["out_tables"])
+
+    ol = k["out_limbs"]
+    s = modops.add_mod(num[..., : n_ct - 1, :], temp, ol.p)
+    return modops.mul_mod(s, k["inv_qd_qi"], ol.p, ol.ratio0, ol.ratio1)
 
 
 def switch_key(target, key_vector_data, plan: KeySwitchPlan, is_ntt_form: bool):

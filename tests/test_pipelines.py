@@ -338,3 +338,40 @@ def test_multi_special_prime_pipeline():
 
     got = encoder.decode(dec.decrypt(host))
     assert all(abs(g - x * x) < 1e-4 for g, x in zip(got[:3], v))
+
+
+def test_fused_rescale_decrypts_equal():
+    """The fused P*q_last mod-down decrypts to the same values as the
+    sequential relinearize+rescale pipeline (bounded sub-noise rounding
+    difference only)."""
+    import jax
+
+    ctx, kg = ckks_setup()
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    dec = Decryptor(ctx, kg.secret_key)
+    rk = kg.relin_keys()
+    scale = 2.0 ** 30
+
+    vals = [0.5, -1.0, 2.0, 0.25]
+    ct = enc.encrypt(encoder.encode(vals, scale))
+    rk_data = np.stack([np.asarray(pk.data.data) for pk in rk.key(2)])
+
+    from gemini_seal_tpu.models.pipelines import build_ckks_mul_relin_rescale
+    from gemini_seal_tpu.ciphertext import Ciphertext
+
+    seq = jax.jit(build_ckks_mul_relin_rescale(ctx))
+    fus = jax.jit(build_ckks_mul_relin_rescale(ctx, fused=True))
+    a = np.asarray(ct.data)
+    out_seq = np.asarray(seq(a, a, rk_data))
+    out_fus = np.asarray(fus(a, a, rk_data))
+    assert out_seq.shape == out_fus.shape
+
+    next_id = ctx.first_context_data().next_context_data.parms_id
+    q_last = ctx.first_context_data().parms.coeff_modulus[-1].value
+    s2 = scale * scale / q_last
+    got_seq = encoder.decode(dec.decrypt(Ciphertext(out_seq, next_id, True, s2)))
+    got_fus = encoder.decode(dec.decrypt(Ciphertext(out_fus, next_id, True, s2)))
+    for gs, gf, v in zip(got_seq[:4], got_fus[:4], vals):
+        assert abs(gf - v * v) < 1e-4, (gf, v * v)
+        assert abs(gs - gf) < 1e-5, (gs, gf)
