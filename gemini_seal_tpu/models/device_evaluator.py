@@ -284,6 +284,34 @@ class DeviceEvaluator:
             for i in range(len(elts))
         ]
 
+    def multiply_relin_rescale(self, a: Ciphertext, b: Ciphertext,
+                               relin_keys: RelinKeys,
+                               fused: bool = True) -> Ciphertext:
+        """Production one-call hot op: multiply + relinearize + rescale as
+        a single compiled program (optionally with the fused P*q_last
+        mod-down — decrypts equal, one NTT round trip cheaper)."""
+        from .pipelines import build_ckks_mul_relin_rescale
+
+        cd = self._cd(a)
+        if cd.parms.scheme != SchemeType.CKKS:
+            raise ValueError("multiply_relin_rescale is a CKKS op")
+        self.host._check_same(a, b)
+        self.host._check_scale_bounds(a.scale * b.scale, cd)
+        key = ("mrr", a.parms_id, fused)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = self._jax.jit(
+                build_ckks_mul_relin_rescale(self.context, a.parms_id, fused=fused)
+            )
+            self._jit_cache[key] = fn
+        kdata = self._key_data(relin_keys, 2)
+        nxt = cd.next_context_data
+        q_last = cd.parms.coeff_modulus[-1].value
+        return Ciphertext(
+            fn(a.data, b.data, kdata), nxt.parms_id, True,
+            a.scale * b.scale / q_last,
+        )
+
     # -- level movement ---------------------------------------------------
     def rescale_to_next(self, a: Ciphertext) -> Ciphertext:
         cd = self._cd(a)

@@ -230,7 +230,8 @@ def build_ckks_rotate_many(context: SealContext, steps, parms_id=None) -> Callab
 
 def build_ckks_poly_eval(context: SealContext, coeffs, scale: float,
                          encoder, rotate_sum_log2: int = 0,
-                         coeff_precision_bits: int = 30):
+                         coeff_precision_bits: int = 30,
+                         fused: bool = False):
     """Deep encrypted polynomial evaluation (BASELINE config 5).
 
     Computes p(x) = sum_k coeffs[k] * x^k over len(coeffs)-2 multiplicative
@@ -262,7 +263,8 @@ def build_ckks_poly_eval(context: SealContext, coeffs, scale: float,
     deep_limbs = deep_cd.limb_constants
     L_deep = len(deep_cd.parms.coeff_modulus)
 
-    muls = [build_ckks_mul_relin_rescale(context, ids[k]) for k in range(n_levels)]
+    muls = [build_ckks_mul_relin_rescale(context, ids[k], fused=fused)
+            for k in range(n_levels)]
 
     # scale of x^k after the chain + mod-switch-down to the deepest level
     power_scales = [None, float(scale)]

@@ -128,3 +128,23 @@ def test_bfv_ops_match_host():
     # end to end: decrypt the device-computed result
     out = be.decode(dec.decrypt(dev.get(rel_d)))
     assert out[:n] == [2 * i for i in range(n)]
+
+
+def test_multiply_relin_rescale_one_call(ckks):
+    ctx, kg, enc, encoder = ckks
+    ev = Evaluator(ctx)
+    dev = DeviceEvaluator(ctx)
+    rk = kg.relin_keys()
+    scale = 2.0 ** 30
+    a = enc.encrypt(encoder.encode([0.5, -1.0, 2.0], scale))
+    da = dev.put(a)
+    dec = Decryptor(ctx, kg.secret_key)
+
+    host = ev.rescale_to_next(ev.relinearize(ev.multiply(a, a), rk))
+    for fused in (False, True):
+        out = dev.multiply_relin_rescale(da, da, rk, fused=fused)
+        assert out.parms_id == host.parms_id
+        got = encoder.decode(dec.decrypt(dev.get(out)))
+        want = encoder.decode(dec.decrypt(host))
+        for g, w in zip(got[:3], want[:3]):
+            assert abs(g - w) < 1e-5, (fused, g, w)
