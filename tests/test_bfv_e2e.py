@@ -110,3 +110,28 @@ def test_seeded_determinism(ctx):
     assert np.array_equal(
         np.asarray(keygen1.secret_key.data), np.asarray(keygen2.secret_key.data)
     )
+
+
+def test_encrypt_zero_at_lower_level(actors):
+    """Zero-encryption below the first level mod-switches down from the
+    previous level (reference: encryptor.cpp:144-173)."""
+    from gemini_seal_tpu import CoeffModulus, EncryptionParameters, SchemeType, SecLevelType, SealContext
+
+    parms = EncryptionParameters(SchemeType.BFV)
+    parms.set_poly_modulus_degree(64)
+    parms.set_coeff_modulus(CoeffModulus.create(64, [40, 40, 40]))
+    parms.set_plain_modulus(257)
+    parms.set_random_seed(tuple(range(8)))
+    ctx = SealContext(parms, sec_level=SecLevelType.none)
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, public_key=kg.public_key(), secret_key=kg.secret_key)
+    dec = Decryptor(ctx, kg.secret_key)
+
+    lower = ctx.first_context_data().next_context_data.parms_id
+    for asym in (True, False):
+        ct = enc.encrypt_zero(lower, is_asymmetric=asym)
+        assert ct.parms_id == lower
+        out = dec.decrypt(ct)
+        assert out.significant_coeff_count() <= 1
+        import numpy as np
+        assert not np.asarray(out.data).any()

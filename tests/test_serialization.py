@@ -335,3 +335,31 @@ def test_native_framing_byte_identical():
                          16 + len(body)) + body
         assert native.frame(payload, compr) == py
         assert native.unframe(py) [: len(payload)] == payload
+
+
+def test_relin_galois_keys_roundtrip_ours():
+    """RelinKeys/GaloisKeys save/load round-trips through our own wire
+    path (KSwitchKeys format, kswitchkeys.cpp:43-150)."""
+    ctx, _ = make_ctx()
+    kg = KeyGenerator(ctx)
+    rk = kg.relin_keys()
+    gk = kg.galois_keys_from_steps([1, -1])
+
+    rk2 = ser.load_relin_keys(ser.save(rk), ctx)
+    assert len(rk2.keys) == len(rk.keys)
+    for row_a, row_b in zip(rk.keys, rk2.keys):
+        for pa, pb in zip(row_a, row_b):
+            np.testing.assert_array_equal(
+                np.asarray(pa.data.data), np.asarray(pb.data.data)
+            )
+
+    gk2 = ser.load_galois_keys(ser.save(gk, compr_mode=ser.COMPR_DEFLATE), ctx)
+    # the reloaded keys must actually work
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    dec = Decryptor(ctx, kg.secret_key)
+    ev = Evaluator(ctx)
+    ct = enc.encrypt(Plaintext.from_hex("2x^1 + 1"))
+    tool = ctx.first_context_data().galois_tool
+    elt = tool.get_elt_from_step(1)
+    out = ev.apply_galois(ct, elt, gk2)
+    assert dec.decrypt(out) is not None
