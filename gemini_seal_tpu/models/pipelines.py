@@ -39,6 +39,7 @@ __all__ = [
     "build_ckks_rotate",
     "build_ckks_rotate_many",
     "build_ckks_poly_eval",
+    "build_ckks_matvec",
     "build_bfv_mul_relin",
     "build_ckks_train_step",
 ]
@@ -310,3 +311,59 @@ def build_ckks_poly_eval(context: SealContext, coeffs, scale: float,
         return r
 
     return step, deep_id, target_scale
+
+
+def build_ckks_matvec(context: SealContext, diagonals, scale: float,
+                      encoder, parms_id=None) -> Callable:
+    """Encrypted matrix-vector product by the diagonal method with HOISTED
+    rotations: y = sum_d diag_d (*) rot(x, d) — one key-switch mod-up feeds
+    every rotation (the inner loop of encrypted linear layers / LR or
+    dense-NN inference; no reference analogue).
+
+    diagonals: {step d: list of slot values} for the nonzero generalized
+    diagonals M[i, (i+d) % cols]; step 0 needs no rotation key.
+    Returns fn(ct, galois_keys_stack) -> u64[..., 2, L, N] at the SAME level
+    with scale*scale (rescale separately or feed a fused consumer).
+    galois_keys_stack: u64[n_nonzero_steps, n_bundles, 2, L_key, N] ordered
+    by sorted nonzero steps.
+    """
+    if parms_id is None:
+        parms_id = context.first_parms_id
+    cd = context.get_context_data(parms_id)
+    limbs = cd.limb_constants
+    tool = cd.galois_tool
+    plan = KeySwitchPlan(context, parms_id)
+
+    import numpy as np
+
+    steps = sorted(diagonals.keys())
+    rot_steps = [s for s in steps if s != 0]
+    elts = [tool.get_elt_from_step(s) for s in rot_steps]
+    plains = {
+        s: np.asarray(encoder.encode(list(diagonals[s]), scale, parms_id).data)
+        for s in steps
+    }
+
+    def step(ct, galois_keys_stack):
+        c0 = ct[..., 0, :, :]
+        c1 = ct[..., 1, :, :]
+        acc = None
+        if 0 in plains:
+            t0 = dyadic_product(c0, plains[0], limbs)
+            t1 = dyadic_product(c1, plains[0], limbs)
+            acc = jnp.stack([t0, t1], axis=-3)
+        if rot_steps:
+            ct_k = compute_modup_digits(c1, plan, True)   # hoisted once
+            for i, (s, elt) in enumerate(zip(rot_steps, elts)):
+                ct_k_rot = tool.apply_galois_ntt(ct_k, elt)
+                d0, d1 = keyswitch_inner_product(
+                    ct_k_rot, galois_keys_stack[i], plan, True
+                )
+                r0 = add_poly(tool.apply_galois_ntt(c0, elt), d0, limbs)
+                t0 = dyadic_product(r0, plains[s], limbs)
+                t1 = dyadic_product(d1, plains[s], limbs)
+                term = jnp.stack([t0, t1], axis=-3)
+                acc = term if acc is None else add_poly(acc, term, limbs)
+        return acc
+
+    return step

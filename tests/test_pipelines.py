@@ -375,3 +375,50 @@ def test_fused_rescale_decrypts_equal():
     for gs, gf, v in zip(got_seq[:4], got_fus[:4], vals):
         assert abs(gf - v * v) < 1e-4, (gf, v * v)
         assert abs(gs - gf) < 1e-5, (gs, gf)
+
+
+def test_hoisted_matvec():
+    """Diagonal-method encrypted matvec with hoisted rotations computes
+    M @ x (slot-wise) correctly."""
+    import jax
+    from gemini_seal_tpu.models.pipelines import build_ckks_matvec
+    from gemini_seal_tpu.ciphertext import Ciphertext
+
+    ctx, kg = ckks_setup(n=256, bits=(50, 40, 50))
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    dec = Decryptor(ctx, kg.secret_key)
+    tool = ctx.first_context_data().galois_tool
+    scale = 2.0 ** 40
+
+    # 4x4 matrix over the first 4 slots (wrap within the slot vector is
+    # avoided by padding the input periodically)
+    rng = np.random.default_rng(3)
+    M = rng.uniform(-1, 1, size=(4, 4))
+    x = rng.uniform(-1, 1, size=4)
+    slots = encoder.slot_count
+    # periodic extension so rot(x, d) wraps correctly for the 4x4 block
+    x_slots = [x[i % 4] for i in range(slots)]
+
+    diagonals = {}
+    for d in range(4):
+        diag = [M[i % 4, (i + d) % 4] for i in range(slots)]
+        diagonals[d] = diag
+
+    steps = sorted(s for s in diagonals if s != 0)
+    elts = [tool.get_elt_from_step(s) for s in steps]
+    gk = kg.galois_keys(elts)
+    gk_stack = np.stack([
+        np.stack([np.asarray(pk.data.data) for pk in gk.key(e)]) for e in elts
+    ])
+
+    ct = enc.encrypt(encoder.encode(x_slots, scale))
+    fn = jax.jit(build_ckks_matvec(ctx, diagonals, scale, encoder))
+    out = np.asarray(fn(np.asarray(ct.data), gk_stack))
+
+    got = encoder.decode(dec.decrypt(
+        Ciphertext(out, ct.parms_id, True, scale * scale)
+    ))
+    want = M @ x
+    for i in range(4):
+        assert abs(got[i] - want[i]) < 1e-4, (i, got[i], want[i])
