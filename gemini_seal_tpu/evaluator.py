@@ -590,17 +590,41 @@ class Evaluator:
             return self._mod_switch_scale_to_next(encrypted)
         return self._mod_switch_drop_to_next(encrypted)
 
-    def mod_switch_to(self, encrypted: Ciphertext, parms_id) -> Ciphertext:
+    def mod_switch_to(self, encrypted: Ciphertext, parms_id,
+                      fused: bool = False) -> Ciphertext:
         cd = self._cd(encrypted)
         target = self.context.get_context_data(parms_id)
         if target is None:
             raise ValueError("parms_id is not valid")
         if cd.chain_index < target.chain_index:
             raise ValueError("cannot switch to higher level modulus")
+        levels = cd.chain_index - target.chain_index
+        if (fused and levels >= 2 and cd.parms.scheme == SchemeType.BFV
+                and not encrypted.is_ntt_form):
+            # one rounded division by the product of the dropped primes
+            # instead of a per-level chain (decrypts identically; bounded
+            # sub-noise rounding difference — see rnsops.MultiDropPlan)
+            from .ops.rnsops import MultiDropPlan, divide_and_round_multi
+
+            plan = self._multi_drop_plan(encrypted.parms_id, levels)
+            data = divide_and_round_multi(encrypted.data, plan)
+            return Ciphertext(data, tuple(parms_id), False, encrypted.scale)
         out = encrypted
         while out.parms_id != tuple(parms_id):
             out = self.mod_switch_to_next(out)
         return out
+
+    def _multi_drop_plan(self, parms_id, levels: int):
+        from .ops.rnsops import MultiDropPlan
+
+        key = (tuple(parms_id), levels)
+        plan = self._md_plans.get(key) if hasattr(self, "_md_plans") else None
+        if plan is None:
+            if not hasattr(self, "_md_plans"):
+                self._md_plans = {}
+            plan = MultiDropPlan(self.context, parms_id, levels)
+            self._md_plans[key] = plan
+        return plan
 
     def mod_switch_plain_to_next(self, plain: Plaintext) -> Plaintext:
         """NTT-form plaintext modulus drop (evaluator.cpp:966-994)."""

@@ -38,6 +38,8 @@ __all__ = [
     "fast_convert_array",
     "decrypt_scale_and_round",
     "divide_and_round_q_last",
+    "MultiDropPlan",
+    "divide_and_round_multi",
     "divide_and_round_q_last_ntt",
     "multiply_add_plain_with_scaling_variant",
     "multiply_sub_plain_with_scaling_variant",
@@ -412,3 +414,78 @@ def fastbconv_sk(x_bsk, tool: DeviceRNSTool):
     )
     term = m_.where(alpha_b > m_sk_div_2, neg_term, pos_term)
     return modops.add_mod(dest, term, q.p)
+
+
+class MultiDropPlan:
+    """Constants for the fused multi-level BFV mod-switch: ONE rounded
+    division by Q_D = prod(dropped primes) instead of a per-level chain of
+    divide_and_round_q_last calls (no reference analogue; the sequential
+    chain is evaluator.cpp mod_switch_to_inplace).  The approximate CRT
+    interpolation adds at most |D| to the quotient — bounded sub-noise, so
+    results decrypt identically."""
+
+    def __init__(self, context, parms_id, levels: int):
+        from ..utils import numth
+
+        cd = context.get_context_data(parms_id)
+        if cd is None:
+            raise ValueError("parms_id is not valid for the context")
+        moduli = [m.value for m in cd.parms.coeff_modulus]
+        L = len(moduli)
+        if not 1 <= levels < L:
+            raise ValueError("levels must drop at least one and keep one prime")
+        self.levels = levels
+        d_moduli = moduli[L - levels:]
+        out_moduli = moduli[: L - levels]
+        q_d = 1
+        for d in d_moduli:
+            q_d *= d
+        half = q_d >> 1
+
+        nd, no = len(d_moduli), len(out_moduli)
+        inv_hat = np.zeros(nd, dtype=np.uint64)
+        half_d = np.zeros(nd, dtype=np.uint64)
+        for j, dj in enumerate(d_moduli):
+            r = numth.try_invert_uint_mod((q_d // dj) % dj, dj)
+            if r is None:
+                raise ValueError("multi-drop: punctured product not invertible")
+            inv_hat[j] = r
+            half_d[j] = half % dj
+        hat_qi = np.zeros((no, nd), dtype=np.uint64)
+        inv_qd = np.zeros(no, dtype=np.uint64)
+        half_qi = np.zeros(no, dtype=np.uint64)
+        for i, qi in enumerate(out_moduli):
+            for j, dj in enumerate(d_moduli):
+                hat_qi[i, j] = (q_d // dj) % qi
+            r = numth.try_invert_uint_mod(q_d % qi, qi)
+            if r is None:
+                raise ValueError("multi-drop: Q_D not invertible")
+            inv_qd[i] = r
+            half_qi[i] = half % qi
+
+        self.d_limbs = LimbConstants.from_moduli(d_moduli)
+        self.out_limbs = LimbConstants.from_moduli(out_moduli)
+        self.inv_hat_d = inv_hat.reshape(-1, 1)
+        self.half_d = half_d.reshape(-1, 1)
+        self.hat_d_qi = hat_qi
+        self.inv_qd_qi = inv_qd.reshape(-1, 1)
+        self.half_qi = half_qi.reshape(-1, 1)
+        self.n_out = no
+
+
+def divide_and_round_multi(x, plan: MultiDropPlan):
+    """Fused rounded division by Q_D (power-basis input):
+    y_i = (x_i - [(x + Q_D/2) mod Q_D] + Q_D/2) * Q_D^{-1} mod q_i,
+    with the bracket CRT-interpolated from the dropped limbs.
+    [..., L, N] -> [..., L - levels, N]."""
+    no = plan.n_out
+    rest = x[..., :no, :]
+    dl = plan.d_limbs
+    ol = plan.out_limbs
+
+    shifted = modops.add_mod(x[..., no:, :], plan.half_d, dl.p)
+    scaled = modops.mul_mod(shifted, plan.inv_hat_d, dl.p, dl.ratio0, dl.ratio1)
+    interp = _dot_mod_128(scaled, plan.hat_d_qi, ol)      # [..., no, N]
+    temp = modops.sub_mod(interp, plan.half_qi, ol.p)
+    diff = modops.sub_mod(rest, temp, ol.p)
+    return modops.mul_mod(diff, plan.inv_qd_qi, ol.p, ol.ratio0, ol.ratio1)

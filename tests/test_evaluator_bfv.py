@@ -280,3 +280,13 @@ def test_sub_different_sizes():
     out2 = ev.sub(b, big)            # smaller minus larger
     neg = [(T - v) % T for v in want]
     assert plain_coeffs(dec.decrypt(out2), 64) == neg
+
+
+def test_mod_switch_to_fused_matches_sequential_decrypt():
+    ctx, kg, enc, dec, ev = make_regime([50, 40, 40, 40], t=257)
+    pt = Plaintext.from_hex("6x^5 + 3x^2 + 2")
+    ct = enc.encrypt(pt)
+    seq = ev.mod_switch_to(ct, ctx.last_parms_id)
+    fus = ev.mod_switch_to(ct, ctx.last_parms_id, fused=True)
+    assert fus.parms_id == seq.parms_id
+    assert plain_coeffs(dec.decrypt(fus), 64) == plain_coeffs(dec.decrypt(seq), 64)

@@ -277,3 +277,74 @@ def test_divide_and_round_q_last_ntt_matches_power_basis():
     from gemini_seal_tpu.ops.rnsops import _slice_tables
     got = np.asarray(ntt_inverse(got_ntt, _slice_tables(tables, 0, len(q_vals) - 1)))
     np.testing.assert_array_equal(got, want)
+
+
+def test_divide_and_round_multi():
+    """Fused multi-level drop == one rounded division by Q_D up to the
+    bounded CRT-interpolation excess (< |D|), vs the exact integer model."""
+    from gemini_seal_tpu.context import SealContext
+    from gemini_seal_tpu.params import EncryptionParameters, SchemeType
+    from gemini_seal_tpu.modulus import CoeffModulus, PlainModulus, SecLevelType
+    from gemini_seal_tpu.ops.rnsops import MultiDropPlan, divide_and_round_multi
+
+    parms = EncryptionParameters(SchemeType.BFV)
+    n = 32
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.create(n, [50, 40, 40, 40]))
+    parms.set_plain_modulus(PlainModulus.batching(n, 14))
+    ctx = SealContext(parms, sec_level=SecLevelType.none)
+    cd = ctx.first_context_data()
+    q_vals = [m.value for m in cd.parms.coeff_modulus]
+    q = 1
+    for v in q_vals:
+        q *= v
+    levels = 2
+    q_d = q_vals[-1] * q_vals[-2]
+
+    plan = MultiDropPlan(ctx, cd.parms_id, levels)
+    xs = [int(RNG.integers(0, 2 ** 62)) * int(RNG.integers(0, 2 ** 62)) % q
+          for _ in range(n)]
+    x = np.stack([np.array([v % p for v in xs], dtype=np.uint64)
+                  for p in q_vals])
+    out = np.asarray(divide_and_round_multi(x, plan))
+    n_out = plan.n_out
+    for k in range(8):
+        want = (xs[k] + (q_d >> 1)) // q_d        # round-half-up
+        got = [int(out[j, k]) for j in range(n_out)]
+        # allow the bounded interpolation excess (0..|D|)
+        ok = any(all((want + e) % p == g
+                     for p, g in zip(q_vals[:n_out], got))
+                 for e in range(-levels, levels + 1))
+        assert ok, (k, got, want)
+
+
+def test_multi_drop_decrypts_like_sequential():
+    from gemini_seal_tpu import (BatchEncoder, Decryptor, Encryptor,
+                                 Evaluator, KeyGenerator)
+    from gemini_seal_tpu.context import SealContext
+    from gemini_seal_tpu.params import EncryptionParameters, SchemeType
+    from gemini_seal_tpu.modulus import CoeffModulus, PlainModulus, SecLevelType
+    from gemini_seal_tpu.ops.rnsops import MultiDropPlan, divide_and_round_multi
+    from gemini_seal_tpu.ciphertext import Ciphertext
+
+    parms = EncryptionParameters(SchemeType.BFV)
+    n = 64
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.create(n, [50, 40, 40, 40]))
+    parms.set_plain_modulus(PlainModulus.batching(n, 14))
+    parms.set_random_seed(tuple(range(8)))
+    ctx = SealContext(parms, sec_level=SecLevelType.none)
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    be = BatchEncoder(ctx)
+    dec = Decryptor(ctx, kg.secret_key)
+    ev = Evaluator(ctx)
+
+    ct = enc.encrypt(be.encode(list(range(n))))
+    seq = ev.mod_switch_to(ct, ctx.last_parms_id)
+
+    plan = MultiDropPlan(ctx, ct.parms_id, 2)
+    fused_data = np.asarray(divide_and_round_multi(np.asarray(ct.data), plan))
+    fused = Ciphertext(fused_data, ctx.last_parms_id, False, ct.scale)
+
+    assert be.decode(dec.decrypt(fused)) == be.decode(dec.decrypt(seq))
