@@ -363,3 +363,27 @@ def test_relin_galois_keys_roundtrip_ours():
     elt = tool.get_elt_from_step(1)
     out = ev.apply_galois(ct, elt, gk2)
     assert dec.decrypt(out) is not None
+
+
+@pytest.mark.skipif(not os.path.exists(ORACLE), reason="reference oracle not built")
+def test_ckks_evaluate_here_decrypt_there(tmp_path):
+    """CKKS interop: load the reference's CKKS ciphertext, evaluate here
+    (double it), the reference decodes our result."""
+    d = tmp_path / "o"
+    d.mkdir()
+    subprocess.run([ORACLE, "ckksgen", str(d)], check=True, capture_output=True)
+    parms = ser.load_parms((d / "ckks_parms.bin").read_bytes())
+    ctx = SealContext(parms, sec_level=SecLevelType.none)
+    ct = ser.load_ciphertext((d / "ckks_ct.bin").read_bytes(), ctx)
+
+    ev = Evaluator(ctx)
+    doubled = ev.add(ct, ct)
+    out_path = tmp_path / "dbl.bin"
+    out_path.write_bytes(ser.save(doubled))
+    res = subprocess.run(
+        [ORACLE, "ckksdec", str(d), str(out_path)],
+        check=True, capture_output=True, text=True,
+    )
+    got = [float(v) for v in res.stdout.split()]
+    want = [3.0, -4.5, 6.0, 0.25]  # 2 * {1.5, -2.25, 3.0, 0.125}
+    assert all(abs(g - w) < 1e-4 for g, w in zip(got, want)), (got, want)
