@@ -244,6 +244,41 @@ def main():
                      deep_batch, cfg.iters)
     emit(f"ckks_deep_poly4_rot_n{n}_ops_per_s", ops, "ciphertext_ops/s")
 
+    # ---- extra: encrypted dense-layer matvec (hoisted rotations) --------
+    n = 1024 if small else 8192
+    bits = [40, 30, 40] if small else [50, 40, 40, 50]
+    parms = EncryptionParameters(SchemeType.CKKS)
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.create(n, bits))
+    parms.set_random_seed(tuple(range(8)))
+    ctx = SealContext(parms, sec_level=SecLevelType.none)
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    tool = ctx.first_context_data().galois_tool
+    from gemini_seal_tpu.models.pipelines import build_ckks_matvec
+    dim = 8
+    rng = np.random.default_rng(1)
+    M = rng.uniform(-0.5, 0.5, size=(dim, dim))
+    slots = encoder.slot_count
+    diagonals = {
+        dd: [M[i % dim, (i + dd) % dim] for i in range(slots)]
+        for dd in range(dim)
+    }
+    msteps = sorted(s for s in diagonals if s != 0)
+    elts = [tool.get_elt_from_step(s) for s in msteps]
+    gk = kg.galois_keys(elts)
+    gk_stack = np.stack([
+        np.stack([np.asarray(pk.data.data) for pk in gk.key(e)]) for e in elts
+    ])
+    x = enc.encrypt(encoder.encode([0.5] * slots, 2.0 ** 40))
+    mb = max(B // 8, 2)
+    a = np.broadcast_to(np.asarray(x.data), (mb,) + x.data.shape)
+    step = checksum_jit(build_ckks_matvec(ctx, diagonals, 2.0 ** 40, encoder))
+    da, dk = jax.device_put(a), jax.device_put(gk_stack)
+    ops = _sync_time(lambda s, c, k: step(s, c, k), (da, dk), mb, cfg.iters)
+    emit(f"ckks_dense8x8_hoisted_n{n}_layers_per_s", ops, "encrypted_layers/s")
+
 
 if __name__ == "__main__":
     main()
