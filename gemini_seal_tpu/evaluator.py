@@ -63,6 +63,7 @@ class Evaluator:
             raise ValueError("encryption parameters are not set correctly")
         self.context = context
         self._ks_plans: Dict[tuple, KeySwitchPlan] = {}
+        self._md_plans: Dict[tuple, object] = {}
 
     # ------------------------------------------------------------------
     # helpers
@@ -604,7 +605,7 @@ class Evaluator:
             # one rounded division by the product of the dropped primes
             # instead of a per-level chain (decrypts identically; bounded
             # sub-noise rounding difference — see rnsops.MultiDropPlan)
-            from .ops.rnsops import MultiDropPlan, divide_and_round_multi
+            from .ops.rnsops import divide_and_round_multi
 
             plan = self._multi_drop_plan(encrypted.parms_id, levels)
             data = divide_and_round_multi(encrypted.data, plan)
@@ -618,10 +619,8 @@ class Evaluator:
         from .ops.rnsops import MultiDropPlan
 
         key = (tuple(parms_id), levels)
-        plan = self._md_plans.get(key) if hasattr(self, "_md_plans") else None
+        plan = self._md_plans.get(key)
         if plan is None:
-            if not hasattr(self, "_md_plans"):
-                self._md_plans = {}
             plan = MultiDropPlan(self.context, parms_id, levels)
             self._md_plans[key] = plan
         return plan

@@ -295,6 +295,12 @@ class DeviceEvaluator:
         cd = self._cd(a)
         if cd.parms.scheme != SchemeType.CKKS:
             raise ValueError("multiply_relin_rescale is a CKKS op")
+        if a.size != 2 or b.size != 2:
+            raise ValueError("operands must be size-2 ciphertexts")
+        if not (a.is_ntt_form and b.is_ntt_form):
+            raise ValueError("CKKS operands must be in NTT form")
+        if cd.next_context_data is None:
+            raise ValueError("end of modulus switching chain reached")
         self.host._check_same(a, b)
         self.host._check_scale_bounds(a.scale * b.scale, cd)
         key = ("mrr", a.parms_id, fused)

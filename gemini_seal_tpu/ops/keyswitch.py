@@ -200,32 +200,18 @@ class KeySwitchPlan:
             raise ValueError("fused rescale needs at least two ct primes")
         d_moduli = [self._ext_moduli[n_ct - 1]] + list(self._sp_moduli)
         out_moduli = self._ext_moduli[: n_ct - 1]
-        q_d = 1
-        for d in d_moduli:
-            q_d *= d
+        from .rnsops import crt_drop_constants
 
-        inv_hat = np.zeros(len(d_moduli), dtype=np.uint64)
-        for j, d in enumerate(d_moduli):
-            hat = (q_d // d) % d
-            r = numth.try_invert_uint_mod(hat, d)
-            if r is None:
-                raise ValueError("fused rescale: punctured product not invertible")
-            inv_hat[j] = r
-        neg_hat = np.zeros((len(out_moduli), len(d_moduli)), dtype=np.uint64)
-        inv_qd = np.zeros(len(out_moduli), dtype=np.uint64)
-        p_mod = np.zeros(n_ct, dtype=np.uint64)
+        q_d, inv_hat, hat_qi, inv_qd = crt_drop_constants(d_moduli, out_moduli)
+        neg_hat = np.zeros_like(hat_qi)
+        for i, qi in enumerate(out_moduli):
+            for j in range(len(d_moduli)):
+                neg_hat[i, j] = (qi - hat_qi[i, j]) % qi
         P = 1
         for p in self._sp_moduli:
             P *= p
-        for i, qi in enumerate(out_moduli):
-            for j, d in enumerate(d_moduli):
-                neg_hat[i, j] = (-(q_d // d)) % qi
-            r = numth.try_invert_uint_mod(q_d % qi, qi)
-            if r is None:
-                raise ValueError("fused rescale: Q_D not invertible")
-            inv_qd[i] = r
-        for i in range(n_ct):
-            p_mod[i] = P % self._ext_moduli[i]
+        p_mod = np.array([P % self._ext_moduli[i] for i in range(n_ct)],
+                         dtype=np.uint64)
 
         self._fused = {
             "d_limbs": LimbConstants.from_moduli(d_moduli),

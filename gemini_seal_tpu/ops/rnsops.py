@@ -416,6 +416,35 @@ def fastbconv_sk(x_bsk, tool: DeviceRNSTool):
     return modops.add_mod(dest, term, q.p)
 
 
+def crt_drop_constants(d_moduli, out_moduli):
+    """Shared CRT constants for dividing by Q_D = prod(d_moduli) while
+    keeping out_moduli: per-d punctured-product inverses, the hat matrix
+    (Q_D/d_j) mod q_i, and inv(Q_D) mod q_i.  Used by the fused key-switch
+    mod-down (ops.keyswitch) and the fused multi-level mod-switch below."""
+    from ..utils import numth
+
+    q_d = 1
+    for d in d_moduli:
+        q_d *= d
+    nd, no = len(d_moduli), len(out_moduli)
+    inv_hat = np.zeros(nd, dtype=np.uint64)
+    for j, dj in enumerate(d_moduli):
+        r = numth.try_invert_uint_mod((q_d // dj) % dj, dj)
+        if r is None:
+            raise ValueError("drop base: punctured product not invertible")
+        inv_hat[j] = r
+    hat_qi = np.zeros((no, nd), dtype=np.uint64)
+    inv_qd = np.zeros(no, dtype=np.uint64)
+    for i, qi in enumerate(out_moduli):
+        for j, dj in enumerate(d_moduli):
+            hat_qi[i, j] = (q_d // dj) % qi
+        r = numth.try_invert_uint_mod(q_d % qi, qi)
+        if r is None:
+            raise ValueError("drop base: Q_D not invertible")
+        inv_qd[i] = r
+    return q_d, inv_hat, hat_qi, inv_qd
+
+
 class MultiDropPlan:
     """Constants for the fused multi-level BFV mod-switch: ONE rounded
     division by Q_D = prod(dropped primes) instead of a per-level chain of
@@ -425,8 +454,6 @@ class MultiDropPlan:
     results decrypt identically."""
 
     def __init__(self, context, parms_id, levels: int):
-        from ..utils import numth
-
         cd = context.get_context_data(parms_id)
         if cd is None:
             raise ValueError("parms_id is not valid for the context")
@@ -437,31 +464,10 @@ class MultiDropPlan:
         self.levels = levels
         d_moduli = moduli[L - levels:]
         out_moduli = moduli[: L - levels]
-        q_d = 1
-        for d in d_moduli:
-            q_d *= d
+        q_d, inv_hat, hat_qi, inv_qd = crt_drop_constants(d_moduli, out_moduli)
         half = q_d >> 1
-
-        nd, no = len(d_moduli), len(out_moduli)
-        inv_hat = np.zeros(nd, dtype=np.uint64)
-        half_d = np.zeros(nd, dtype=np.uint64)
-        for j, dj in enumerate(d_moduli):
-            r = numth.try_invert_uint_mod((q_d // dj) % dj, dj)
-            if r is None:
-                raise ValueError("multi-drop: punctured product not invertible")
-            inv_hat[j] = r
-            half_d[j] = half % dj
-        hat_qi = np.zeros((no, nd), dtype=np.uint64)
-        inv_qd = np.zeros(no, dtype=np.uint64)
-        half_qi = np.zeros(no, dtype=np.uint64)
-        for i, qi in enumerate(out_moduli):
-            for j, dj in enumerate(d_moduli):
-                hat_qi[i, j] = (q_d // dj) % qi
-            r = numth.try_invert_uint_mod(q_d % qi, qi)
-            if r is None:
-                raise ValueError("multi-drop: Q_D not invertible")
-            inv_qd[i] = r
-            half_qi[i] = half % qi
+        half_d = np.array([half % d for d in d_moduli], dtype=np.uint64)
+        half_qi = np.array([half % q for q in out_moduli], dtype=np.uint64)
 
         self.d_limbs = LimbConstants.from_moduli(d_moduli)
         self.out_limbs = LimbConstants.from_moduli(out_moduli)
@@ -470,7 +476,7 @@ class MultiDropPlan:
         self.hat_d_qi = hat_qi
         self.inv_qd_qi = inv_qd.reshape(-1, 1)
         self.half_qi = half_qi.reshape(-1, 1)
-        self.n_out = no
+        self.n_out = len(out_moduli)
 
 
 def divide_and_round_multi(x, plan: MultiDropPlan):

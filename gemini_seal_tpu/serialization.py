@@ -54,11 +54,13 @@ _HEADER_FMT = "<HBBBBHQ"
 
 
 def _frame(payload: bytes, compr_mode: int) -> bytes:
-    # native runtime path (gst_native.cpp gst_frame: header + zlib deflate,
-    # byte-identical); pure-Python fallback below
-    framed = native.frame(payload, compr_mode) if native.available() else None
-    if framed is not None:
-        return framed
+    # native runtime path for deflate frames (gst_native.cpp gst_frame:
+    # header + zlib, byte-identical); tiny uncompressed frames stay in
+    # Python where struct.pack + concat beats an FFI round trip
+    if compr_mode == COMPR_DEFLATE and native.available():
+        framed = native.frame(payload, compr_mode)
+        if framed is not None:
+            return framed
     if compr_mode == COMPR_DEFLATE:
         payload = zlib.compress(payload)
     total = HEADER_SIZE + len(payload)

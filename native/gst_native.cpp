@@ -213,7 +213,9 @@ int64_t gst_unframe(uint8_t *out, uint64_t out_cap, const uint8_t *data,
   uint8_t compr = data[5];
   uint64_t total;
   std::memcpy(&total, data + 8, 8);
+  if (total < 16) return -1;               // header must cover itself
   if (total > data_len) total = data_len;  // stream semantics (see .py)
+  if (total < 16) return -1;
   if (compr == 0) {
     uint64_t n = data_len - 16;            // hand back the whole remainder
     if (n > out_cap) return -2;

@@ -387,3 +387,17 @@ def test_ckks_evaluate_here_decrypt_there(tmp_path):
     got = [float(v) for v in res.stdout.split()]
     want = [3.0, -4.5, 6.0, 0.25]  # 2 * {1.5, -2.25, 3.0, 0.125}
     assert all(abs(g - w) < 1e-4 for g, w in zip(got, want)), (got, want)
+
+
+def test_native_unframe_rejects_malformed_total():
+    """A crafted header with total < 16 must be rejected (the native path
+    previously underflowed total-16 into a huge zlib source length)."""
+    from gemini_seal_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("native module not built")
+    import struct
+
+    bad = struct.pack("<HBBBBHQ", 0xA15E, 0x10, 3, 5, 1, 0, 5) + b"\x00" * 50
+    with pytest.raises(ValueError):
+        native.unframe(bad)
