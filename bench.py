@@ -70,8 +70,11 @@ def main():
 
     a = np.broadcast_to(np.asarray(ct.data), (batch,) + ct.data.shape)
 
-    # fused=True merges the rescale into the key-switch mod-down (same
-    # logical op, decrypts identically; see PERF.md / ops.keyswitch)
+    # fused=True merges the rescale into the key-switch mod-down: decrypts
+    # EQUAL but is not bit-identical to the sequential oracle-pinned path
+    # (single rounding by P*q_last; see ops.keyswitch.fused_moddown and the
+    # decrypt-equality regression test_pipelines.test_fused_rescale_decrypts
+    # _equal, which pins this exact bench configuration)
     inner = build_ckks_mul_relin_rescale(ctx, fused=True)
     # checksum-returning step: the uint64 full-sum depends on every output
     # element; the salt makes each enqueued call distinct.

@@ -62,13 +62,22 @@ class Encryptor:
     def _fresh_c1_seed(self) -> tuple:
         """c1 seed for seeded encryption: fresh entropy, or (matching every
         other sampling path) a deterministic derivation when the parameter
-        seed is pinned for reproducibility."""
+        seed is pinned for reproducibility.
+
+        The pinned-seed counter is CONTEXT-global, not per-Encryptor: two
+        Encryptor instances over the same pinned context draw distinct c1
+        streams, so the nonce-reuse pattern (identical c1 across different
+        messages leaking plaintext differences via c0 - c0' = Delta(m1 - m2)
+        + e - e') cannot occur within a process.  Pinned seeds remain
+        test-only; distinct processes sharing one pinned seed still collide —
+        never pin parms.random_seed in production.
+        """
         from .utils.prng import random_seed
 
         pinned = self.context.key_context_data().parms.random_seed
         if pinned is not None:
-            self._seeded_counter = getattr(self, "_seeded_counter", 0) + 1
-            c = self._seeded_counter
+            c = getattr(self.context, "_seeded_c1_counter", 0) + 1
+            self.context._seeded_c1_counter = c
             return tuple((s ^ 0x5A5A5A5A5A5A5A5A ^ c) & 0xFFFFFFFFFFFFFFFF
                          for s in pinned)
         return random_seed()

@@ -282,7 +282,79 @@ class Evaluator:
         return out
 
     def square(self, encrypted: Ciphertext) -> Ciphertext:
-        return self.multiply(encrypted, encrypted)
+        """Dedicated square path (reference: evaluator.cpp:560-770
+        bfv_square/ckks_square): for size-2 ciphertexts the BEHZ base
+        extension + NTT lift runs ONCE (multiply runs it per operand) and
+        the 4-product convolution collapses to 3 products (c0^2, 2*c0*c1,
+        c1^2).  Bit-identical to multiply(x, x) — the reference's 2*c0*c1
+        equals its c0*c1 + c1*c0 exactly."""
+        if encrypted.size != 2:
+            return self.multiply(encrypted, encrypted)
+        scheme = self._cd(encrypted).parms.scheme
+        if scheme == SchemeType.BFV:
+            out = self._bfv_square(encrypted)
+        elif scheme == SchemeType.CKKS:
+            out = self._ckks_square(encrypted)
+        else:
+            raise ValueError("unsupported scheme")
+        if out.is_transparent():
+            raise RuntimeError("result ciphertext is transparent")
+        return out
+
+    def _square_convolve(self, polys: List, limbs) -> List:
+        """Size-2 square convolution: [c0^2, 2*c0*c1, c1^2]
+        (evaluator.cpp:659-676 behz_ciphertext_square)."""
+        a0, a1 = polys
+        cross = dyadic_product(a0, a1, limbs)
+        return [
+            dyadic_product(a0, a0, limbs),
+            add_poly(cross, cross, limbs),
+            dyadic_product(a1, a1, limbs),
+        ]
+
+    def _bfv_square(self, encrypted: Ciphertext) -> Ciphertext:
+        """BEHZ RNS squaring, one base extension (evaluator.cpp:560-706)."""
+        if encrypted.is_ntt_form:
+            raise ValueError("BFV square operand cannot be in NTT form")
+        cd = self._cd(encrypted)
+        parms = cd.parms
+        tool = cd.device_rns_tool
+        limbs = cd.limb_constants
+        bsk_limbs = tool.Bsk_limbs
+        t = np.uint64(parms.plain_modulus.value)
+
+        # steps (1)-(3) ONCE: lift to q U Bsk, NTT both
+        q_ntt = ntt_forward(encrypted.data, cd.ntt_tables)
+        lifted = fastbconv_m_tilde(encrypted.data, tool)
+        bsk = sm_mrq(lifted, tool)
+        bsk_ntt = ntt_forward(bsk, tool.base_Bsk_ntt_tables)
+
+        # step (4): 3-product square convolution in both bases
+        dest_q = self._square_convolve(list(q_ntt), limbs)
+        dest_bsk = self._square_convolve(list(bsk_ntt), bsk_limbs)
+
+        # steps (5)-(8), as in _bfv_multiply
+        out_polys = []
+        for dq, dbsk in zip(dest_q, dest_bsk):
+            dq = ntt_inverse(dq, cd.ntt_tables)
+            dbsk = ntt_inverse(dbsk, tool.base_Bsk_ntt_tables)
+            tq = multiply_poly_scalar(dq, t, limbs)
+            tbsk = modops.mul_mod(dbsk, t, bsk_limbs.p, bsk_limbs.ratio0, bsk_limbs.ratio1)
+            floored = fast_floor(tq, tbsk, tool)
+            out_polys.append(fastbconv_sk(floored, tool))
+        return Ciphertext(
+            xp(*out_polys).stack(out_polys), encrypted.parms_id, False, encrypted.scale
+        )
+
+    def _ckks_square(self, encrypted: Ciphertext) -> Ciphertext:
+        """reference: evaluator.cpp:708-770."""
+        if not encrypted.is_ntt_form:
+            raise ValueError("CKKS square operand must be in NTT form")
+        cd = self._cd(encrypted)
+        new_scale = encrypted.scale * encrypted.scale
+        self._check_scale_bounds(new_scale, cd)
+        dest = self._square_convolve(list(encrypted.data), cd.limb_constants)
+        return Ciphertext(xp(*dest).stack(dest), encrypted.parms_id, True, new_scale)
 
     def _convolve(self, a_polys: List, b_polys: List, limbs) -> List:
         """dest[k] = sum_{i+j=k} a_i ⊙ b_j (evaluator.cpp:376-420)."""

@@ -64,8 +64,18 @@ def inspect(
         raise ValueError("ciphertext is not valid for the context")
     scheme = cd.parms.scheme
     budget = None
-    if decryptor is not None and scheme == SchemeType.BFV and not ct.is_ntt_form:
-        budget = decryptor.invariant_noise_budget(ct)
+    if decryptor is not None and scheme == SchemeType.BFV:
+        probe = ct
+        if ct.is_ntt_form:
+            # budget is defined on the power basis; lift a copy out of NTT
+            # form so a supplied Decryptor always yields a number
+            from .ops.ntt import ntt_inverse
+
+            probe = Ciphertext(
+                ntt_inverse(np.asarray(ct.data), cd.ntt_tables),
+                ct.parms_id, False, ct.scale,
+            )
+        budget = decryptor.invariant_noise_budget(probe)
     arr = np.asarray(ct.data)
     import math
 

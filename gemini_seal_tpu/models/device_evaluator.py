@@ -104,6 +104,7 @@ class DeviceEvaluator:
 
     # -- linear ops ---------------------------------------------------------
     def add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        self.host._check_same(a, b)
         if a.size != b.size:
             return self.put(self.host.add(self.get(a), self.get(b)))
         cd = self._cd(a)
@@ -113,6 +114,7 @@ class DeviceEvaluator:
         return Ciphertext(fn(a.data, b.data), a.parms_id, a.is_ntt_form, a.scale)
 
     def sub(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        self.host._check_same(a, b)
         if a.size != b.size:
             return self.put(self.host.sub(self.get(a), self.get(b)))
         cd = self._cd(a)
@@ -176,7 +178,42 @@ class DeviceEvaluator:
         return Ciphertext(out, a.parms_id, a.is_ntt_form, new_scale)
 
     def square(self, a: Ciphertext) -> Ciphertext:
-        return self.multiply(a, a)
+        """Dedicated square: 3-product convolution, and for BFV one base
+        extension instead of two (reference: evaluator.cpp:560-770);
+        bit-exact with multiply(a, a)."""
+        if a.size != 2:
+            return self.multiply(a, a)
+        cd = self._cd(a)
+        scheme = cd.parms.scheme
+        if scheme == SchemeType.CKKS:
+            self.host._check_scale_bounds(a.scale * a.scale, cd)
+            limbs = cd.limb_constants
+
+            def build():
+                import jax.numpy as jnp
+
+                from .pipelines import _square3
+
+                def fn(x):
+                    return jnp.stack(_square3(x, limbs), axis=-3)
+
+                return fn
+
+            f = self._jit(("ckks_square", a.parms_id), build)
+            return Ciphertext(f(a.data), a.parms_id, True, a.scale * a.scale)
+        # BFV: trace the host's dedicated BEHZ square once per shape
+        host = self.host
+        key = ("bfv_square", a.parms_id, a.is_ntt_form)
+
+        def build():
+            def fn(x):
+                ca = Ciphertext(x, a.parms_id, a.is_ntt_form, a.scale)
+                return host.square(ca).data
+
+            return fn
+
+        f = self._jit(key, build)
+        return Ciphertext(f(a.data), a.parms_id, a.is_ntt_form, a.scale)
 
     # -- key switching --------------------------------------------------
     def relinearize(self, a: Ciphertext, relin_keys: RelinKeys) -> Ciphertext:
@@ -202,8 +239,20 @@ class DeviceEvaluator:
         kdata = self._key_data(relin_keys, 2)
         return Ciphertext(f(a.data, kdata), a.parms_id, is_ntt, a.scale)
 
+    def _check_galois(self, a: Ciphertext, galois_keys: GaloisKeys, elts):
+        """Host-plane eager validations mirroring Evaluator.apply_galois
+        (a size-3 ciphertext's c2 would otherwise be silently dropped)."""
+        if galois_keys.parms_id != self.context.key_parms_id:
+            raise ValueError("galois_keys is not valid for encryption parameters")
+        if a.size > 2:
+            raise ValueError("encrypted size must be 2")
+        for elt in elts:
+            if not galois_keys.has_key(elt):
+                raise ValueError("Galois key not present")
+
     def apply_galois(self, a: Ciphertext, galois_elt: int,
                      galois_keys: GaloisKeys) -> Ciphertext:
+        self._check_galois(a, galois_keys, (galois_elt,))
         cd = self._cd(a)
         plan = self._plan(a.parms_id)
         tool = cd.galois_tool
@@ -248,6 +297,7 @@ class DeviceEvaluator:
         limbs = cd.limb_constants
         is_ntt = a.is_ntt_form
         elts = tuple(tool.get_elt_from_step(s) for s in steps)
+        self._check_galois(a, galois_keys, elts)
 
         def build():
             import jax.numpy as jnp

@@ -60,6 +60,21 @@ def _convolve3(a, b, limbs):
     return c0, c1, c2
 
 
+def _square3(a, limbs):
+    """Size-2 ciphertext square -> 3 components, batched: 3 dyadic products
+    instead of _convolve3's 4 (reference: evaluator.cpp:659-676); bit-exact
+    with _convolve3(a, a).
+
+    a: [..., 2, L, N].
+    """
+    a0, a1 = a[..., 0, :, :], a[..., 1, :, :]
+    cross = dyadic_product(a0, a1, limbs)
+    c0 = dyadic_product(a0, a0, limbs)
+    c1 = add_poly(cross, cross, limbs)
+    c2 = dyadic_product(a1, a1, limbs)
+    return c0, c1, c2
+
+
 def _relinearize_batched(c0, c1, c2, key_data, plan, limbs, is_ntt: bool):
     """Fold the c2 component back to (c0, c1) via hybrid key switch.
 
@@ -70,7 +85,8 @@ def _relinearize_batched(c0, c1, c2, key_data, plan, limbs, is_ntt: bool):
 
 
 def build_ckks_mul_relin_rescale(context: SealContext, parms_id=None,
-                                 fused: bool = False) -> Callable:
+                                 fused: bool = False,
+                                 square: bool = False) -> Callable:
     """fn(ct_a, ct_b, relin_key) -> next-level ciphertext data.
 
     ct_*: u64[..., 2, L, N] (NTT form); relin_key: u64[n_bundles, 2, L_key, N].
@@ -81,6 +97,10 @@ def build_ckks_mul_relin_rescale(context: SealContext, parms_id=None,
     by P*q_last instead of two sequential roundings): one NTT round trip per
     component saved; decrypts equal but not bit-identical to the sequential
     path (see ops.keyswitch.fused_moddown).
+
+    square=True returns fn(ct, relin_key) using the 3-product square
+    convolution (bit-exact with the multiply path on identical operands;
+    reference: evaluator.cpp:708-770 ckks_square).
     """
     if parms_id is None:
         parms_id = context.first_parms_id
@@ -90,11 +110,14 @@ def build_ckks_mul_relin_rescale(context: SealContext, parms_id=None,
     tool = cd.device_rns_tool
     plan = KeySwitchPlan(context, parms_id)
 
+    def product(a, b):
+        return _square3(a, limbs) if square else _convolve3(a, b, limbs)
+
     if fused:
         plan.fused_drop_constants()  # precompute on host, outside the trace
 
-        def step(a, b, relin_key):
-            c0, c1, c2 = _convolve3(a, b, limbs)
+        def step_fused(a, b, relin_key):
+            c0, c1, c2 = product(a, b)
             ct_k = compute_modup_digits(c2, plan, True)
             acc0, acc1 = keyswitch_inner_product(
                 ct_k, relin_key, plan, True, raw=True
@@ -103,14 +126,18 @@ def build_ckks_mul_relin_rescale(context: SealContext, parms_id=None,
             out1 = fused_moddown(c1, acc1, plan)
             return jnp.stack([out0, out1], axis=-3)
 
-        return step
+        if square:
+            return lambda a, relin_key: step_fused(a, a, relin_key)
+        return step_fused
 
     def step(a, b, relin_key):
-        c0, c1, c2 = _convolve3(a, b, limbs)
+        c0, c1, c2 = product(a, b)
         c0, c1 = _relinearize_batched(c0, c1, c2, relin_key, plan, limbs, True)
         ct = jnp.stack([c0, c1], axis=-3)
         return divide_and_round_q_last_ntt(ct, tool, tables)
 
+    if square:
+        return lambda a, relin_key: step(a, a, relin_key)
     return step
 
 
@@ -133,10 +160,16 @@ def build_ckks_rotate(context: SealContext, steps: int, parms_id=None) -> Callab
     return step
 
 
-def build_bfv_mul_relin(context: SealContext, parms_id=None) -> Callable:
+def build_bfv_mul_relin(context: SealContext, parms_id=None,
+                        square: bool = False) -> Callable:
     """fn(ct_a, ct_b, relin_key) -> size-2 ciphertext data (BFV, BEHZ).
 
     Benchmark config 1/3's hot step.
+
+    square=True returns fn(ct, relin_key): ONE base extension + NTT lift
+    (multiply runs them per operand) and the 3-product square convolution
+    (reference: evaluator.cpp:560-706 bfv_square); bit-exact with the
+    multiply path on identical operands.
     """
     if parms_id is None:
         parms_id = context.first_parms_id
@@ -157,9 +190,13 @@ def build_bfv_mul_relin(context: SealContext, parms_id=None) -> Callable:
 
     def step(a, b, relin_key):
         aq, absk = extend(a)
-        bq, bbsk = extend(b)
-        dq = _convolve3(aq, bq, limbs)
-        dbsk = _convolve3(absk, bbsk, bsk_limbs)
+        if square:
+            dq = _square3(aq, limbs)
+            dbsk = _square3(absk, bsk_limbs)
+        else:
+            bq, bbsk = extend(b)
+            dq = _convolve3(aq, bq, limbs)
+            dbsk = _convolve3(absk, bbsk, bsk_limbs)
         out = []
         for k in range(3):
             q_part = ntt_inverse(dq[k], cd.ntt_tables)
@@ -172,6 +209,8 @@ def build_bfv_mul_relin(context: SealContext, parms_id=None) -> Callable:
         c0, c1 = _relinearize_batched(out[0], out[1], out[2], relin_key, plan, limbs, False)
         return jnp.stack([c0, c1], axis=-3)
 
+    if square:
+        return lambda a, relin_key: step(a, a, relin_key)
     return step
 
 
