@@ -1,0 +1,102 @@
+"""Emit the ICI comm-volume table for PERF.md.
+
+Real multi-chip hardware is unavailable, so the scaling-efficiency
+evidence is a byte-count model extracted from the GSPMD-partitioned HLO:
+for each sharded pipeline we report the per-step collective traffic
+(result bytes per device, by collective kind) next to the step's HBM
+working-set bytes — the ratio bounds the ICI:HBM pressure and therefore
+the parallel efficiency on a real v5e pod (ICI ~ 4x HBM bandwidth per
+chip per direction; see PERF.md roofline).
+
+Usage: XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+       python tools/comm_table.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from gemini_seal_tpu import (
+    CKKSEncoder, CoeffModulus, EncryptionParameters, Encryptor, KeyGenerator,
+    SchemeType, SecLevelType, SealContext,
+)
+from gemini_seal_tpu.models.pipelines import (
+    build_ckks_mul_relin_rescale, build_ckks_train_step,
+)
+from gemini_seal_tpu.parallel.comm import collective_stats
+from gemini_seal_tpu.parallel.mesh import make_he_mesh
+
+
+def make_ctx(n, n_primes, nsp):
+    parms = EncryptionParameters(SchemeType.CKKS)
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.create(n, [30] * n_primes))
+    parms.set_n_special_primes(nsp)
+    parms.set_random_seed(tuple(range(21, 29)))
+    ctx = SealContext(parms, sec_level=SecLevelType.none)
+    return ctx, KeyGenerator(ctx)
+
+
+def row(name, ctx, kg, batch, dp, limb, builder, n_keys=1):
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    rk = kg.relin_keys()
+    ct = enc.encrypt(encoder.encode([0.5], 2.0 ** 25))
+    a = np.stack([np.asarray(ct.data)] * batch)
+    rk_data = np.stack([np.asarray(pk.data.data) for pk in rk.key(2)])
+
+    mesh = make_he_mesh(n_devices=dp * limb, dp=dp, limb=limb)
+    ct_sh = NamedSharding(mesh, P("dp" if dp > 1 else None, None, "limb", None))
+    key_sh = NamedSharding(mesh, P())
+
+    args = [jax.device_put(a, ct_sh), jax.device_put(a, ct_sh),
+            jax.device_put(rk_data, key_sh)]
+    if n_keys == 2:
+        tool = ctx.first_context_data().galois_tool
+        gk = kg.galois_keys([tool.get_elt_from_step(1)])
+        gk_data = np.stack(
+            [np.asarray(pk.data.data) for pk in gk.key(tool.get_elt_from_step(1))]
+        )
+        args.append(jax.device_put(gk_data, key_sh))
+
+    step = jax.jit(builder(ctx), in_shardings=tuple(
+        [ct_sh, ct_sh] + [key_sh] * n_keys))
+    stats = collective_stats(step.lower(*args).compile().as_text())
+
+    hbm = a.nbytes * 2 + rk_data.nbytes  # inputs' working set per step
+    kinds = ", ".join(
+        f"{k}:{stats.bytes[k]//1024}K" for k in sorted(stats.count)
+    ) or "none"
+    print(f"| {name} | ({dp},{limb}) | {a.shape} | {stats.total_bytes/1024:.0f} KiB "
+          f"| {hbm/1024:.0f} KiB | {stats.total_bytes/max(hbm,1):.2f} | {kinds} |")
+
+
+def main():
+    print("| pipeline | mesh (dp,limb) | ct shape | ICI bytes/step | "
+          "HBM working set | ICI:HBM | by kind |")
+    print("|---|---|---|---|---|---|---|")
+
+    # realistic serving shape: N=4096, L=8 + nsp=2
+    ctx, kg = make_ctx(4096, 10, 2)
+    row("mul+relin+rescale", ctx, kg, 8, 2, 4,
+        lambda c: build_ckks_mul_relin_rescale(c))
+    row("mul+relin+rescale (fused)", ctx, kg, 8, 2, 4,
+        lambda c: build_ckks_mul_relin_rescale(c, fused=True))
+    row("mul+relin+rescale", ctx, kg, 8, 1, 8,
+        lambda c: build_ckks_mul_relin_rescale(c))
+    row("mul+relin+rescale", ctx, kg, 8, 8, 1,
+        lambda c: build_ckks_mul_relin_rescale(c))
+    row("train step (mul+rot+add)", ctx, kg, 8, 2, 4,
+        lambda c: build_ckks_train_step(c), n_keys=2)
+
+
+if __name__ == "__main__":
+    main()
