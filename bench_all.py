@@ -225,22 +225,25 @@ def main():
     elts = [tool.get_elt_from_step(1), tool.get_elt_from_step(2)]
     gk = kg.galois_keys(elts)
     coeffs = [1.0, -0.5, 0.25, 0.125, 0.0625]
+    # composed=True: one jitted program per level + one combine program —
+    # seconds of compile instead of the ~10-min monolithic deep graph, and
+    # the batch can sit at the sweet spot (PERF.md compile-time note)
     stepfn, deep_id, out_scale = build_ckks_poly_eval(
         ctx, coeffs, scale, encoder, rotate_sum_log2=2,
-        coeff_precision_bits=25,
+        coeff_precision_bits=25, composed=True,
     )
     ct = enc.encrypt(encoder.encode([0.5] * encoder.slot_count, scale))
     rk_data = np.stack([np.asarray(pk.data.data) for pk in rk.key(2)])
     gk_stack = np.stack([
         np.stack([np.asarray(pk.data.data) for pk in gk.key(e)]) for e in elts
     ])
-    deep_batch = max(B // 4, 1)
+    deep_batch = B
     a = np.broadcast_to(np.asarray(ct.data), (deep_batch,) + ct.data.shape)
-    step = checksum_jit(stepfn)
+    cks = jax.jit(lambda salt, y: jnp.sum(y, dtype=jnp.uint64) + salt)
     da = jax.device_put(a)
     dk = jax.device_put(rk_data)
     dg = jax.device_put(gk_stack)
-    ops = _sync_time(lambda s, x, k, g: step(s, x, k, g), (da, dk, dg),
+    ops = _sync_time(lambda s, x, k, g: cks(s, stepfn(x, k, g)), (da, dk, dg),
                      deep_batch, cfg.iters)
     emit(f"ckks_deep_poly4_rot_n{n}_ops_per_s", ops, "ciphertext_ops/s")
 

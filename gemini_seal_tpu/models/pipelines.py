@@ -271,14 +271,24 @@ def build_ckks_rotate_many(context: SealContext, steps, parms_id=None) -> Callab
 def build_ckks_poly_eval(context: SealContext, coeffs, scale: float,
                          encoder, rotate_sum_log2: int = 0,
                          coeff_precision_bits: int = 30,
-                         fused: bool = False):
+                         fused: bool = False,
+                         composed: bool = False):
     """Deep encrypted polynomial evaluation (BASELINE config 5).
 
     Computes p(x) = sum_k coeffs[k] * x^k over len(coeffs)-2 multiplicative
     levels: a sequential power chain (each step multiply + relinearize +
-    rescale), then the plaintext linear combination at the deepest level
-    with per-term scale alignment, optionally followed by a log-tree of
-    rotations summing 2^rotate_sum_log2 adjacent slots.
+    rescale; the first step is the 3-product SQUARE), then the plaintext
+    linear combination at the deepest level with per-term scale alignment,
+    optionally followed by a log-tree of rotations summing
+    2^rotate_sum_log2 adjacent slots.
+
+    composed=False returns one jittable step — a single deep XLA graph
+    (minutes of one-time compile at N=32768).  composed=True returns an
+    already-compiled PYTHON callable chaining one jitted program per level
+    plus one combine program: each sub-program compiles in seconds and the
+    ~0.74 ms/dispatch overhead is negligible against the per-level compute
+    (PERF.md "compile-time note" prescription).  Outputs are bit-identical
+    between the two modes.
 
     Returns (step, out_parms_id, out_scale):
     step(x_data, relin_key, galois_keys_stack) -> u64[..., 2, L_deep, N].
@@ -303,7 +313,8 @@ def build_ckks_poly_eval(context: SealContext, coeffs, scale: float,
     deep_limbs = deep_cd.limb_constants
     L_deep = len(deep_cd.parms.coeff_modulus)
 
-    muls = [build_ckks_mul_relin_rescale(context, ids[k], fused=fused)
+    muls = [build_ckks_mul_relin_rescale(context, ids[k], fused=fused,
+                                         square=(k == 0))
             for k in range(n_levels)]
 
     # scale of x^k after the chain + mod-switch-down to the deepest level
@@ -322,14 +333,15 @@ def build_ckks_poly_eval(context: SealContext, coeffs, scale: float,
 
     rot_plan = KeySwitchPlan(context, deep_id) if rotate_sum_log2 else None
 
-    def step(x, relin_key, galois_keys_stack):
-        # power chain: powers[k] = x^(k+1) data at level k (scale chain above)
-        powers = [x]
-        for k in range(n_levels):
-            L_k = len(context.get_context_data(ids[k]).parms.coeff_modulus)
-            xk = x[..., :L_k, :]                       # mod-switch-drop of x
-            powers.append(muls[k](powers[-1], xk, relin_key))
-        # linear combination at the deepest level
+    def level_step(k, prev, x, relin_key):
+        """One power-chain level: x^(k+1) -> x^(k+2) (k=0 is the square)."""
+        if k == 0:
+            return muls[0](prev, relin_key)
+        L_k = len(context.get_context_data(ids[k]).parms.coeff_modulus)
+        return muls[k](prev, x[..., :L_k, :], relin_key)
+
+    def combine(powers, galois_keys_stack):
+        """Plaintext linear combination at the deepest level + rotation tree."""
         acc_c0 = const_plain
         acc = None
         for k in range(1, degree + 1):
@@ -348,6 +360,30 @@ def build_ckks_poly_eval(context: SealContext, coeffs, scale: float,
                 rot = jnp.stack([add_poly(rc0, d0, deep_limbs), d1], axis=-3)
                 r = add_poly(r, rot, deep_limbs)
         return r
+
+    if composed:
+        import jax
+
+        level_jits = [
+            jax.jit(lambda prev, x, rk, k=k: level_step(k, prev, x, rk))
+            for k in range(n_levels)
+        ]
+        combine_jit = jax.jit(combine)
+
+        def run(x, relin_key, galois_keys_stack):
+            powers = [x]
+            for k in range(n_levels):
+                powers.append(level_jits[k](powers[-1], x, relin_key))
+            return combine_jit(powers, galois_keys_stack)
+
+        return run, deep_id, target_scale
+
+    def step(x, relin_key, galois_keys_stack):
+        # power chain: powers[k] = x^(k+1) data at level k (scale chain above)
+        powers = [x]
+        for k in range(n_levels):
+            powers.append(level_step(k, powers[-1], x, relin_key))
+        return combine(powers, galois_keys_stack)
 
     return step, deep_id, target_scale
 

@@ -305,6 +305,16 @@ def test_deep_poly_eval():
     for g, e in zip(got[: len(vals)], expect):
         assert abs(g - e) < 1e-3, (got[: len(vals)], expect)
 
+    # composed=True (per-level jitted programs, the production deep-circuit
+    # mode) must be bit-identical to the monolithic graph
+    run, deep_id2, out_scale2 = build_ckks_poly_eval(
+        ctx, coeffs, scale, encoder, rotate_sum_log2=1,
+        coeff_precision_bits=25, composed=True,
+    )
+    assert deep_id2 == deep_id and out_scale2 == out_scale
+    out_composed = np.asarray(run(np.asarray(ct.data), rk_data, gk_stack))
+    np.testing.assert_array_equal(out_composed, out)
+
 
 def test_multi_special_prime_pipeline():
     """nsp=3 hybrid key-switch through the jitted pipeline is bit-exact vs

@@ -146,6 +146,19 @@ int main(int argc, char **argv) {
     printf("\n");
     return 0;
   }
+  if (cmd == "budget") {
+    // Print the reference's invariant noise budget for a ciphertext file —
+    // the absolute-noise cross-check for the noise-accounting harness.
+    auto parms = bfv_parms();
+    auto ctx = SEALContext::Create(parms, true, sec_level_type::none);
+    SecretKey sk;
+    { ifstream f(dir + "/sk.bin", ios::binary); sk.load(ctx, f); }
+    Decryptor dec(ctx, sk);
+    Ciphertext c;
+    { ifstream f(argv[3], ios::binary); c.load(ctx, f); }
+    cout << dec.invariant_noise_budget(c) << endl;
+    return 0;
+  }
   if (cmd == "seededsk") {
     // Generate the secret key under a pinned BlakePRNG seed and dump its
     // NTT-form limbs as hex, for bit-exact PRNG/sampler/NTT parity checks.
