@@ -59,9 +59,18 @@ class ComplexRoots:
 
 
 class BatchEncoder:
-    """BFV SIMD slots (reference: batchencoder.cpp)."""
+    """BFV SIMD slots (reference: batchencoder.cpp).
 
-    def __init__(self, context: SealContext):
+    compat_gen3=True reproduces the reference's generator-3 index map
+    (batchencoder.cpp:77-91) so slot ORDER interoperates with plaintexts
+    batch-encoded by the reference; rotations on such data must then use
+    generator-3 Galois elements (GaloisTool.get_elt_from_step(...,
+    generator=3)) to act as row rotations.  The default generator-5 map
+    matches the fork's GaloisTool (galois.h:169) so the standard
+    rotate_rows/rotate_columns keys permute slots correctly (README
+    deviation #2)."""
+
+    def __init__(self, context: SealContext, compat_gen3: bool = False):
         if not context.parameters_set():
             raise ValueError("encryption parameters are not set correctly")
         cd = context.first_context_data()
@@ -71,6 +80,7 @@ class BatchEncoder:
             raise ValueError("encryption parameters are not valid for batching")
         self.context = context
         self.slots = cd.parms.poly_modulus_degree
+        self.generator = 3 if compat_gen3 else 5
         self._index_map = self._populate_index_map()
 
     @property
@@ -83,13 +93,14 @@ class BatchEncoder:
         Deviation: the reference builds this map with generator 3 while the
         fork's GaloisTool rotates with generator 5 (galois.h:169) — which,
         combined with the fork's BFV key-switch bug, leaves BFV batching
-        rotations broken in the reference.  We use generator 5 here so
-        rotate_rows/rotate_columns permute slots correctly."""
+        rotations broken in the reference.  We use generator 5 by default so
+        rotate_rows/rotate_columns permute slots correctly; compat_gen3
+        gives the reference-interoperable order."""
         n = self.slots
         logn = numth.get_power_of_two(n)
         row_size = n >> 1
         m = n << 1
-        gen, pos = 5, 1
+        gen, pos = self.generator, 1
         index_map = np.zeros(n, dtype=np.int64)
         for i in range(row_size):
             index1 = (pos - 1) >> 1

@@ -75,11 +75,32 @@ class KeyGenerator:
         self._compute_sk_powers(power)
         return self._sk_powers[power - 1]
 
+    def _fresh_key_seed(self) -> tuple:
+        """c1 seed for seeded (Serializable) key-switch keys: fresh entropy,
+        or a context-global deterministic derivation when the parameter seed
+        is pinned (mirrors Encryptor._fresh_c1_seed; pinned seeds are
+        test-only)."""
+        from .utils.prng import random_seed
+
+        pinned = self.context.key_context_data().parms.random_seed
+        if pinned is not None:
+            c = getattr(self.context, "_seeded_c1_counter", 0) + 1
+            self.context._seeded_c1_counter = c
+            return tuple((s ^ 0x3C3C3C3C3C3C3C3C ^ c) & 0xFFFFFFFFFFFFFFFF
+                         for s in pinned)
+        return random_seed()
+
     # -- hybrid key-switching keygen (fork) ------------------------------
-    def _generate_one_kswitch_key(self, new_key) -> List[PublicKey]:
+    def _generate_one_kswitch_key(self, new_key,
+                                  seeds: Optional[list] = None) -> List[PublicKey]:
         """Bundle-wise keys for switching from `new_key` (NTT form,
         [n_ct_rns(+), N]) back to the secret key
-        (reference: keygenerator.cpp:325-369)."""
+        (reference: keygenerator.cpp:325-369).
+
+        When `seeds` is a list, each bundle ciphertext's c1 is drawn from a
+        fresh published seed (appended to the list) — the seeded dataflow of
+        Serializable<RelinKeys>/<GaloisKeys> (keygenerator.h, seed flow
+        rlwe.cpp:295-301), halving key wire size."""
         ctx = self.context
         if not ctx.using_keyswitching:
             raise RuntimeError("keyswitching is not supported by the context")
@@ -101,8 +122,13 @@ class KeyGenerator:
 
         out: List[PublicKey] = []
         for b in range(decomp_mod_count):
+            c1_seed = None
+            if seeds is not None:
+                c1_seed = self._fresh_key_seed()
+                seeds.append(c1_seed)
             ct = encrypt_zero_symmetric(
-                self._secret_key, ctx, key_cd.parms_id, is_ntt_form=True
+                self._secret_key, ctx, key_cd.parms_id, is_ntt_form=True,
+                c1_seed=c1_seed,
             )
             rns0 = b * n_sp_rns
             rns1 = min(rns0 + n_sp_rns, n_ct_rns)
@@ -132,6 +158,60 @@ class KeyGenerator:
         ]
         rk.parms_id = self.context.key_parms_id
         return rk
+
+    def relin_keys_serializable(self, count: int = 1):
+        """Seed-compressed relinearization keys: serialize at roughly half
+        size (c0 + 64-byte c1 seed per bundle ciphertext; reference:
+        KeyGenerator::relin_keys returning Serializable<RelinKeys>,
+        keygenerator.h:96-118).  The wrapped .obj is a fully expanded
+        RelinKeys, usable directly."""
+        from .serialization import SerializableKSwitchKeys
+
+        if not 1 <= count <= CIPHERTEXT_SIZE_MAX - 2:
+            raise ValueError("invalid count")
+        self._compute_sk_powers(count + 1)
+        rk = RelinKeys()
+        seed_rows = []
+        rk.keys = []
+        for p in range(1, count + 1):
+            seeds: list = []
+            rk.keys.append(
+                self._generate_one_kswitch_key(self._sk_powers[p], seeds=seeds)
+            )
+            seed_rows.append(seeds)
+        rk.parms_id = self.context.key_parms_id
+        return SerializableKSwitchKeys(rk, seed_rows)
+
+    def galois_keys_serializable(self, galois_elts: Optional[Sequence[int]] = None):
+        """Seed-compressed Galois keys (reference: KeyGenerator::galois_keys
+        returning Serializable<GaloisKeys>, keygenerator.h:131-178) — the
+        largest objects shipped to a serving accelerator, halved on the
+        wire."""
+        from .serialization import SerializableKSwitchKeys
+
+        ctx = self.context
+        key_cd = ctx.key_context_data()
+        galois_tool = key_cd.galois_tool
+        if galois_elts is None:
+            galois_elts = galois_tool.get_elts_all()
+        n = key_cd.parms.poly_modulus_degree
+
+        gk = GaloisKeys()
+        max_index = max(GaloisKeys.get_index(e) for e in galois_elts)
+        gk.keys = [[] for _ in range(max_index + 1)]
+        seed_rows = [[] for _ in range(max_index + 1)]
+        for elt in galois_elts:
+            if elt % 2 == 0 or elt >= 2 * n:
+                raise ValueError("Galois element is not valid")
+            idx = GaloisKeys.get_index(elt)
+            if gk.keys[idx]:
+                continue
+            rotated = galois_tool.apply_galois_ntt(self._secret_key.data, elt)
+            seeds: list = []
+            gk.keys[idx] = self._generate_one_kswitch_key(rotated, seeds=seeds)
+            seed_rows[idx] = seeds
+        gk.parms_id = ctx.key_parms_id
+        return SerializableKSwitchKeys(gk, seed_rows)
 
     def galois_keys_from_steps(self, steps: Sequence[int]) -> GaloisKeys:
         """Keys for a list of rotation steps (reference:

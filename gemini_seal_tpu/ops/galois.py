@@ -37,9 +37,12 @@ class GaloisTool:
         self._coeff_tables: Dict[int, tuple] = {}
 
     # -- element maps -----------------------------------------------------
-    def get_elt_from_step(self, step: int) -> int:
-        """Rotation step -> Galois element 3^step mod 2N
-        (reference: galois.cpp:49-91)."""
+    def get_elt_from_step(self, step: int, generator: int = None) -> int:
+        """Rotation step -> Galois element gen^step mod 2N
+        (reference: galois.cpp:49-91; the fork's generator is 5).
+
+        Pass generator=3 for rotations over reference-compatible
+        (BatchEncoder compat_gen3) slot orderings."""
         n = self.coeff_count
         m = 2 * n
         if step == 0:
@@ -50,9 +53,10 @@ class GaloisTool:
             raise ValueError("step count too large")
         pos_step &= m - 1
         step = (n >> 1) - pos_step if sign else pos_step
+        gen = self.GENERATOR if generator is None else generator
         elt = 1
         for _ in range(step):
-            elt = (elt * self.GENERATOR) & (m - 1)
+            elt = (elt * gen) & (m - 1)
         return elt
 
     def get_elts_from_steps(self, steps: Sequence[int]) -> List[int]:

@@ -29,6 +29,7 @@ from .utils import native
 
 __all__ = [
     "SerializableCiphertext",
+    "SerializableKSwitchKeys",
     "COMPR_NONE",
     "COMPR_DEFLATE",
     "save",
@@ -80,11 +81,22 @@ def _unframe(data: bytes, offset: int = 0):
         raise ValueError("loaded SEALHeader is invalid (bad magic)")
     if hsize != HEADER_SIZE:
         if hsize == 0:
-            # legacy SEAL 3.4 header: {magic u16, zero u8, compr u8, size u32}
-            # (reference: serialization.h:309+ back-compat loader)
-            raise ValueError(
-                "legacy SEAL 3.4 header detected; re-serialize with SEAL 3.5"
+            # Legacy SEAL 3.4 header: {magic u16, zero u8, compr u8,
+            # size u32, reserved u64} — same 16-byte footprint.  Mirror the
+            # reference's upgrade path (serialization.cpp:137-165 /
+            # serialization.h:305-334 legacy_headers::SEALHeader_3_4):
+            # reinterpret the header, carry over compr_mode and size, and
+            # load the members with the current readers.
+            _m, _z, compr, size, _res = struct.unpack_from(
+                "<HBBIQ", data, offset
             )
+            if compr not in (COMPR_NONE, COMPR_DEFLATE):
+                raise ValueError("unsupported compression mode (legacy header)")
+            if compr == COMPR_DEFLATE:
+                payload = zlib.decompress(data[offset + HEADER_SIZE : offset + size])
+            else:
+                payload = data[offset + HEADER_SIZE :]
+            return payload, size
         raise ValueError("loaded SEALHeader is invalid (bad header size)")
     if compr == COMPR_DEFLATE:
         payload = zlib.decompress(data[offset + HEADER_SIZE : offset + size])
@@ -329,6 +341,34 @@ class SerializableCiphertext:
         payload += struct.pack("<d", c.scale)
         payload += _int_array_save(arr[0])
         payload += _u64s(np.asarray(self.seed, dtype=np.uint64))
+        return _frame(bytes(payload), compr_mode)
+
+
+class SerializableKSwitchKeys:
+    """Seed-compressed key-switch keys (RelinKeys / GaloisKeys) wrapper
+    (reference: Serializable<RelinKeys>/<GaloisKeys>, keygenerator.h +
+    serializable.h): every bundle ciphertext serializes as c0 + its 64-byte
+    c1 seed — roughly half the wire size of expanded keys, the dominant
+    bandwidth cost of shipping Galois-key sets to a serving accelerator.
+
+    `.obj` is the fully expanded keys object (usable directly);
+    load the saved bytes with load_relin_keys / load_galois_keys — the
+    seeded inner ciphertexts expand transparently on load.
+    """
+
+    def __init__(self, obj: KSwitchKeys, seed_rows):
+        self.obj = obj
+        self.seed_rows = seed_rows
+
+    def save(self, compr_mode: int = COMPR_NONE) -> bytes:
+        k = self.obj
+        payload = bytearray()
+        payload += _u64s(np.array(k.parms_id, dtype=np.uint64))
+        payload += struct.pack("<Q", len(k.keys))
+        for row, seeds in zip(k.keys, self.seed_rows):
+            payload += struct.pack("<Q", len(row))
+            for pk, seed in zip(row, seeds):
+                payload += SerializableCiphertext(pk.data, seed).save(COMPR_NONE)
         return _frame(bytes(payload), compr_mode)
 
 

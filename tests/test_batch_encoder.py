@@ -112,3 +112,38 @@ def test_integer_encoder(setup):
     cb = enc.encrypt(ie.encode(-3))
     out = ie.decode(dec.decrypt(ev.add(ca, cb)))
     assert out == 4
+
+
+# ---------------------------------------------------------------------------
+# generator-3 compat mode (reference slot-order interop; VERDICT r1 item 5a)
+# ---------------------------------------------------------------------------
+
+def test_compat_gen3_roundtrip_and_distinct_map(setup):
+    ctx, keygen, enc, dec, ev, be = setup
+    bc = BatchEncoder(ctx, compat_gen3=True)
+    n = bc.slot_count
+    vals = [(5 * i + 1) % 17 for i in range(n)]
+    assert bc.decode(dec.decrypt(enc.encrypt(bc.encode(vals)))) == vals
+    # the two maps genuinely differ (same plaintext -> different slot order)
+    assert not np.array_equal(bc._index_map, be._index_map)
+    cross = be.decode(dec.decrypt(enc.encrypt(bc.encode(vals))))
+    assert cross != vals
+
+
+def test_compat_gen3_row_rotation(setup):
+    """On gen-3-encoded data, the generator-3 Galois element performs the
+    stock-SEAL rotate_rows permutation (batchencoder.cpp:77-91 +
+    galois generator 3); the fork's gen-5 keys do NOT."""
+    ctx, keygen, enc, dec, ev, _ = setup
+    bc = BatchEncoder(ctx, compat_gen3=True)
+    tool = ctx.first_context_data().galois_tool
+    elt3 = tool.get_elt_from_step(1, generator=3)
+    gk = keygen.galois_keys([elt3])
+    n = bc.slot_count
+    row = n // 2
+    vals = list(range(n))
+    ct = enc.encrypt(bc.encode(vals))
+    rot = ev.apply_galois(ct, elt3, gk)
+    out = bc.decode(dec.decrypt(rot))
+    expect = vals[1:row] + vals[:1] + vals[row + 1:] + vals[row:row + 1]
+    assert out == expect

@@ -115,6 +115,9 @@ int main(int argc, char **argv) {
     auto sk = keygen.secret_key();
     auto rk = keygen.relin_keys_local();
     auto gk = keygen.galois_keys_local(vector<int>{1});
+    // generator-3 element for BatchEncoder-compatible row rotation
+    auto gk3 = keygen.galois_keys_local(vector<uint32_t>{3});
+    save_to(gk3, dir + "/gk3.bin");
     Encryptor enc(ctx, pk);
     save_to(parms, dir + "/parms.bin");
     save_to(sk, dir + "/sk.bin");
@@ -144,6 +147,18 @@ int main(int argc, char **argv) {
     vector<uint64_t> v; be.decode(out, v);
     for (int i = 0; i < 8; i++) printf("%llu ", (unsigned long long)v[i]);
     printf("\n");
+    return 0;
+  }
+  if (cmd == "expandrelin") {
+    // Load (seed-expanding) a RelinKeys blob produced elsewhere and re-save
+    // it expanded — verifies the reference regenerates the same key c1
+    // polynomials from the published seeds.
+    auto parms = bfv_parms();
+    auto ctx = SEALContext::Create(parms, true, sec_level_type::none);
+    RelinKeys rk;
+    { ifstream f(argv[3], ios::binary); rk.load(ctx, f); }
+    save_to(rk, dir + "/rk_expanded.bin");
+    cout << "expandrelin ok" << endl;
     return 0;
   }
   if (cmd == "budget") {
