@@ -399,9 +399,168 @@ class DeviceEvaluator:
                        lambda: lambda x: divide_and_round_q_last(x, tool))
         return Ciphertext(fn(a.data), nxt.parms_id, a.is_ntt_form, a.scale)
 
+    def mod_switch_to(self, a: Ciphertext, parms_id) -> Ciphertext:
+        """Chain of jit-cached per-level drops down to parms_id
+        (evaluator.h mod_switch_to)."""
+        cd = self._cd(a)
+        target = self.context.get_context_data(parms_id)
+        if target is None:
+            raise ValueError("parms_id is not valid")
+        if cd.chain_index < target.chain_index:
+            raise ValueError("cannot switch to higher level modulus")
+        out = a
+        while out.parms_id != tuple(parms_id):
+            out = self.mod_switch_to_next(out)
+        return out
+
+    def rescale_to(self, a: Ciphertext, parms_id) -> Ciphertext:
+        cd = self._cd(a)
+        target = self.context.get_context_data(parms_id)
+        if target is None or cd.chain_index < target.chain_index:
+            raise ValueError("cannot switch to higher level modulus")
+        out = a
+        while out.parms_id != tuple(parms_id):
+            out = self.rescale_to_next(out)
+        return out
+
+    # -- NTT transforms -----------------------------------------------------
+    def transform_to_ntt(self, a: Ciphertext) -> Ciphertext:
+        if a.is_ntt_form:
+            raise ValueError("encrypted is already in NTT form")
+        cd = self._cd(a)
+        tables = cd.ntt_tables
+        from ..ops.ntt import ntt_forward
+
+        fn = self._jit(("to_ntt", a.parms_id, a.size),
+                       lambda: lambda x: ntt_forward(x, tables))
+        return Ciphertext(fn(a.data), a.parms_id, True, a.scale)
+
+    def transform_from_ntt(self, a: Ciphertext) -> Ciphertext:
+        if not a.is_ntt_form:
+            raise ValueError("encrypted is not in NTT form")
+        cd = self._cd(a)
+        tables = cd.ntt_tables
+        from ..ops.ntt import ntt_inverse
+
+        fn = self._jit(("from_ntt", a.parms_id, a.size),
+                       lambda: lambda x: ntt_inverse(x, tables))
+        return Ciphertext(fn(a.data), a.parms_id, False, a.scale)
+
+    # -- composite ops ------------------------------------------------------
+    def add_many(self, encrypteds: Sequence[Ciphertext]) -> Ciphertext:
+        """One fused program summing k same-shape ciphertexts."""
+        if not encrypteds:
+            raise ValueError("encrypteds cannot be empty")
+        a = encrypteds[0]
+        if len(encrypteds) == 1:
+            return a
+        if any(c.size != a.size for c in encrypteds):
+            return self.put(self.host.add_many([self.get(c) for c in encrypteds]))
+        for c in encrypteds[1:]:
+            self.host._check_same(a, c)
+        cd = self._cd(a)
+        limbs = cd.limb_constants
+
+        def build():
+            def fn(*xs):
+                acc = xs[0]
+                for x in xs[1:]:
+                    acc = add_poly(acc, x, limbs)
+                return acc
+
+            return fn
+
+        f = self._jit(("add_many", a.parms_id, a.size, len(encrypteds)), build)
+        return Ciphertext(f(*[c.data for c in encrypteds]),
+                          a.parms_id, a.is_ntt_form, a.scale)
+
+    def multiply_many(self, encrypteds: Sequence[Ciphertext],
+                      relin_keys: RelinKeys) -> Ciphertext:
+        """Balanced product tree over jit-cached multiply/relinearize
+        (evaluator.h multiply_many; BFV only, like the reference)."""
+        if not encrypteds:
+            raise ValueError("encrypteds cannot be empty")
+        if self._cd(encrypteds[0]).parms.scheme != SchemeType.BFV:
+            raise ValueError("unsupported scheme")
+        layer = list(encrypteds)
+        while len(layer) > 1:
+            nxt = []
+            for i in range(0, len(layer) - 1, 2):
+                # identical operands take the dedicated square path
+                # (bit-identical to multiply, one base extension)
+                if layer[i] is layer[i + 1]:
+                    prod = self.square(layer[i])
+                else:
+                    prod = self.multiply(layer[i], layer[i + 1])
+                nxt.append(self.relinearize(prod, relin_keys))
+            if len(layer) % 2:
+                nxt.append(layer[-1])
+            layer = nxt
+        return layer[0]
+
+    def exponentiate(self, a: Ciphertext, exponent: int,
+                     relin_keys: RelinKeys) -> Ciphertext:
+        """Balanced product tree like the host/reference (bit-identical
+        results); identical-operand pairs ride the square fast path."""
+        if exponent == 0:
+            raise ValueError("exponent cannot be 0")
+        if exponent == 1:
+            return a
+        return self.multiply_many([a] * exponent, relin_keys)
+
+    # -- BFV batching rotations / CKKS conjugate ---------------------------
+    def rotate_columns(self, a: Ciphertext, galois_keys: GaloisKeys) -> Ciphertext:
+        if self._cd(a).parms.scheme != SchemeType.BFV:
+            raise ValueError("unsupported scheme")
+        n = self._cd(a).parms.poly_modulus_degree
+        return self.apply_galois(a, 2 * n - 1, galois_keys)
+
+    def rotate_rows_many(self, a: Ciphertext, steps: Sequence[int],
+                         galois_keys: GaloisKeys) -> List[Ciphertext]:
+        if self._cd(a).parms.scheme != SchemeType.BFV:
+            raise ValueError("unsupported scheme")
+        return self.rotate_vector_many(a, steps, galois_keys)
+
     # -- plaintext ops ------------------------------------------------------
     def add_plain(self, a: Ciphertext, plain: Plaintext) -> Ciphertext:
+        cd = self._cd(a)
+        if cd.parms.scheme == SchemeType.CKKS and a.is_ntt_form and plain.is_ntt_form:
+            if a.parms_id != plain.parms_id:
+                raise ValueError("encrypted and plain parameter mismatch")
+            limbs = cd.limb_constants
+            pdata = np.asarray(plain.data)
+
+            def build():
+                def fn(x, p):
+                    c0 = add_poly(x[..., 0, :, :], p, limbs)
+                    return self._jax.numpy.concatenate(
+                        [c0[..., None, :, :], x[..., 1:, :, :]], axis=-3
+                    )
+
+                return fn
+
+            f = self._jit(("add_plain_ntt", a.parms_id, a.size), build)
+            return Ciphertext(f(a.data, pdata), a.parms_id, True, a.scale)
         return self.put(self.host.add_plain(self.get(a), plain))
+
+    def sub_plain(self, a: Ciphertext, plain: Plaintext) -> Ciphertext:
+        cd = self._cd(a)
+        if cd.parms.scheme == SchemeType.CKKS and a.is_ntt_form and plain.is_ntt_form:
+            limbs = cd.limb_constants
+            pdata = np.asarray(plain.data)
+
+            def build():
+                def fn(x, p):
+                    c0 = sub_poly(x[..., 0, :, :], p, limbs)
+                    return self._jax.numpy.concatenate(
+                        [c0[..., None, :, :], x[..., 1:, :, :]], axis=-3
+                    )
+
+                return fn
+
+            f = self._jit(("sub_plain_ntt", a.parms_id, a.size), build)
+            return Ciphertext(f(a.data, pdata), a.parms_id, True, a.scale)
+        return self.put(self.host.sub_plain(self.get(a), plain))
 
     def multiply_plain(self, a: Ciphertext, plain: Plaintext) -> Ciphertext:
         cd = self._cd(a)
