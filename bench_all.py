@@ -145,6 +145,23 @@ def main():
     ops = _sync_time(lambda s, x, k: step(s, x, k), (da, dk), B, cfg.iters)
     emit(f"bfv_rotate_rows_n{n}_ops_per_s", ops, "ciphertext_ops/s")
 
+    # hoisted variant: 8 rotations off ONE mod-up (config 2's production
+    # shape for diagonal-method workloads)
+    from gemini_seal_tpu.models.pipelines import build_bfv_rotate_many
+    hsteps = list(range(1, 9))
+    helts = [tool.get_elt_from_step(s) for s in hsteps]
+    hgk = kg.galois_keys(helts)
+    hgk_stack = np.stack([
+        np.stack([np.asarray(pk.data.data) for pk in hgk.key(e)]) for e in helts
+    ])
+    hb = max(B // 8, 2)
+    ha = np.broadcast_to(np.asarray(ct.data), (hb,) + ct.data.shape)
+    hstep = checksum_jit(build_bfv_rotate_many(ctx, hsteps))
+    dha, dhk = jax.device_put(ha), jax.device_put(hgk_stack)
+    hops = _sync_time(lambda s, x, k: hstep(s, x, k), (dha, dhk),
+                      hb * len(hsteps), cfg.iters)
+    emit(f"bfv_rotate_rows_hoisted8_n{n}_rot_per_s", hops, "rotations/s")
+
     # ---- config 3: multiply+relin+mod_switch down the chain -------------
     n = 1024 if small else 8192
     bits = [30, 30, 30] if small else [50, 40, 40, 40, 50]
@@ -160,24 +177,25 @@ def main():
     rk = kg.relin_keys()
     rk_data = np.stack([np.asarray(pk.data.data) for pk in rk.key(2)])
     ct = enc.encrypt(be.encode([3] * n))
-    mul = build_bfv_mul_relin(ctx)
-    L_first = len(ctx.first_context_data().parms.coeff_modulus)
-
-    def chain(x, k):
-        y = mul(x, x, k)
-        # mod_switch_to_next down the chain: BFV drop with rounding
-        from gemini_seal_tpu.ops.rnsops import divide_and_round_q_last
-        cd = ctx.first_context_data()
-        while cd.next_context_data is not None:
-            y = divide_and_round_q_last(y, cd.device_rns_tool)
-            cd = cd.next_context_data
-        return y
-
+    # one fused program: BEHZ multiply + relin + ONE CRT multi-drop over
+    # all dropped primes (decrypt-equal; noise pinned in test_noise)
+    from gemini_seal_tpu.models.pipelines import build_bfv_mul_relin_modswitch
+    chain = build_bfv_mul_relin_modswitch(ctx, fused_drop=True)
     step = checksum_jit(chain)
     a = np.broadcast_to(np.asarray(ct.data), (B,) + ct.data.shape)
     da, dk = jax.device_put(a), jax.device_put(rk_data)
-    ops = _sync_time(lambda s, x, k: step(s, x, k), (da, dk), B, cfg.iters)
+    ops = _sync_time(lambda s, x, k: step(s, x, x, k), (da, dk), B, cfg.iters)
     emit(f"bfv_mul_relin_chain_n{n}_ops_per_s", ops, "ciphertext_ops/s")
+
+    # dedicated square vs multiply at the same config (VERDICT r1 item 2:
+    # one base extension + 3-product convolution)
+    mulstep = checksum_jit(build_bfv_mul_relin(ctx))
+    sqstep = checksum_jit(build_bfv_mul_relin(ctx, square=True))
+    mops = _sync_time(lambda s, x, k: mulstep(s, x, x, k), (da, dk), B, cfg.iters)
+    sops = _sync_time(lambda s, x, k: sqstep(s, x, k), (da, dk), B, cfg.iters)
+    emit(f"bfv_mul_relin_n{n}_ops_per_s", mops, "ciphertext_ops/s")
+    emit(f"bfv_square_relin_n{n}_ops_per_s", sops, "ciphertext_ops/s")
+    emit(f"bfv_square_vs_mul_n{n}_speedup", sops / mops, "x")
 
     # ---- config 4: CKKS mult+relin+rescale, N=16384 ----------------------
     n = 1024 if small else 16384

@@ -41,6 +41,8 @@ __all__ = [
     "build_ckks_poly_eval",
     "build_ckks_matvec",
     "build_bfv_mul_relin",
+    "build_bfv_mul_relin_modswitch",
+    "build_bfv_rotate_many",
     "build_ckks_train_step",
 ]
 
@@ -211,6 +213,82 @@ def build_bfv_mul_relin(context: SealContext, parms_id=None,
 
     if square:
         return lambda a, relin_key: step(a, a, relin_key)
+    return step
+
+
+def build_bfv_mul_relin_modswitch(context: SealContext, target_parms_id=None,
+                                  fused_drop: bool = True,
+                                  square: bool = False) -> Callable:
+    """BFV multiply + relinearize + mod-switch down to `target_parms_id`
+    (default: the chain's last level) as ONE jittable program — benchmark
+    config 3's full step (reference composes evaluator.cpp:274-445 +
+    829-994 eagerly per level).
+
+    fused_drop=True uses the single rounded division by the product of all
+    dropped primes (ops/rnsops.MultiDropPlan) when >= 2 levels are dropped —
+    one CRT interpolation instead of a per-level chain (decrypts equal,
+    bounded sub-noise rounding difference; noise pinned by tests/test_noise
+    .test_multi_drop_noise_cost).  fused_drop=False chains the exact
+    per-level divide_and_round_q_last (bit-exact vs the host evaluator).
+    """
+    from ..ops.rnsops import MultiDropPlan, divide_and_round_multi, \
+        divide_and_round_q_last
+
+    first_id = context.first_parms_id
+    if target_parms_id is None:
+        target_parms_id = context.last_parms_id
+    first_cd = context.get_context_data(first_id)
+    target_cd = context.get_context_data(target_parms_id)
+    levels = first_cd.chain_index - target_cd.chain_index
+    mul = build_bfv_mul_relin(context, first_id, square=square)
+
+    if fused_drop and levels >= 2:
+        plan = MultiDropPlan(context, first_id, levels)
+
+        def drop(y):
+            return divide_and_round_multi(y, plan)
+    else:
+        cds = []
+        cd = first_cd
+        for _ in range(levels):
+            cds.append(cd)
+            cd = cd.next_context_data
+
+        def drop(y):
+            for cd in cds:
+                y = divide_and_round_q_last(y, cd.device_rns_tool)
+            return y
+
+    if square:
+        return lambda a, relin_key: drop(mul(a, relin_key))
+    return lambda a, b, relin_key: drop(mul(a, b, relin_key))
+
+
+def build_bfv_rotate_many(context: SealContext, steps, parms_id=None) -> Callable:
+    """fn(ct, galois_keys_stack) -> [n_steps, ..., 2, L, N]: hoisted BFV
+    row rotations — ONE mod-up digit decomposition (power-basis dataflow)
+    feeds every step's key-switch inner product (benchmark config 2's
+    hoisted variant; mirrors build_ckks_rotate_many)."""
+    if parms_id is None:
+        parms_id = context.first_parms_id
+    cd = context.get_context_data(parms_id)
+    limbs = cd.limb_constants
+    tool = cd.galois_tool
+    elts = tool.get_elts_from_steps(list(steps))
+    plan = KeySwitchPlan(context, parms_id)
+
+    def step(ct, keys_stack):
+        c0 = ct[..., 0, :, :]
+        c1 = ct[..., 1, :, :]
+        ct_k = compute_modup_digits(c1, plan, False)       # hoisted
+        outs = []
+        for i, elt in enumerate(elts):
+            ct_k_rot = tool.apply_galois_ntt(ct_k, elt)
+            d0, d1 = keyswitch_inner_product(ct_k_rot, keys_stack[i], plan, False)
+            p0 = tool.apply_galois(c0, elt, limbs)
+            outs.append(jnp.stack([add_poly(p0, d0, limbs), d1], axis=-3))
+        return jnp.stack(outs)
+
     return step
 
 

@@ -432,3 +432,73 @@ def test_hoisted_matvec():
     want = M @ x
     for i in range(4):
         assert abs(got[i] - want[i]) < 1e-4, (i, got[i], want[i])
+
+
+def bfv_setup(n=64, bits=(40, 40, 40, 40), t=257):
+    parms = EncryptionParameters(SchemeType.BFV)
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.create(n, list(bits)))
+    parms.set_plain_modulus(t)
+    parms.set_random_seed(SEED)
+    ctx = SealContext(parms, sec_level=SecLevelType.none)
+    return ctx, KeyGenerator(ctx)
+
+
+def test_bfv_mul_relin_modswitch_pipeline():
+    """The fused BFV config-3 pipeline: exact-chain mode is bit-exact vs
+    the host evaluator; fused multi-drop mode decrypts identically."""
+    import jax
+    from gemini_seal_tpu import Plaintext
+    from gemini_seal_tpu.ciphertext import Ciphertext
+    from gemini_seal_tpu.models.pipelines import build_bfv_mul_relin_modswitch
+
+    ctx, kg = bfv_setup()
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    dec = Decryptor(ctx, kg.secret_key)
+    ev = Evaluator(ctx)
+    rk = kg.relin_keys()
+    rk_data = np.stack([np.asarray(pk.data.data) for pk in rk.key(2)])
+    ct = enc.encrypt(Plaintext.from_hex("3x^2 + 2"))
+    a = np.asarray(ct.data)
+    last = ctx.last_parms_id
+
+    want_ct = ev.mod_switch_to(ev.relinearize(ev.multiply(ct, ct), rk), last)
+
+    exact = jax.jit(build_bfv_mul_relin_modswitch(ctx, fused_drop=False))
+    out = np.asarray(exact(a, a, rk_data))
+    np.testing.assert_array_equal(out, np.asarray(want_ct.data))
+
+    fused = jax.jit(build_bfv_mul_relin_modswitch(ctx, fused_drop=True))
+    out_f = np.asarray(fused(a, a, rk_data))
+    got = dec.decrypt(Ciphertext(out_f, last, False, 1.0))
+    assert got.to_hex() == dec.decrypt(want_ct).to_hex()
+
+    # square variant: bit-exact vs the multiply pipeline on (a, a)
+    sq = jax.jit(build_bfv_mul_relin_modswitch(ctx, fused_drop=False, square=True))
+    np.testing.assert_array_equal(np.asarray(sq(a, rk_data)), out)
+
+
+def test_bfv_rotate_many_hoisted_matches_host():
+    import jax
+    from gemini_seal_tpu.models.pipelines import build_bfv_rotate_many
+
+    ctx, kg = bfv_setup(t=PlainModulus.batching(64, 20).value)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    dec = Decryptor(ctx, kg.secret_key)
+    ev = Evaluator(ctx)
+    be = BatchEncoder(ctx)
+    steps = [1, 2, 3]
+    tool = ctx.first_context_data().galois_tool
+    elts = tool.get_elts_from_steps(steps)
+    gk = kg.galois_keys(elts)
+
+    ct = enc.encrypt(be.encode(list(range(be.slot_count))))
+    host = ev.rotate_rows_many(ct, steps, gk)
+
+    gk_stack = np.stack([
+        np.stack([np.asarray(pk.data.data) for pk in gk.key(e)]) for e in elts
+    ])
+    step = jax.jit(build_bfv_rotate_many(ctx, steps))
+    out = np.asarray(step(np.asarray(ct.data), gk_stack))
+    for i, h in enumerate(host):
+        np.testing.assert_array_equal(out[i], np.asarray(h.data))
