@@ -36,7 +36,7 @@ from .ops.dyadic import (
 )
 from .ops.keyswitch import (KeySwitchPlan, compute_modup_digits,
                             keyswitch_inner_product, switch_key)
-from .ops.ntt import ntt_forward, ntt_inverse
+from .ops.ntt import ntt_forward, ntt_forward_lazy, ntt_inverse
 from .ops.rnsops import (
     divide_and_round_q_last,
     divide_and_round_q_last_ntt,
@@ -323,11 +323,12 @@ class Evaluator:
         bsk_limbs = tool.Bsk_limbs
         t = np.uint64(parms.plain_modulus.value)
 
-        # steps (1)-(3) ONCE: lift to q U Bsk, NTT both
-        q_ntt = ntt_forward(encrypted.data, cd.ntt_tables)
+        # steps (1)-(3) ONCE: lift to q U Bsk, NTT both (lazy [0, 4p) into
+        # the convolution's Barrett products — bit-identical, see extend)
+        q_ntt = ntt_forward_lazy(encrypted.data, cd.ntt_tables)
         lifted = fastbconv_m_tilde(encrypted.data, tool)
         bsk = sm_mrq(lifted, tool)
-        bsk_ntt = ntt_forward(bsk, tool.base_Bsk_ntt_tables)
+        bsk_ntt = ntt_forward_lazy(bsk, tool.base_Bsk_ntt_tables)
 
         # step (4): 3-product square convolution in both bases
         dest_q = self._square_convolve(list(q_ntt), limbs)
@@ -380,11 +381,15 @@ class Evaluator:
         t = np.uint64(parms.plain_modulus.value)
 
         def extend(ct: Ciphertext):
-            # steps (1)-(3): lift to q U Bsk, NTT both
-            q_ntt = ntt_forward(ct.data, cd.ntt_tables)
+            # steps (1)-(3): lift to q U Bsk, NTT both.  Lazy [0, 4p)
+            # outputs (ntt_negacyclic_harvey_lazy dataflow, evaluator.cpp
+            # behz_extend_base_convert_to_ntt): the only consumers are the
+            # convolution's full-range Barrett dyadic products, so results
+            # are bit-identical to the canonical path.
+            q_ntt = ntt_forward_lazy(ct.data, cd.ntt_tables)
             lifted = fastbconv_m_tilde(ct.data, tool)
             bsk = sm_mrq(lifted, tool)
-            bsk_ntt = ntt_forward(bsk, tool.base_Bsk_ntt_tables)
+            bsk_ntt = ntt_forward_lazy(bsk, tool.base_Bsk_ntt_tables)
             return list(q_ntt), list(bsk_ntt)
 
         a_q, a_bsk = extend(a)

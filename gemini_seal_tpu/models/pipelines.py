@@ -25,7 +25,7 @@ from ..ops.dyadic import add_poly, dyadic_product, multiply_poly_scalar
 from ..ops.keyswitch import (KeySwitchPlan, compute_modup_digits,
                              fused_moddown, keyswitch_inner_product,
                              switch_key)
-from ..ops.ntt import ntt_forward, ntt_inverse
+from ..ops.ntt import ntt_forward, ntt_forward_lazy, ntt_inverse
 from ..ops.rnsops import (
     divide_and_round_q_last_ntt,
     fast_floor,
@@ -184,10 +184,12 @@ def build_bfv_mul_relin(context: SealContext, parms_id=None,
     plan = KeySwitchPlan(context, parms_id)
 
     def extend(ct):
-        q_ntt = ntt_forward(ct, cd.ntt_tables)
+        # lazy [0, 4p) lifts into the convolution's full-range Barrett
+        # dyadic products — bit-identical to the canonical path
+        q_ntt = ntt_forward_lazy(ct, cd.ntt_tables)
         lifted = fastbconv_m_tilde(ct, tool)
         bsk = sm_mrq(lifted, tool)
-        bsk_ntt = ntt_forward(bsk, tool.base_Bsk_ntt_tables)
+        bsk_ntt = ntt_forward_lazy(bsk, tool.base_Bsk_ntt_tables)
         return q_ntt, bsk_ntt
 
     def step(a, b, relin_key):

@@ -30,7 +30,8 @@ from ..utils import numth
 from . import modops
 from .backend import xp
 from .dyadic import LimbConstants
-from .ntt import NTTTables, ntt_forward, ntt_inverse
+from .ntt import (NTTTables, ntt_forward, ntt_forward_lazy, ntt_inverse,
+                  ntt_inverse_lazy)
 from .rnsops import _dot_mod_128, _slice_tables
 
 _MASK32 = np.uint64(0xFFFFFFFF)
@@ -237,9 +238,10 @@ def rescale_special(ext_poly_ntt, plan: KeySwitchPlan, is_ntt_output: bool):
     sp = ext_poly_ntt[..., n_ct:, :]
     normal = ext_poly_ntt[..., :n_ct, :]
 
-    # special limbs to power basis
+    # special limbs to power basis — [0, 2p) lazy is fine: the only
+    # consumer is the full-range Barrett mul_mod below
     sp_tables = _slice_tables(plan.ext_tables, n_ct, plan.n_ext)
-    sp_power = ntt_inverse(sp, sp_tables)
+    sp_power = ntt_inverse_lazy(sp, sp_tables)
 
     # temp_i = sum_j (ct_pj * hat_pj^{-1} mod pj) * (-hat_pj mod qi)
     scaled = modops.mul_mod(
@@ -274,8 +276,18 @@ def compute_modup_digits(target, plan: KeySwitchPlan, is_ntt_form: bool):
     batch = target.shape[:-2]
     m_ = xp(target)
 
-    power_target = ntt_inverse(target, plan.ct_tables) if is_ntt_form else target
-    ntt_target = target if is_ntt_form else ntt_forward(target, plan.ct_tables)
+    # Lazy chaining (reference ntt.cpp:341/403 *_lazy dataflow): the inverse
+    # NTT output stays in [0, 2p) — its only consumer is the bundle
+    # pre-multiply's full-range Barrett mul_mod, so the canonical reduction
+    # pass is pure overhead.  Same for the forward lifts below ([0, 4p)):
+    # ct_k is consumed by the 128-bit inner-product accumulation, which
+    # Barrett-reduces exactly from any range.  Outputs are bit-identical.
+    power_target = (
+        ntt_inverse_lazy(target, plan.ct_tables) if is_ntt_form else target
+    )
+    ntt_target = (
+        target if is_ntt_form else ntt_forward_lazy(target, plan.ct_tables)
+    )
     pad_width = [(0, 0)] * len(batch) + [(0, n_ext - n_ct), (0, 0)]
     ntt_target_ext = m_.pad(ntt_target, pad_width)
 
@@ -308,7 +320,9 @@ def compute_modup_digits(target, plan: KeySwitchPlan, is_ntt_form: bool):
         (l0 & _MASK32) | (s1 << _U32),
         plan.ext_limbs.p, plan.ext_limbs.ratio0, plan.ext_limbs.ratio1,
     )  # [..., nb, n_ext, N]
-    lifted_ntt = ntt_forward(lifted, plan.ext_tables)
+    # [0, 4p) lazy: consumed only by the inner product's exact 128-bit
+    # Barrett accumulation (and value-preserving Galois permutations)
+    lifted_ntt = ntt_forward_lazy(lifted, plan.ext_tables)
     return m_.where(plan.bundle_diag, ntt_target_ext[..., None, :, :], lifted_ntt)
 
 
@@ -385,8 +399,9 @@ def fused_moddown(c, acc, plan: KeySwitchPlan):
     m_ = xp(acc)
     num = m_.concatenate([num_ct, acc[..., n_ct:, :]], axis=-2)
 
-    # D rows are contiguous: [q_last, specials]
-    d_power = ntt_inverse(num[..., n_ct - 1 :, :], k["d_tables"])
+    # D rows are contiguous: [q_last, specials]; [0, 2p) lazy into the
+    # full-range Barrett mul_mod
+    d_power = ntt_inverse_lazy(num[..., n_ct - 1 :, :], k["d_tables"])
     dl = k["d_limbs"]
     scaled = modops.mul_mod(d_power, k["inv_hat_d"], dl.p, dl.ratio0, dl.ratio1)
     temp = _dot_mod_128(scaled, k["neg_hat_d_qi"], k["out_limbs"])

@@ -372,22 +372,50 @@ class SerializableKSwitchKeys:
         return _frame(bytes(payload), compr_mode)
 
 
-def load_ciphertext(data: bytes, context=None) -> Ciphertext:
+def _validate_loaded(obj, context, what: str):
+    """Serialization is the trust boundary: mirror the reference's checked
+    load (valcheck.cpp is_valid_for after unsafe_load) — metadata, buffer,
+    AND per-limb residue bounds."""
+    from . import valcheck
+
+    if not valcheck.is_data_valid_for(obj, context):
+        raise ValueError(f"loaded {what} data is invalid for the context "
+                         "(residues out of bounds)")
+
+
+def load_ciphertext(data: bytes, context=None, validate: bool = True) -> Ciphertext:
     payload, _ = _unframe(data)
-    return _ciphertext_from(payload, context)
+    ct = _ciphertext_from(payload, context)
+    if context is not None and validate:
+        from . import valcheck
+
+        if not valcheck.is_metadata_valid_for(ct, context):
+            raise ValueError("loaded ciphertext metadata is invalid for the context")
+        _validate_loaded(ct, context, "ciphertext")
+    return ct
 
 
-def load_secret_key(data: bytes, context=None) -> SecretKey:
+def load_secret_key(data: bytes, context=None, validate: bool = True) -> SecretKey:
     p = load_plaintext(data, context)
-    return SecretKey(data=np.asarray(p.data), parms_id=p.parms_id)
+    sk = SecretKey(data=np.asarray(p.data), parms_id=p.parms_id)
+    if context is not None and validate:
+        _validate_loaded(sk, context, "secret key")
+    return sk
 
 
-def load_public_key(data: bytes, context=None) -> PublicKey:
-    ct = load_ciphertext(data, context)
-    return PublicKey(data=ct, parms_id=ct.parms_id)
+def load_public_key(data: bytes, context=None, validate: bool = True) -> PublicKey:
+    ct = load_ciphertext(data, context, validate=False)
+    pk = PublicKey(data=ct, parms_id=ct.parms_id)
+    if context is not None and validate:
+        from . import valcheck
+
+        if not valcheck.is_metadata_valid_for(pk, context):
+            raise ValueError("loaded public key metadata is invalid for the context")
+        _validate_loaded(pk, context, "public key")
+    return pk
 
 
-def _load_kswitch_into(cls, data: bytes, context=None):
+def _load_kswitch_into(cls, data: bytes, context=None, validate: bool = True):
     payload, _ = _unframe(data)
     pos = 0
     parms_id = tuple(
@@ -408,16 +436,23 @@ def _load_kswitch_into(cls, data: bytes, context=None):
     obj = cls()
     obj.keys = keys
     obj.parms_id = parms_id
+    if context is not None and validate:
+        from . import valcheck
+
+        if not valcheck.is_metadata_valid_for(obj, context):
+            raise ValueError("loaded key-switch keys metadata is invalid "
+                             "for the context")
+        _validate_loaded(obj, context, "key-switch keys")
     return obj
 
 
-def load_kswitch_keys(data: bytes, context=None) -> KSwitchKeys:
-    return _load_kswitch_into(KSwitchKeys, data, context)
+def load_kswitch_keys(data: bytes, context=None, validate: bool = True) -> KSwitchKeys:
+    return _load_kswitch_into(KSwitchKeys, data, context, validate)
 
 
-def load_relin_keys(data: bytes, context=None) -> RelinKeys:
-    return _load_kswitch_into(RelinKeys, data, context)
+def load_relin_keys(data: bytes, context=None, validate: bool = True) -> RelinKeys:
+    return _load_kswitch_into(RelinKeys, data, context, validate)
 
 
-def load_galois_keys(data: bytes, context=None) -> GaloisKeys:
-    return _load_kswitch_into(GaloisKeys, data, context)
+def load_galois_keys(data: bytes, context=None, validate: bool = True) -> GaloisKeys:
+    return _load_kswitch_into(GaloisKeys, data, context, validate)

@@ -39,10 +39,12 @@ def is_metadata_valid_for(obj, context: SealContext, allow_pure_key_level: bool 
         cd = context.get_context_data(obj.parms_id)
         if cd is None:
             return False
-        if not allow_pure_key_level and obj.parms_id == context.key_parms_id and context.using_keyswitching:
-            # ordinary ciphertexts live at or below the first data level,
-            # but key-switching keys legitimately sit at the key level
-            pass
+        if (not allow_pure_key_level and obj.parms_id == context.key_parms_id
+                and context.using_keyswitching):
+            # ordinary ciphertexts live at or below the first data level;
+            # only key-switching keys legitimately sit at the key level
+            # (valcheck.cpp:70-84 is_metadata_valid_for's key-level gate)
+            return False
         if not (CIPHERTEXT_SIZE_MIN <= obj.size <= CIPHERTEXT_SIZE_MAX):
             return False
         return (
