@@ -340,8 +340,6 @@ class DeviceEvaluator:
         """Production one-call hot op: multiply + relinearize + rescale as
         a single compiled program (optionally with the fused P*q_last
         mod-down — decrypts equal, one NTT round trip cheaper)."""
-        from .pipelines import build_ckks_mul_relin_rescale
-
         cd = self._cd(a)
         if cd.parms.scheme != SchemeType.CKKS:
             raise ValueError("multiply_relin_rescale is a CKKS op")
@@ -353,19 +351,45 @@ class DeviceEvaluator:
             raise ValueError("end of modulus switching chain reached")
         self.host._check_same(a, b)
         self.host._check_scale_bounds(a.scale * b.scale, cd)
-        key = ("mrr", a.parms_id, fused)
+        return self._mrr_run(a, (a.data, b.data), relin_keys, fused, False,
+                             a.scale * b.scale)
+
+    def square_relin_rescale(self, a: Ciphertext, relin_keys: RelinKeys,
+                             fused: bool = True) -> Ciphertext:
+        """One-call fused square + relinearize + rescale (3-product
+        convolution; bit-exact with multiply_relin_rescale(a, a))."""
+        cd = self._cd(a)
+        if cd.parms.scheme != SchemeType.CKKS:
+            raise ValueError("square_relin_rescale is a CKKS op")
+        if a.size != 2:
+            raise ValueError("operand must be a size-2 ciphertext")
+        if not a.is_ntt_form:
+            raise ValueError("CKKS operand must be in NTT form")
+        if cd.next_context_data is None:
+            raise ValueError("end of modulus switching chain reached")
+        self.host._check_scale_bounds(a.scale * a.scale, cd)
+        return self._mrr_run(a, (a.data,), relin_keys, fused, True,
+                             a.scale * a.scale)
+
+    def _mrr_run(self, a: Ciphertext, args, relin_keys, fused: bool,
+                 square: bool, prod_scale: float) -> Ciphertext:
+        from .pipelines import build_ckks_mul_relin_rescale
+
+        cd = self._cd(a)
+        key = ("mrr", a.parms_id, fused, square)
         fn = self._jit_cache.get(key)
         if fn is None:
             fn = self._jax.jit(
-                build_ckks_mul_relin_rescale(self.context, a.parms_id, fused=fused)
+                build_ckks_mul_relin_rescale(
+                    self.context, a.parms_id, fused=fused, square=square
+                )
             )
             self._jit_cache[key] = fn
         kdata = self._key_data(relin_keys, 2)
         nxt = cd.next_context_data
         q_last = cd.parms.coeff_modulus[-1].value
         return Ciphertext(
-            fn(a.data, b.data, kdata), nxt.parms_id, True,
-            a.scale * b.scale / q_last,
+            fn(*args, kdata), nxt.parms_id, True, prod_scale / q_last
         )
 
     # -- level movement ---------------------------------------------------

@@ -209,3 +209,15 @@ def test_device_bfv_composites_match_host():
     dev_many = dev.rotate_rows_many(da, [1, 2], gk)
     for h, d in zip(host_many, dev_many):
         _eq(d, h)
+
+
+def test_square_relin_rescale_one_call(ckks):
+    ctx, kg, enc, encoder = ckks
+    dev = DeviceEvaluator(ctx)
+    rk = kg.relin_keys()
+    a = enc.encrypt(encoder.encode([0.5, -1.0, 2.0], 2.0 ** 30))
+    da = dev.put(a)
+    for fused in (False, True):
+        sq = dev.square_relin_rescale(da, rk, fused=fused)
+        mu = dev.multiply_relin_rescale(da, da, rk, fused=fused)
+        _eq(sq, mu)  # bit-exact with multiply(a, a) under the same mode
