@@ -117,14 +117,12 @@ class BatchEncoder:
         t = cd.parms.plain_modulus.value
         if len(values) > self.slots:
             raise ValueError("values_matrix size is too large")
+        vals = np.asarray(list(values), dtype=np.int64)
+        if vals.size and (int(vals.min()) < -t or int(vals.max()) >= t):
+            raise ValueError("input value is larger than plain_modulus")
+        vals = np.where(vals < 0, vals + t, vals).astype(np.uint64)
         dest = np.zeros(self.slots, dtype=np.uint64)
-        for i, v in enumerate(values):
-            v = int(v)
-            if v < 0:
-                v = t + v
-            if not 0 <= v < t:
-                raise ValueError("input value is larger than plain_modulus")
-            dest[self._index_map[i]] = v
+        dest[self._index_map[: vals.size]] = vals
         out = ntt_inverse(
             np.asarray(dest[None, :]), cd.plain_ntt_tables
         )
@@ -140,11 +138,11 @@ class BatchEncoder:
         pdata = np.asarray(plain.data)
         temp[: min(pdata.shape[0], self.slots)] = pdata[: self.slots]
         vals = np.asarray(ntt_forward(temp[None, :], cd.plain_ntt_tables))[0]
-        out = [int(vals[self._index_map[i]]) for i in range(self.slots)]
+        out = vals[self._index_map].astype(np.int64)
         if signed:
             half = t >> 1
-            out = [v - t if v > half else v for v in out]
-        return out
+            out = np.where(out > half, out - t, out)
+        return [int(v) for v in out]
 
 
 class CKKSEncoder:
