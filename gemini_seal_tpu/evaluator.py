@@ -57,6 +57,30 @@ def _same_scale(a: float, b: float) -> bool:
     return abs(a - b) < 1e-9 * max(abs(a), abs(b), 1.0)
 
 
+def product_tree(layer, multiply, square, relinearize):
+    """Balanced product tree (reference: evaluator.h multiply_many).
+
+    The single source of truth for the pairing/odd-carry order — the host
+    Evaluator and DeviceEvaluator both use it, which is what makes their
+    multiply_many/exponentiate results bit-identical.  Identical-operand
+    pairs take the dedicated square path (bit-identical to multiply)."""
+    layer = list(layer)
+    if not layer:
+        raise ValueError("encrypteds cannot be empty")
+    while len(layer) > 1:
+        nxt = []
+        for i in range(0, len(layer) - 1, 2):
+            if layer[i] is layer[i + 1]:
+                prod = square(layer[i])
+            else:
+                prod = multiply(layer[i], layer[i + 1])
+            nxt.append(relinearize(prod))
+        if len(layer) % 2:
+            nxt.append(layer[-1])
+        layer = nxt
+    return layer[0]
+
+
 class Evaluator:
     def __init__(self, context: SealContext):
         if not context.parameters_set():
@@ -190,6 +214,8 @@ class Evaluator:
             )
         if not encrypted.is_ntt_form or not plain.is_ntt_form:
             raise ValueError("CKKS sub_plain operands must be in NTT form")
+        if encrypted.parms_id != plain.parms_id:
+            raise ValueError("encrypted and plain parameter mismatch")
         if not _same_scale(encrypted.scale, plain.scale):
             raise ValueError("scale mismatch")
         c0 = sub_poly(encrypted.data[0], np.asarray(plain.data), cd.limb_constants)
@@ -793,20 +819,12 @@ class Evaluator:
     ) -> Ciphertext:
         """Balanced product tree with relinearization
         (reference: evaluator.h multiply_many)."""
-        if not encrypteds:
-            raise ValueError("encrypteds cannot be empty")
         if self._scheme() != SchemeType.BFV:
             raise ValueError("unsupported scheme")
-        layer = list(encrypteds)
-        while len(layer) > 1:
-            nxt = []
-            for i in range(0, len(layer) - 1, 2):
-                prod = self.multiply(layer[i], layer[i + 1])
-                nxt.append(self.relinearize(prod, relin_keys))
-            if len(layer) % 2:
-                nxt.append(layer[-1])
-            layer = nxt
-        return layer[0]
+        return product_tree(
+            encrypteds, self.multiply, self.square,
+            lambda ct: self.relinearize(ct, relin_keys),
+        )
 
     def exponentiate(
         self, encrypted: Ciphertext, exponent: int, relin_keys: RelinKeys

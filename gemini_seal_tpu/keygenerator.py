@@ -145,19 +145,27 @@ class KeyGenerator:
             out.append(PublicKey(data=ct, parms_id=key_cd.parms_id))
         return out
 
-    def relin_keys(self, count: int = 1) -> RelinKeys:
-        """Keys for re-linearizing s^2 .. s^(count+1)
+    def _relin_keys_impl(self, count: int, collect_seeds: bool):
+        """Shared body of relin_keys / relin_keys_serializable
         (reference: keygenerator.cpp:138-178)."""
         if not 1 <= count <= CIPHERTEXT_SIZE_MAX - 2:
             raise ValueError("invalid count")
         self._compute_sk_powers(count + 1)
         rk = RelinKeys()
-        rk.keys = [
-            self._generate_one_kswitch_key(self._sk_powers[p])
-            for p in range(1, count + 1)
-        ]
+        rk.keys = []
+        seed_rows = []
+        for p in range(1, count + 1):
+            seeds: Optional[list] = [] if collect_seeds else None
+            rk.keys.append(
+                self._generate_one_kswitch_key(self._sk_powers[p], seeds=seeds)
+            )
+            seed_rows.append(seeds)
         rk.parms_id = self.context.key_parms_id
-        return rk
+        return rk, seed_rows
+
+    def relin_keys(self, count: int = 1) -> RelinKeys:
+        """Keys for re-linearizing s^2 .. s^(count+1)."""
+        return self._relin_keys_impl(count, collect_seeds=False)[0]
 
     def relin_keys_serializable(self, count: int = 1):
         """Seed-compressed relinearization keys: serialize at roughly half
@@ -167,28 +175,12 @@ class KeyGenerator:
         RelinKeys, usable directly."""
         from .serialization import SerializableKSwitchKeys
 
-        if not 1 <= count <= CIPHERTEXT_SIZE_MAX - 2:
-            raise ValueError("invalid count")
-        self._compute_sk_powers(count + 1)
-        rk = RelinKeys()
-        seed_rows = []
-        rk.keys = []
-        for p in range(1, count + 1):
-            seeds: list = []
-            rk.keys.append(
-                self._generate_one_kswitch_key(self._sk_powers[p], seeds=seeds)
-            )
-            seed_rows.append(seeds)
-        rk.parms_id = self.context.key_parms_id
+        rk, seed_rows = self._relin_keys_impl(count, collect_seeds=True)
         return SerializableKSwitchKeys(rk, seed_rows)
 
-    def galois_keys_serializable(self, galois_elts: Optional[Sequence[int]] = None):
-        """Seed-compressed Galois keys (reference: KeyGenerator::galois_keys
-        returning Serializable<GaloisKeys>, keygenerator.h:131-178) — the
-        largest objects shipped to a serving accelerator, halved on the
-        wire."""
-        from .serialization import SerializableKSwitchKeys
-
+    def _galois_keys_impl(self, galois_elts, collect_seeds: bool):
+        """Shared body of galois_keys / galois_keys_serializable
+        (reference: keygenerator.cpp:180-245)."""
         ctx = self.context
         key_cd = ctx.key_context_data()
         galois_tool = key_cd.galois_tool
@@ -206,11 +198,26 @@ class KeyGenerator:
             idx = GaloisKeys.get_index(elt)
             if gk.keys[idx]:
                 continue
+            # rotated secret key: apply automorphism in NTT domain
             rotated = galois_tool.apply_galois_ntt(self._secret_key.data, elt)
-            seeds: list = []
+            seeds: Optional[list] = [] if collect_seeds else None
             gk.keys[idx] = self._generate_one_kswitch_key(rotated, seeds=seeds)
             seed_rows[idx] = seeds
         gk.parms_id = ctx.key_parms_id
+        return gk, seed_rows
+
+    def galois_keys(self, galois_elts: Optional[Sequence[int]] = None) -> GaloisKeys:
+        """Keys for the Galois automorphisms x -> x^elt."""
+        return self._galois_keys_impl(galois_elts, collect_seeds=False)[0]
+
+    def galois_keys_serializable(self, galois_elts: Optional[Sequence[int]] = None):
+        """Seed-compressed Galois keys (reference: KeyGenerator::galois_keys
+        returning Serializable<GaloisKeys>, keygenerator.h:131-178) — the
+        largest objects shipped to a serving accelerator, halved on the
+        wire."""
+        from .serialization import SerializableKSwitchKeys
+
+        gk, seed_rows = self._galois_keys_impl(galois_elts, collect_seeds=True)
         return SerializableKSwitchKeys(gk, seed_rows)
 
     def galois_keys_from_steps(self, steps: Sequence[int]) -> GaloisKeys:
@@ -218,28 +225,3 @@ class KeyGenerator:
         KeyGenerator::galois_keys(const vector<int>&))."""
         tool = self.context.key_context_data().galois_tool
         return self.galois_keys(tool.get_elts_from_steps(list(steps)))
-
-    def galois_keys(self, galois_elts: Optional[Sequence[int]] = None) -> GaloisKeys:
-        """Keys for the Galois automorphisms x -> x^elt
-        (reference: keygenerator.cpp:180-245)."""
-        ctx = self.context
-        key_cd = ctx.key_context_data()
-        galois_tool = key_cd.galois_tool
-        if galois_elts is None:
-            galois_elts = galois_tool.get_elts_all()
-        n = key_cd.parms.poly_modulus_degree
-
-        gk = GaloisKeys()
-        max_index = max(GaloisKeys.get_index(e) for e in galois_elts)
-        gk.keys = [[] for _ in range(max_index + 1)]
-        for elt in galois_elts:
-            if elt % 2 == 0 or elt >= 2 * n:
-                raise ValueError("Galois element is not valid")
-            idx = GaloisKeys.get_index(elt)
-            if gk.keys[idx]:
-                continue
-            # rotated secret key: apply automorphism in NTT domain
-            rotated = galois_tool.apply_galois_ntt(self._secret_key.data, elt)
-            gk.keys[idx] = self._generate_one_kswitch_key(rotated)
-        gk.parms_id = ctx.key_parms_id
-        return gk

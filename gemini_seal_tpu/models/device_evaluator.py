@@ -186,6 +186,8 @@ class DeviceEvaluator:
         cd = self._cd(a)
         scheme = cd.parms.scheme
         if scheme == SchemeType.CKKS:
+            if not a.is_ntt_form:
+                raise ValueError("CKKS square operand must be in NTT form")
             self.host._check_scale_bounds(a.scale * a.scale, cd)
             limbs = cd.limb_constants
 
@@ -501,26 +503,19 @@ class DeviceEvaluator:
     def multiply_many(self, encrypteds: Sequence[Ciphertext],
                       relin_keys: RelinKeys) -> Ciphertext:
         """Balanced product tree over jit-cached multiply/relinearize
-        (evaluator.h multiply_many; BFV only, like the reference)."""
+        (evaluator.h multiply_many; BFV only, like the reference).  Shares
+        the host's product_tree so the pairing order — and hence the
+        result — is bit-identical across planes."""
+        from ..evaluator import product_tree
+
         if not encrypteds:
             raise ValueError("encrypteds cannot be empty")
         if self._cd(encrypteds[0]).parms.scheme != SchemeType.BFV:
             raise ValueError("unsupported scheme")
-        layer = list(encrypteds)
-        while len(layer) > 1:
-            nxt = []
-            for i in range(0, len(layer) - 1, 2):
-                # identical operands take the dedicated square path
-                # (bit-identical to multiply, one base extension)
-                if layer[i] is layer[i + 1]:
-                    prod = self.square(layer[i])
-                else:
-                    prod = self.multiply(layer[i], layer[i + 1])
-                nxt.append(self.relinearize(prod, relin_keys))
-            if len(layer) % 2:
-                nxt.append(layer[-1])
-            layer = nxt
-        return layer[0]
+        return product_tree(
+            encrypteds, self.multiply, self.square,
+            lambda ct: self.relinearize(ct, relin_keys),
+        )
 
     def exponentiate(self, a: Ciphertext, exponent: int,
                      relin_keys: RelinKeys) -> Ciphertext:
@@ -546,11 +541,20 @@ class DeviceEvaluator:
         return self.rotate_vector_many(a, steps, galois_keys)
 
     # -- plaintext ops ------------------------------------------------------
+    def _check_plain_ntt(self, a: Ciphertext, plain: Plaintext):
+        """Host-plane validations for the CKKS-NTT plain fast paths,
+        mirroring Evaluator.add_plain/sub_plain."""
+        from ..evaluator import _same_scale
+
+        if a.parms_id != plain.parms_id:
+            raise ValueError("encrypted and plain parameter mismatch")
+        if not _same_scale(a.scale, plain.scale):
+            raise ValueError("scale mismatch")
+
     def add_plain(self, a: Ciphertext, plain: Plaintext) -> Ciphertext:
         cd = self._cd(a)
         if cd.parms.scheme == SchemeType.CKKS and a.is_ntt_form and plain.is_ntt_form:
-            if a.parms_id != plain.parms_id:
-                raise ValueError("encrypted and plain parameter mismatch")
+            self._check_plain_ntt(a, plain)
             limbs = cd.limb_constants
             pdata = np.asarray(plain.data)
 
@@ -570,6 +574,7 @@ class DeviceEvaluator:
     def sub_plain(self, a: Ciphertext, plain: Plaintext) -> Ciphertext:
         cd = self._cd(a)
         if cd.parms.scheme == SchemeType.CKKS and a.is_ntt_form and plain.is_ntt_form:
+            self._check_plain_ntt(a, plain)
             limbs = cd.limb_constants
             pdata = np.asarray(plain.data)
 
@@ -589,6 +594,9 @@ class DeviceEvaluator:
     def multiply_plain(self, a: Ciphertext, plain: Plaintext) -> Ciphertext:
         cd = self._cd(a)
         if a.is_ntt_form and plain.is_ntt_form:
+            if a.parms_id != plain.parms_id:
+                raise ValueError("encrypted_ntt and plain_ntt parameter mismatch")
+            self.host._check_scale_bounds(a.scale * plain.scale, cd)
             limbs = cd.limb_constants
             pdata = np.asarray(plain.data)
             fn = self._jit(("mul_plain_ntt", a.parms_id, a.size),

@@ -185,6 +185,22 @@ class KeySwitchPlan:
         self._sp_moduli = sp_moduli
         self._fused = None
 
+        # Lazy-digit safety margin (exact-int check at plan build): every
+        # constructible context passes (user primes are <= 59 bits and
+        # bundle counts <= 64, so n_bundles * 4p^2 < 2^126), but the gate
+        # keeps the accumulator contract explicit and survives any future
+        # widening of the user modulus limit.
+        self.lazy_digits = self._lazy_digits_safe(self.n_bundles, max(ext_moduli))
+
+    @staticmethod
+    def _lazy_digits_safe(n_bundles: int, max_p: int) -> bool:
+        """True iff the inner product may consume lazy [0, 4p) digits: it
+        accumulates n_bundles terms of ct_k * key per output limb, and the
+        worst-case sum n_bundles * 4p * p must stay below 2^128 for the
+        128-bit renormalization to be exact (canonical digits have a 4x
+        wider margin)."""
+        return n_bundles * 4 * max_p * max_p < (1 << 128)
+
     def fused_drop_constants(self):
         """Constants for the fused mod-down by Q_D = P * q_last (dropping
         the special primes AND the level's last ciphertext prime in ONE
@@ -285,9 +301,12 @@ def compute_modup_digits(target, plan: KeySwitchPlan, is_ntt_form: bool):
     power_target = (
         ntt_inverse_lazy(target, plan.ct_tables) if is_ntt_form else target
     )
-    ntt_target = (
-        target if is_ntt_form else ntt_forward_lazy(target, plan.ct_tables)
-    )
+    if is_ntt_form:
+        ntt_target = target
+    elif plan.lazy_digits:
+        ntt_target = ntt_forward_lazy(target, plan.ct_tables)
+    else:
+        ntt_target = ntt_forward(target, plan.ct_tables)
     pad_width = [(0, 0)] * len(batch) + [(0, n_ext - n_ct), (0, 0)]
     ntt_target_ext = m_.pad(ntt_target, pad_width)
 
@@ -321,8 +340,13 @@ def compute_modup_digits(target, plan: KeySwitchPlan, is_ntt_form: bool):
         plan.ext_limbs.p, plan.ext_limbs.ratio0, plan.ext_limbs.ratio1,
     )  # [..., nb, n_ext, N]
     # [0, 4p) lazy: consumed only by the inner product's exact 128-bit
-    # Barrett accumulation (and value-preserving Galois permutations)
-    lifted_ntt = ntt_forward_lazy(lifted, plan.ext_tables)
+    # Barrett accumulation (and value-preserving Galois permutations).
+    # plan.lazy_digits gates the range: with many bundles the accumulated
+    # sum would exceed 2^128 at 4p, so reduce canonically there.
+    if plan.lazy_digits:
+        lifted_ntt = ntt_forward_lazy(lifted, plan.ext_tables)
+    else:
+        lifted_ntt = ntt_forward(lifted, plan.ext_tables)
     return m_.where(plan.bundle_diag, ntt_target_ext[..., None, :, :], lifted_ntt)
 
 

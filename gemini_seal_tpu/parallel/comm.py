@@ -89,6 +89,15 @@ def collective_stats(hlo_text: str) -> CollectiveStats:
         shapes = _SHAPE_RE.findall(m.group(1))
         if not shapes:
             continue
+        if f"{kind}-start(" in line and len(shapes) > 1:
+            # async ops return a tuple (operand, result[, context scalars]);
+            # count only the RESULT buffer — the documented semantics.
+            # Strip trailing u32/s32 context scalars, then take the last.
+            while len(shapes) > 1 and shapes[-1][0] in ("u32", "s32") and (
+                not shapes[-1][1] or _shape_bytes(*shapes[-1]) <= 8
+            ):
+                shapes = shapes[:-1]
+            shapes = shapes[-1:]
         nbytes = sum(_shape_bytes(dt, dims) for dt, dims in shapes)
         stats.count[kind] = stats.count.get(kind, 0) + 1
         stats.bytes[kind] = stats.bytes.get(kind, 0) + nbytes

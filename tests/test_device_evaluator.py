@@ -221,3 +221,30 @@ def test_square_relin_rescale_one_call(ckks):
         sq = dev.square_relin_rescale(da, rk, fused=fused)
         mu = dev.multiply_relin_rescale(da, da, rk, fused=fused)
         _eq(sq, mu)  # bit-exact with multiply(a, a) under the same mode
+
+
+def test_device_plain_op_validation(ckks):
+    """Device plain-op fast paths run the host's metadata validations
+    (code-review r2 findings #2/#3)."""
+    ctx, kg, enc, encoder = ckks
+    dev = DeviceEvaluator(ctx)
+    scale = 2.0 ** 30
+    a = dev.put(enc.encrypt(encoder.encode([0.5], scale)))
+
+    # plain at a lower level: parameter mismatch must raise
+    low = ctx.first_context_data().next_context_data.parms_id
+    pt_low = encoder.encode([2.0], scale, low)
+    for op in (dev.add_plain, dev.sub_plain, dev.multiply_plain):
+        with pytest.raises(ValueError, match="parameter mismatch"):
+            op(a, pt_low)
+
+    # mismatched scale must raise on add/sub
+    pt_scale = encoder.encode([2.0], scale * 2, a.parms_id)
+    for op in (dev.add_plain, dev.sub_plain):
+        with pytest.raises(ValueError, match="scale mismatch"):
+            op(a, pt_scale)
+
+    # CKKS square of power-basis data must raise like the host
+    pw = dev.transform_from_ntt(a)
+    with pytest.raises(ValueError, match="NTT form"):
+        dev.square(pw)

@@ -105,3 +105,50 @@ def test_lazy_chained_keyswitch_bit_exact():
     got = encoder.decode(dec.decrypt(out))
     for g, v in zip(got[:3], [0.5, -1.0, 2.0]):
         assert abs(g - v * v) < 1e-4
+
+
+def test_lazy_digit_margin_gate():
+    """The lazy [0,4p) inner-product digits shrink the 128-bit accumulator
+    margin 4x vs canonical (code-review r2 finding #1).  The context layer
+    already rejects >59-bit user primes (invalid_coeff_modulus_bit_count,
+    matching the reference), so no CONSTRUCTIBLE context overflows — this
+    pins (a) the gate predicate's boundary arithmetic, (b) lazy_digits=True
+    with a healthy margin at the most extreme constructible configuration,
+    and (c) that >59-bit contexts are indeed rejected upstream."""
+    from gemini_seal_tpu import (
+        EncryptionParameters, SchemeType, SecLevelType, SealContext,
+    )
+    from gemini_seal_tpu.ops.keyswitch import KeySwitchPlan
+
+    # (a) predicate boundary: 17 bundles at 61-bit primes overflows, 16 do
+    # not; canonical margin would be 4x wider
+    p61 = (1 << 61) - 1
+    assert not KeySwitchPlan._lazy_digits_safe(17, p61)
+    assert KeySwitchPlan._lazy_digits_safe(16, p61 >> 1)
+    # extreme constructible case: 63 bundles at the 59-bit user max — safe
+    p59 = (1 << 59) - 1
+    assert KeySwitchPlan._lazy_digits_safe(63, p59)
+
+    # (b) a real plan at wide-ish user primes keeps the lazy fast path
+    parms2 = EncryptionParameters(SchemeType.BFV)
+    n = 64
+    parms2.set_poly_modulus_degree(n)
+    parms2.set_coeff_modulus(CoeffModulus.create(n, [59] * 6))
+    parms2.set_plain_modulus(257)
+    parms2.set_random_seed(tuple(range(81, 89)))
+    ctx2 = SealContext(parms2, sec_level=SecLevelType.none)
+    plan = KeySwitchPlan(ctx2, ctx2.first_parms_id)
+    assert plan.lazy_digits
+
+    # (c) >59-bit primes cannot form a valid context (upstream guard)
+    parms3 = EncryptionParameters(SchemeType.BFV)
+    parms3.set_poly_modulus_degree(n)
+    parms3.set_coeff_modulus(get_primes(2 * n, 60, 18))
+    parms3.set_plain_modulus(257)
+    ctx3 = SealContext(parms3, sec_level=SecLevelType.none)
+    assert not ctx3.parameters_set()
+    assert "bit count" in str(
+        ctx3.first_context_data().qualifiers.parameter_error.value
+    ).lower() or "bit_count" in str(
+        ctx3.first_context_data().qualifiers.parameter_error
+    )
