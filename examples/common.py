@@ -1,6 +1,10 @@
 """Shared helpers for the example programs (reference: native/examples/examples.h)."""
 
 import os
+import sys
+
+# allow running straight from a repo checkout without pip install
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
