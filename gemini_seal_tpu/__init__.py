@@ -40,6 +40,10 @@ from .decryptor import Decryptor  # noqa: E402
 from .evaluator import Evaluator  # noqa: E402
 from .encoders import BatchEncoder, CKKSEncoder, IntegerEncoder  # noqa: E402
 from .biguint import BigUInt  # noqa: E402
+from .serialization import (  # noqa: E402
+    SerializableCiphertext,
+    SerializableKSwitchKeys,
+)
 from .models.device_evaluator import DeviceEvaluator  # noqa: E402
 
 __version__ = "0.1.0"
@@ -67,5 +71,7 @@ __all__ = [
     "CKKSEncoder",
     "IntegerEncoder",
     "BigUInt",
+    "SerializableCiphertext",
+    "SerializableKSwitchKeys",
     "DeviceEvaluator",
 ]
