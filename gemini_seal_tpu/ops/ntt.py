@@ -175,9 +175,17 @@ def build_ntt_tables(coeff_count_power: int, moduli: Sequence) -> NTTTables:
     )
 
 
+def _as_u64(v):
+    """Pass traced/device arrays through untouched (the sharded schedules
+    feed dynamically-sliced table rows); coerce host values to u64."""
+    if isinstance(v, (np.ndarray, list, tuple, int, np.integer)):
+        return np.asarray(v, dtype=np.uint64)
+    return v
+
+
 def _expand(v, extra_dims: int):
     """[L] or [L, m] constant -> broadcastable against [..., L, m, h]."""
-    v = np.asarray(v, dtype=np.uint64)
+    v = _as_u64(v)
     return v.reshape(v.shape + (1,) * extra_dims)
 
 
@@ -194,8 +202,8 @@ def ntt_forward_lazy(x, tables):
     m_ = xp(x)
     p = _expand(tables.modulus, 2)        # [L,1,1]
     two_p = p * np.uint64(2)
-    w_all = np.asarray(tables.root_powers, dtype=np.uint64)
-    ws_all = np.asarray(tables.scaled_root_powers, dtype=np.uint64)
+    w_all = _as_u64(tables.root_powers)
+    ws_all = _as_u64(tables.scaled_root_powers)
 
     for s in range(log_n):
         m = 1 << s
@@ -237,8 +245,8 @@ def ntt_inverse_lazy(x, tables):
     m_ = xp(x)
     p = _expand(tables.modulus, 2)
     two_p = p * np.uint64(2)
-    w_all = np.asarray(tables.inv_root_powers, dtype=np.uint64)
-    ws_all = np.asarray(tables.scaled_inv_root_powers, dtype=np.uint64)
+    w_all = _as_u64(tables.inv_root_powers)
+    ws_all = _as_u64(tables.scaled_inv_root_powers)
     inv_n = _expand(tables.inv_degree_modulo, 2)
     inv_n_s = _expand(tables.scaled_inv_degree, 2)
 

@@ -1,0 +1,220 @@
+"""Explicit limb-sharded hybrid key switching (shard_map + hand-placed
+collectives).
+
+The GSPMD path (jit with limb-sharded inputs, tests/test_parallel*.py)
+lets XLA choose the collectives for the key-switch contraction; its
+measured profile is all-gather + all-reduce + collective-permute (PERF.md
+comm table).  This module is the hand-scheduled alternative — the
+communication-minimal dataflow for a TPU pod:
+
+- each device owns `n_ct / C` NORMAL limb rows of the ciphertext;
+- mod-up needs every device to read all limbs of the power-basis target
+  once, so the schedule is exactly ONE `all_gather` of the (per-limb
+  inverse-NTT'd) target — `n_ct * N * 8` bytes per device per switch;
+- each device then computes the digit rows, inner product, and special-
+  prime rescale for ITS OWN rows entirely locally; the `nsp` special rows
+  (1-3 rows) are computed redundantly on every device instead of being
+  exchanged — redundant compute is ~nsp/n_ct of a switch, far cheaper
+  than a second ICI hop.
+
+Every per-device constant (table rows, Barrett ratios, bundle matrix
+rows, key rows) enters shard_map as a SHARDED OPERAND, so each device's
+program sees only its static local slice — no device-index dynamic
+slicing (which defeats the partitioner's constant folding).
+
+Bit-exact with ops.keyswitch.switch_key (same math, same lazy ranges,
+row-sliced constants).  CKKS NTT-form dataflow (the serving hot path).
+
+No reference analogue (single-process library; SURVEY §2.4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import modops
+from ..ops.keyswitch import KeySwitchPlan
+from ..ops.ntt import NTTTables, ntt_forward, ntt_forward_lazy, ntt_inverse_lazy
+from .ntt_sp import shard_map
+
+__all__ = ["switch_key_limb_sharded"]
+
+_MASK32 = np.uint64(0xFFFFFFFF)
+_U32 = np.uint64(32)
+
+_TAB_FIELDS = (
+    "roots", "root_powers", "scaled_root_powers", "inv_root_powers",
+    "scaled_inv_root_powers", "inv_degree_modulo", "scaled_inv_degree",
+    "reduce_precomp", "modulus",
+)
+
+
+def _tables_rows(t: NTTTables, start: int, stop: int) -> dict:
+    return {f: np.asarray(getattr(t, f))[start:stop] for f in _TAB_FIELDS}
+
+
+def _tables_from(fields: dict, cc_power: int, cc: int) -> NTTTables:
+    return NTTTables(coeff_count_power=cc_power, coeff_count=cc, moduli=[],
+                     **fields)
+
+
+def _accum_terms_128(pairs, p, r0, r1):
+    """Sum of 64x64-bit products with exact 128-bit accumulation, reduced
+    per row — same digit-plane scheme as ops.keyswitch / rnsops."""
+    l0 = l1 = l2 = l3 = None
+    for a, b in pairs:
+        hi, lo = modops.mul64_wide(a, b)
+        if l0 is None:
+            l0, l1 = (lo & _MASK32), (lo >> _U32)
+            l2, l3 = (hi & _MASK32), (hi >> _U32)
+        else:
+            l0 = l0 + (lo & _MASK32)
+            l1 = l1 + (lo >> _U32)
+            l2 = l2 + (hi & _MASK32)
+            l3 = l3 + (hi >> _U32)
+    s1 = l1 + (l0 >> _U32)
+    s2 = l2 + (s1 >> _U32)
+    s3 = l3 + (s2 >> _U32)
+    return modops.barrett_reduce_128(
+        (s2 & _MASK32) | (s3 << _U32), (l0 & _MASK32) | (s1 << _U32), p, r0, r1
+    )
+
+
+def _modup_rows(power_target, tgt_ntt_rows, plan, rows, tables):
+    """Digit rows [.., nb, rows_count, N] for the ext rows described by
+    the `rows` constant dict (mat/diag/p/r0/r1 already row-sliced)."""
+    nb, s_max = plan.bundle_sel.shape
+    N = power_target.shape[-1]
+
+    x_sel = jnp.take(power_target, plan.bundle_sel.ravel(), axis=-2)
+    x_sel = x_sel.reshape(power_target.shape[:-2] + (nb, s_max, N))
+    temp = modops.mul_mod(
+        x_sel, plan.bundle_inv, plan.bundle_p, plan.bundle_r0, plan.bundle_r1
+    )
+    pairs = [
+        (temp[..., :, None, i, :], rows["mat"][:, :, i, None])
+        for i in range(s_max)
+    ]
+    lifted = _accum_terms_128(pairs, rows["p"], rows["r0"], rows["r1"])
+    if plan.lazy_digits:
+        lifted_ntt = ntt_forward_lazy(lifted, tables)
+    else:
+        lifted_ntt = ntt_forward(lifted, tables)
+    if tgt_ntt_rows is None:
+        return lifted_ntt
+    return jnp.where(rows["diag"], tgt_ntt_rows[..., None, :, :], lifted_ntt)
+
+
+def switch_key_limb_sharded(target, key_vector_data, plan: KeySwitchPlan,
+                            mesh: Mesh):
+    """Hybrid key switch over a limb-sharded mesh, CKKS NTT-form dataflow.
+
+    target: GLOBAL u64[n_ct, N] (or [batch, n_ct, N]) NTT-form polynomial,
+    sharded P(..., 'limb', None); key_vector_data: u64[nb, 2, L_key, N]
+    (replicated or host).  Returns (d0, d1) with the target's sharding.
+    Requires n_ct % mesh.shape['limb'] == 0.
+    """
+    C = mesh.shape["limb"]
+    n_ct, nsp = plan.n_ct_rns, plan.n_sp_rns
+    if n_ct % C != 0:
+        raise ValueError(f"n_ct={n_ct} not divisible by limb={C}")
+    n_ct_all = plan.n_ct_all_rns
+    nb = plan.bundle_sel.shape[0]
+    cc_power = plan.ct_tables.coeff_count_power
+    cc = plan.ct_tables.coeff_count
+
+    # --- per-device constants, sharded on their row axis -----------------
+    norm_tab = _tables_rows(plan.ext_tables, 0, n_ct)
+    norm = {
+        "tab": norm_tab,
+        "mat": np.ascontiguousarray(plan.bundle_mat[:, :n_ct, :]),
+        "diag": np.ascontiguousarray(plan.bundle_diag[:, :n_ct]),
+        "p": plan.ct_limbs.p, "r0": plan.ct_limbs.ratio0,
+        "r1": plan.ct_limbs.ratio1,
+        "neg": plan.neg_hat_pj_qi,                 # [n_ct, nsp]
+        "invP": plan.inv_P_qi,                     # [n_ct, 1]
+        "key": np.asarray(key_vector_data)[:, :, :n_ct, :],
+    }
+    norm_specs = {
+        "tab": {f: P("limb", *([None] * (np.asarray(v).ndim - 1)))
+                for f, v in norm_tab.items()},
+        "mat": P(None, "limb", None),
+        "diag": P(None, "limb", None),
+        "p": P("limb", None), "r0": P("limb", None), "r1": P("limb", None),
+        "neg": P("limb", None),
+        "invP": P("limb", None),
+        "key": P(None, None, "limb", None),
+    }
+
+    norm["key_sp"] = np.asarray(key_vector_data)[
+        :, :, n_ct_all : n_ct_all + nsp, :
+    ]
+    norm_specs["key_sp"] = P()
+
+    # replicated special-row constants (tiny; computed redundantly)
+    sp_rows = {
+        "mat": plan.bundle_mat[:, n_ct:, :],
+        "p": plan.sp_limbs.p, "r0": plan.sp_limbs.ratio0,
+        "r1": plan.sp_limbs.ratio1,
+    }
+    sp_tables = _tables_from(_tables_rows(plan.ext_tables, n_ct, plan.n_ext),
+                             cc_power, cc)
+
+    def f(tgt_local, c):
+        tab_own = _tables_from(c["tab"], cc_power, cc)
+        lax_axis = tgt_local.ndim - 2
+
+        pt_local = ntt_inverse_lazy(tgt_local, tab_own)
+        power_target = jax.lax.all_gather(
+            pt_local, "limb", axis=lax_axis, tiled=True
+        )  # the ONE collective: [.., n_ct, N]
+
+        dig_own = _modup_rows(power_target, tgt_local, plan, c, tab_own)
+        dig_sp = _modup_rows(power_target, None, plan, sp_rows, sp_tables)
+
+        outs = []
+        for l in range(2):
+            acc_own = _accum_terms_128(
+                [(dig_own[..., b, :, :], c["key"][b, l]) for b in range(nb)],
+                c["p"], c["r0"], c["r1"],
+            )
+            acc_sp = _accum_terms_128(
+                [(dig_sp[..., b, :, :], c["key_sp"][b, l]) for b in range(nb)],
+                sp_rows["p"], sp_rows["r0"], sp_rows["r1"],
+            )
+            # special-prime rescale, own rows only (sp data replicated)
+            sp_power = ntt_inverse_lazy(acc_sp, sp_tables)
+            scaled = modops.mul_mod(
+                sp_power, plan.inv_hat_pj_pj,
+                sp_rows["p"], sp_rows["r0"], sp_rows["r1"],
+            )
+            temp = _accum_terms_128(
+                [(scaled[..., None, j, :], c["neg"][:, j, None])
+                 for j in range(nsp)],
+                c["p"], c["r0"], c["r1"],
+            )
+            temp = ntt_forward(temp, tab_own)
+            s = modops.add_mod(acc_own, temp, c["p"])
+            outs.append(modops.mul_mod(s, c["invP"], c["p"], c["r0"], c["r1"]))
+        return outs[0], outs[1]
+
+    nd = np.asarray(target).ndim if isinstance(target, np.ndarray) else target.ndim
+    spec = P(*([None] * (nd - 2) + ["limb", None]))
+
+    # Jit-wrapped and cached per (plan, mesh, rank): an EAGER shard_map
+    # call dispatches primitive-by-primitive across the device set (~200 s
+    # for this graph on the virtual mesh); one compiled program runs it in
+    # microseconds.
+    cache = plan.__dict__.setdefault("_sp_jit_cache", {})
+    ckey = (tuple(mesh.devices.flat), nd)
+    fn = cache.get(ckey)
+    if fn is None:
+        fn = jax.jit(shard_map(
+            f, mesh, in_specs=(spec, norm_specs), out_specs=(spec, spec)
+        ))
+        cache[ckey] = fn
+    return fn(target, norm)

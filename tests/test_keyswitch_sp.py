@@ -1,0 +1,110 @@
+"""Explicit shard_map limb-sharded key switch: bit-exact vs the in-core
+switch_key, with a communication-minimal profile — exactly ONE all_gather
+of the power-basis target, no all-reduce / collective-permute (vs the
+GSPMD profile in PERF.md's comm table)."""
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from gemini_seal_tpu import (
+    CKKSEncoder,
+    CoeffModulus,
+    Decryptor,
+    EncryptionParameters,
+    Encryptor,
+    Evaluator,
+    KeyGenerator,
+    SchemeType,
+    SecLevelType,
+    SealContext,
+)
+from gemini_seal_tpu.ops.keyswitch import KeySwitchPlan, switch_key
+from gemini_seal_tpu.parallel.comm import collective_stats
+from gemini_seal_tpu.parallel.keyswitch_sp import switch_key_limb_sharded
+from gemini_seal_tpu.parallel.mesh import make_he_mesh
+
+SEED = tuple(range(91, 99))
+
+needs4 = pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+
+
+def setup(n, bits, nsp=1):
+    parms = EncryptionParameters(SchemeType.CKKS)
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.create(n, list(bits)))
+    parms.set_n_special_primes(nsp)
+    parms.set_random_seed(SEED)
+    ctx = SealContext(parms, sec_level=SecLevelType.none)
+    return ctx, KeyGenerator(ctx)
+
+
+def _mesh_limb(c):
+    mesh = make_he_mesh(n_devices=c, dp=1, limb=c)
+    from jax.sharding import Mesh
+
+    return Mesh(np.asarray(jax.devices()[:c]), axis_names=("limb",))
+
+
+def _run_case(n, bits, nsp, C, batch=None):
+    ctx, kg = setup(n, bits, nsp=nsp)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    rk = kg.relin_keys()
+    plan = KeySwitchPlan(ctx, ctx.first_parms_id)
+    assert plan.n_ct_rns % C == 0
+
+    ct = enc.encrypt(encoder.encode([0.5, -1.25, 2.0], 2.0 ** 25))
+    target = np.asarray(ct.data)[1]           # c1, [n_ct, N] NTT form
+    if batch:
+        target = np.broadcast_to(target, (batch,) + target.shape).copy()
+    kdata = np.stack([np.asarray(pk.data.data) for pk in rk.key(2)])
+
+    want0, want1 = switch_key(target, kdata, plan, True)
+
+    mesh = _mesh_limb(C)
+    nd = target.ndim
+    spec = P(*([None] * (nd - 2) + ["limb", None]))
+    sh = NamedSharding(mesh, spec)
+    d0, d1 = switch_key_limb_sharded(
+        jax.device_put(target, sh), kdata, plan, mesh
+    )
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(want0))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(want1))
+    return plan, mesh, sh, target, kdata
+
+
+@needs4
+def test_bit_exact_small():
+    _run_case(n=64, bits=[30] * 5, nsp=1, C=4)
+
+
+@needs4
+def test_bit_exact_realistic_nsp2_batched():
+    """N=4096, L=8 + nsp=2, batch 3 — realistic serving shape."""
+    _run_case(n=4096, bits=[30] * 10, nsp=2, C=4, batch=3)
+
+
+@needs4
+def test_single_gather_comm_profile():
+    """The compiled program must contain exactly the one planned
+    all-gather (the power-basis target) and NO reduction/permute
+    collectives — the hand-scheduled profile, vs GSPMD's
+    all-gather + all-reduce + collective-permute mix."""
+    plan, mesh, sh, target, kdata = _run_case(n=64, bits=[30] * 5, nsp=1, C=4)
+
+    fn = jax.jit(
+        lambda t: switch_key_limb_sharded(t, kdata, plan, mesh),
+        in_shardings=(sh,),
+    )
+    txt = fn.lower(jax.device_put(target, sh)).compile().as_text()
+    stats = collective_stats(txt)
+    assert stats.count.get("all-gather", 0) >= 1
+    assert "all-reduce" not in stats.count, stats
+    assert "reduce-scatter" not in stats.count, stats
+    assert "all-to-all" not in stats.count, stats
+    assert "collective-permute" not in stats.count, stats
+    # gather volume == the power-basis target, nothing more
+    assert stats.bytes["all-gather"] <= target.nbytes, stats
