@@ -38,7 +38,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import modops
 from ..ops.keyswitch import KeySwitchPlan
-from ..ops.ntt import NTTTables, ntt_forward, ntt_forward_lazy, ntt_inverse_lazy
+from ..ops.ntt import (NTTTables, ntt_forward, ntt_forward_lazy, ntt_inverse,
+                       ntt_inverse_lazy)
 from .ntt_sp import shard_map
 
 __all__ = ["switch_key_limb_sharded"]
@@ -110,13 +111,15 @@ def _modup_rows(power_target, tgt_ntt_rows, plan, rows, tables):
 
 
 def switch_key_limb_sharded(target, key_vector_data, plan: KeySwitchPlan,
-                            mesh: Mesh):
-    """Hybrid key switch over a limb-sharded mesh, CKKS NTT-form dataflow.
+                            mesh: Mesh, is_ntt_form: bool = True):
+    """Hybrid key switch over a limb-sharded mesh.
 
-    target: GLOBAL u64[n_ct, N] (or [batch, n_ct, N]) NTT-form polynomial,
-    sharded P(..., 'limb', None); key_vector_data: u64[nb, 2, L_key, N]
-    (replicated or host).  Returns (d0, d1) with the target's sharding.
-    Requires n_ct % mesh.shape['limb'] == 0.
+    target: GLOBAL u64[n_ct, N] (or [batch, n_ct, N]) polynomial in the
+    ciphertext domain (NTT iff is_ntt_form — CKKS serving vs BFV power
+    basis), sharded P(..., 'limb', None); key_vector_data:
+    u64[nb, 2, L_key, N] (replicated or host).  Returns (d0, d1) with the
+    target's sharding, in the ciphertext domain.  Both dataflows keep the
+    single-gather schedule.  Requires n_ct % mesh.shape['limb'] == 0.
     """
     C = mesh.shape["limb"]
     n_ct, nsp = plan.n_ct_rns, plan.n_sp_rns
@@ -168,12 +171,20 @@ def switch_key_limb_sharded(target, key_vector_data, plan: KeySwitchPlan,
         tab_own = _tables_from(c["tab"], cc_power, cc)
         lax_axis = tgt_local.ndim - 2
 
-        pt_local = ntt_inverse_lazy(tgt_local, tab_own)
+        if is_ntt_form:
+            pt_local = ntt_inverse_lazy(tgt_local, tab_own)
+            diag_src = tgt_local
+        else:
+            pt_local = tgt_local
+            if plan.lazy_digits:
+                diag_src = ntt_forward_lazy(tgt_local, tab_own)
+            else:
+                diag_src = ntt_forward(tgt_local, tab_own)
         power_target = jax.lax.all_gather(
             pt_local, "limb", axis=lax_axis, tiled=True
         )  # the ONE collective: [.., n_ct, N]
 
-        dig_own = _modup_rows(power_target, tgt_local, plan, c, tab_own)
+        dig_own = _modup_rows(power_target, diag_src, plan, c, tab_own)
         dig_sp = _modup_rows(power_target, None, plan, sp_rows, sp_tables)
 
         outs = []
@@ -197,8 +208,12 @@ def switch_key_limb_sharded(target, key_vector_data, plan: KeySwitchPlan,
                  for j in range(nsp)],
                 c["p"], c["r0"], c["r1"],
             )
-            temp = ntt_forward(temp, tab_own)
-            s = modops.add_mod(acc_own, temp, c["p"])
+            if is_ntt_form:
+                temp = ntt_forward(temp, tab_own)
+                s = modops.add_mod(acc_own, temp, c["p"])
+            else:
+                normal_power = ntt_inverse(acc_own, tab_own)
+                s = modops.add_mod(normal_power, temp, c["p"])
             outs.append(modops.mul_mod(s, c["invP"], c["p"], c["r0"], c["r1"]))
         return outs[0], outs[1]
 
@@ -210,7 +225,7 @@ def switch_key_limb_sharded(target, key_vector_data, plan: KeySwitchPlan,
     # for this graph on the virtual mesh); one compiled program runs it in
     # microseconds.
     cache = plan.__dict__.setdefault("_sp_jit_cache", {})
-    ckey = (tuple(mesh.devices.flat), nd)
+    ckey = (tuple(mesh.devices.flat), nd, is_ntt_form)
     fn = cache.get(ckey)
     if fn is None:
         fn = jax.jit(shard_map(

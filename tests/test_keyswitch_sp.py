@@ -108,3 +108,35 @@ def test_single_gather_comm_profile():
     assert "collective-permute" not in stats.count, stats
     # gather volume == the power-basis target, nothing more
     assert stats.bytes["all-gather"] <= target.nbytes, stats
+
+
+@needs4
+def test_bit_exact_bfv_power_basis():
+    """BFV (power-basis) dataflow: same single-gather schedule, bit-exact
+    vs the in-core switch_key(is_ntt_form=False)."""
+    from gemini_seal_tpu import PlainModulus, Plaintext
+
+    parms = EncryptionParameters(SchemeType.BFV)
+    n = 64
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.create(n, [30] * 5))
+    parms.set_plain_modulus(257)
+    parms.set_random_seed(SEED)
+    ctx = SealContext(parms, sec_level=SecLevelType.none)
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    rk = kg.relin_keys()
+    plan = KeySwitchPlan(ctx, ctx.first_parms_id)
+
+    ct = enc.encrypt(Plaintext.from_hex("3x^2 + 2"))
+    target = np.asarray(ct.data)[1]
+    kdata = np.stack([np.asarray(pk.data.data) for pk in rk.key(2)])
+    want0, want1 = switch_key(target, kdata, plan, False)
+
+    mesh = _mesh_limb(4)
+    sh = NamedSharding(mesh, P("limb", None))
+    d0, d1 = switch_key_limb_sharded(
+        jax.device_put(target, sh), kdata, plan, mesh, is_ntt_form=False
+    )
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(want0))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(want1))
