@@ -34,9 +34,6 @@ from .ntt import (NTTTables, ntt_forward, ntt_forward_lazy, ntt_inverse,
                   ntt_inverse_lazy)
 from .rnsops import _dot_mod_128, _slice_tables
 
-_MASK32 = np.uint64(0xFFFFFFFF)
-_U32 = np.uint64(32)
-
 __all__ = ["KeySwitchPlan", "switch_key", "compute_modup_digits",
            "keyswitch_inner_product", "fused_moddown"]
 
@@ -316,27 +313,9 @@ def compute_modup_digits(target, plan: KeySwitchPlan, is_ntt_form: bool):
     temp = modops.mul_mod(
         x_sel, plan.bundle_inv, plan.bundle_p, plan.bundle_r0, plan.bundle_r1
     )
-    l0 = l1 = l2 = l3 = None
-    for i in range(s_max):
-        hi, lo = modops.mul64_wide(
-            temp[..., :, None, i, :], plan.bundle_mat[:, :, i, None]
-        )
-        if l0 is None:
-            l0, l1, l2, l3 = (lo & _MASK32), (lo >> _U32), (hi & _MASK32), (hi >> _U32)
-        else:
-            l0 = l0 + (lo & _MASK32)
-            l1 = l1 + (lo >> _U32)
-            l2 = l2 + (hi & _MASK32)
-            l3 = l3 + (hi >> _U32)
-    carry = l0 >> _U32
-    s1 = l1 + carry
-    carry = s1 >> _U32
-    s2 = l2 + carry
-    carry = s2 >> _U32
-    s3 = l3 + carry
-    lifted = modops.barrett_reduce_128(
-        (s2 & _MASK32) | (s3 << _U32),
-        (l0 & _MASK32) | (s1 << _U32),
+    lifted = modops.accumulate_mulmod_128(
+        ((temp[..., :, None, i, :], plan.bundle_mat[:, :, i, None])
+         for i in range(s_max)),
         plan.ext_limbs.p, plan.ext_limbs.ratio0, plan.ext_limbs.ratio1,
     )  # [..., nb, n_ext, N]
     # [0, 4p) lazy: consumed only by the inner product's exact 128-bit
@@ -359,38 +338,16 @@ def keyswitch_inner_product(ct_k, key_vector_data, plan: KeySwitchPlan,
     key_vector_data: [n_bundles, 2, L_key, N].
     Returns (delta0, delta1): [..., n_ct, N].
     """
-    n_ext = plan.n_ext
-    N = ct_k.shape[-1]
-    batch = ct_k.shape[:-3]
     ext = plan.ext_limbs
     nb = plan.bundle_sel.shape[0]
-    m_ = xp(ct_k)
 
     key_ext = key_vector_data[:, :, plan.ext_key_indices, :]
-    d = [
-        [m_.zeros(batch + (n_ext, N), dtype=m_.uint64) for _ in range(4)]
-        for _ in range(2)
-    ]
-    for b in range(nb):
-        for l in range(2):
-            hi, lo = modops.mul64_wide(ct_k[..., b, :, :], key_ext[b, l])
-            d[l][0] = d[l][0] + (lo & _MASK32)
-            d[l][1] = d[l][1] + (lo >> _U32)
-            d[l][2] = d[l][2] + (hi & _MASK32)
-            d[l][3] = d[l][3] + (hi >> _U32)
-
     out = []
     for l in range(2):
-        d0, d1, d2, d3 = d[l]
-        carry = d0 >> _U32
-        s1 = d1 + carry
-        carry = s1 >> _U32
-        s2 = d2 + carry
-        carry = s2 >> _U32
-        s3 = d3 + carry
-        lo128 = (d0 & _MASK32) | (s1 << _U32)
-        hi128 = (s2 & _MASK32) | (s3 << _U32)
-        acc = modops.barrett_reduce_128(hi128, lo128, ext.p, ext.ratio0, ext.ratio1)
+        acc = modops.accumulate_mulmod_128(
+            ((ct_k[..., b, :, :], key_ext[b, l]) for b in range(nb)),
+            ext.p, ext.ratio0, ext.ratio1,
+        )
         if raw:
             out.append(acc)
         else:

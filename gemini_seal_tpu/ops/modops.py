@@ -37,6 +37,7 @@ __all__ = [
     "neg_mod",
     "reduce_once",
     "reduce_twice",
+    "accumulate_mulmod_128",
 ]
 
 # numpy scalars: no JAX backend initialization at import time
@@ -206,6 +207,40 @@ def neg_mod(a, p):
     a = _u64(a, m)
     p = _u64(p, m)
     return m.where(a == 0, a, p - a)
+
+
+def accumulate_mulmod_128(pairs, p, ratio0, ratio1):
+    """sum_k a_k * b_k mod p with exact 128-bit accumulation.
+
+    The vectorized equivalent of the reference's FMAU128 lazy accumulator
+    (multi_special_primes.cpp:2-20) + barrett_reduce_128: each 128-bit
+    partial product is split into four 32-bit digit planes summed in u64
+    (safe for <= 2^26 terms of any-range u64 inputs, i.e. lazy [0, 4p)
+    operands included when the caller's margin allows — see
+    KeySwitchPlan.lazy_digits), then renormalized once and Barrett-reduced.
+
+    `pairs` is an iterable of (a, b) broadcastable u64 operands; this is
+    THE accumulation kernel for the key-switch inner product, the mod-up
+    contraction, and base conversion (ops/rnsops._dot_mod_128).
+    """
+    l0 = l1 = l2 = l3 = None
+    for a, b in pairs:
+        hi, lo = mul64_wide(a, b)
+        if l0 is None:
+            l0, l1 = (lo & _MASK32), (lo >> _U32)
+            l2, l3 = (hi & _MASK32), (hi >> _U32)
+        else:
+            l0 = l0 + (lo & _MASK32)
+            l1 = l1 + (lo >> _U32)
+            l2 = l2 + (hi & _MASK32)
+            l3 = l3 + (hi >> _U32)
+    s1 = l1 + (l0 >> _U32)
+    s2 = l2 + (s1 >> _U32)
+    s3 = l3 + (s2 >> _U32)
+    return barrett_reduce_128(
+        (s2 & _MASK32) | (s3 << _U32), (l0 & _MASK32) | (s1 << _U32),
+        p, ratio0, ratio1,
+    )
 
 
 def reduce_once(x, p):

@@ -29,8 +29,6 @@ from .backend import xp
 from .dyadic import LimbConstants, add_poly, multiply_poly_scalar, sub_poly
 from .ntt import NTTTables, build_ntt_tables, ntt_forward, ntt_inverse
 
-_MASK32 = np.uint64(0xFFFFFFFF)
-_U32 = np.uint64(32)
 
 __all__ = [
     "DeviceBaseConverter",
@@ -72,40 +70,17 @@ class DeviceBaseConverter:
 def _dot_mod_128(a, b, obase: LimbConstants):
     """sum_i a[..., i, n] * b[j, i] mod p_j -> [..., O, N].
 
-    128-bit-exact contraction: split each 128-bit partial product into four
-    32-bit digits, sum digit columns in u64 (safe for <= 2^26 terms), then
-    renormalize and Barrett-reduce.  This is the vectorized equivalent of
-    the reference's FMAU128 lazy accumulator + barrett_reduce_128.
+    128-bit-exact contraction over the (small) input-base axis via the
+    shared digit-plane accumulator (modops.accumulate_mulmod_128) —
+    the vectorized equivalent of the reference's FMAU128 lazy accumulator +
+    barrett_reduce_128.  Accumulating per input limb keeps live
+    intermediates at [..., O, N] instead of materializing the full
+    [..., O, I, N] broadcast product.
     """
-    # Unrolled contraction over the (small) input-base axis: accumulating
-    # digit planes per input limb keeps live intermediates at [..., O, N]
-    # instead of materializing the full [..., O, I, N] broadcast product
-    # (at N=8192 that is tens of MB of HBM traffic per call).
     I = a.shape[-2]
-    d0 = d1 = d2 = d3 = None
-    for i in range(I):
-        hi, lo = modops.mul64_wide(a[..., None, i, :], b[:, i, None])
-        t0 = lo & _MASK32
-        t1 = lo >> _U32
-        t2 = hi & _MASK32
-        t3 = hi >> _U32
-        if d0 is None:
-            d0, d1, d2, d3 = t0, t1, t2, t3
-        else:
-            d0 = d0 + t0
-            d1 = d1 + t1
-            d2 = d2 + t2
-            d3 = d3 + t3
-    carry = d0 >> _U32
-    s1 = d1 + carry
-    carry = s1 >> _U32
-    s2 = d2 + carry
-    carry = s2 >> _U32
-    s3 = d3 + carry
-    lo128 = (d0 & _MASK32) | (s1 << _U32)
-    hi128 = (s2 & _MASK32) | (s3 << _U32)
-    return modops.barrett_reduce_128(
-        hi128, lo128, obase.p, obase.ratio0, obase.ratio1
+    return modops.accumulate_mulmod_128(
+        ((a[..., None, i, :], b[:, i, None]) for i in range(I)),
+        obase.p, obase.ratio0, obase.ratio1,
     )
 
 

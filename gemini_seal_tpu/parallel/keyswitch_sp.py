@@ -44,9 +44,6 @@ from .ntt_sp import shard_map
 
 __all__ = ["switch_key_limb_sharded"]
 
-_MASK32 = np.uint64(0xFFFFFFFF)
-_U32 = np.uint64(32)
-
 _TAB_FIELDS = (
     "roots", "root_powers", "scaled_root_powers", "inv_root_powers",
     "scaled_inv_root_powers", "inv_degree_modulo", "scaled_inv_degree",
@@ -64,25 +61,8 @@ def _tables_from(fields: dict, cc_power: int, cc: int) -> NTTTables:
 
 
 def _accum_terms_128(pairs, p, r0, r1):
-    """Sum of 64x64-bit products with exact 128-bit accumulation, reduced
-    per row — same digit-plane scheme as ops.keyswitch / rnsops."""
-    l0 = l1 = l2 = l3 = None
-    for a, b in pairs:
-        hi, lo = modops.mul64_wide(a, b)
-        if l0 is None:
-            l0, l1 = (lo & _MASK32), (lo >> _U32)
-            l2, l3 = (hi & _MASK32), (hi >> _U32)
-        else:
-            l0 = l0 + (lo & _MASK32)
-            l1 = l1 + (lo >> _U32)
-            l2 = l2 + (hi & _MASK32)
-            l3 = l3 + (hi >> _U32)
-    s1 = l1 + (l0 >> _U32)
-    s2 = l2 + (s1 >> _U32)
-    s3 = l3 + (s2 >> _U32)
-    return modops.barrett_reduce_128(
-        (s2 & _MASK32) | (s3 << _U32), (l0 & _MASK32) | (s1 << _U32), p, r0, r1
-    )
+    """Shared 128-bit digit-plane accumulator (ops.modops)."""
+    return modops.accumulate_mulmod_128(pairs, p, r0, r1)
 
 
 def _modup_rows(power_target, tgt_ntt_rows, plan, rows, tables):
@@ -130,33 +110,45 @@ def switch_key_limb_sharded(target, key_vector_data, plan: KeySwitchPlan,
     cc_power = plan.ct_tables.coeff_count_power
     cc = plan.ct_tables.coeff_count
 
-    # --- per-device constants, sharded on their row axis -----------------
-    norm_tab = _tables_rows(plan.ext_tables, 0, n_ct)
-    norm = {
-        "tab": norm_tab,
-        "mat": np.ascontiguousarray(plan.bundle_mat[:, :n_ct, :]),
-        "diag": np.ascontiguousarray(plan.bundle_diag[:, :n_ct]),
-        "p": plan.ct_limbs.p, "r0": plan.ct_limbs.ratio0,
-        "r1": plan.ct_limbs.ratio1,
-        "neg": plan.neg_hat_pj_qi,                 # [n_ct, nsp]
-        "invP": plan.inv_P_qi,                     # [n_ct, 1]
-        "key": np.asarray(key_vector_data)[:, :, :n_ct, :],
-    }
-    norm_specs = {
-        "tab": {f: P("limb", *([None] * (np.asarray(v).ndim - 1)))
-                for f, v in norm_tab.items()},
-        "mat": P(None, "limb", None),
-        "diag": P(None, "limb", None),
-        "p": P("limb", None), "r0": P("limb", None), "r1": P("limb", None),
-        "neg": P("limb", None),
-        "invP": P("limb", None),
-        "key": P(None, None, "limb", None),
-    }
-
-    norm["key_sp"] = np.asarray(key_vector_data)[
-        :, :, n_ct_all : n_ct_all + nsp, :
-    ]
-    norm_specs["key_sp"] = P()
+    # --- per-device constants, sharded on their row axis.  Built and
+    # device_put ONCE per (plan, mesh, key) and cached: the serving hot
+    # path must not re-transfer megabytes of tables/keys per switch. ------
+    norm_cache = plan.__dict__.setdefault("_sp_norm_cache", {})
+    nkey = (tuple(mesh.devices.flat), id(key_vector_data))
+    hit = norm_cache.get(nkey)
+    if hit is not None and hit[0] is key_vector_data:
+        norm, norm_specs = hit[1], hit[2]
+    else:
+        norm_tab = _tables_rows(plan.ext_tables, 0, n_ct)
+        key_host = np.asarray(key_vector_data)
+        norm = {
+            "tab": norm_tab,
+            "mat": np.ascontiguousarray(plan.bundle_mat[:, :n_ct, :]),
+            "diag": np.ascontiguousarray(plan.bundle_diag[:, :n_ct]),
+            "p": plan.ct_limbs.p, "r0": plan.ct_limbs.ratio0,
+            "r1": plan.ct_limbs.ratio1,
+            "neg": plan.neg_hat_pj_qi,             # [n_ct, nsp]
+            "invP": plan.inv_P_qi,                 # [n_ct, 1]
+            "key": key_host[:, :, :n_ct, :],
+            "key_sp": key_host[:, :, n_ct_all : n_ct_all + nsp, :],
+        }
+        norm_specs = {
+            "tab": {f: P("limb", *([None] * (np.asarray(v).ndim - 1)))
+                    for f, v in norm_tab.items()},
+            "mat": P(None, "limb", None),
+            "diag": P(None, "limb", None),
+            "p": P("limb", None), "r0": P("limb", None), "r1": P("limb", None),
+            "neg": P("limb", None),
+            "invP": P("limb", None),
+            "key": P(None, None, "limb", None),
+            "key_sp": P(),
+        }
+        norm = jax.device_put(
+            norm,
+            jax.tree.map(lambda s: NamedSharding(mesh, s), norm_specs,
+                         is_leaf=lambda x: isinstance(x, P)),
+        )
+        norm_cache[nkey] = (key_vector_data, norm, norm_specs)
 
     # replicated special-row constants (tiny; computed redundantly)
     sp_rows = {
@@ -217,7 +209,7 @@ def switch_key_limb_sharded(target, key_vector_data, plan: KeySwitchPlan,
             outs.append(modops.mul_mod(s, c["invP"], c["p"], c["r0"], c["r1"]))
         return outs[0], outs[1]
 
-    nd = np.asarray(target).ndim if isinstance(target, np.ndarray) else target.ndim
+    nd = target.ndim
     spec = P(*([None] * (nd - 2) + ["limb", None]))
 
     # Jit-wrapped and cached per (plan, mesh, rank): an EAGER shard_map
@@ -225,7 +217,8 @@ def switch_key_limb_sharded(target, key_vector_data, plan: KeySwitchPlan,
     # for this graph on the virtual mesh); one compiled program runs it in
     # microseconds.
     cache = plan.__dict__.setdefault("_sp_jit_cache", {})
-    ckey = (tuple(mesh.devices.flat), nd, is_ntt_form)
+    ckey = (tuple(mesh.devices.flat), tuple(sorted(mesh.shape.items())),
+            nd, is_ntt_form)
     fn = cache.get(ckey)
     if fn is None:
         fn = jax.jit(shard_map(

@@ -24,7 +24,6 @@ from gemini_seal_tpu import (
 from gemini_seal_tpu.ops.keyswitch import KeySwitchPlan, switch_key
 from gemini_seal_tpu.parallel.comm import collective_stats
 from gemini_seal_tpu.parallel.keyswitch_sp import switch_key_limb_sharded
-from gemini_seal_tpu.parallel.mesh import make_he_mesh
 
 SEED = tuple(range(91, 99))
 
@@ -42,7 +41,6 @@ def setup(n, bits, nsp=1):
 
 
 def _mesh_limb(c):
-    mesh = make_he_mesh(n_devices=c, dp=1, limb=c)
     from jax.sharding import Mesh
 
     return Mesh(np.asarray(jax.devices()[:c]), axis_names=("limb",))
@@ -101,7 +99,7 @@ def test_single_gather_comm_profile():
     )
     txt = fn.lower(jax.device_put(target, sh)).compile().as_text()
     stats = collective_stats(txt)
-    assert stats.count.get("all-gather", 0) >= 1
+    assert stats.count.get("all-gather", 0) == 1, stats
     assert "all-reduce" not in stats.count, stats
     assert "reduce-scatter" not in stats.count, stats
     assert "all-to-all" not in stats.count, stats
