@@ -17,13 +17,20 @@ communication-minimal dataflow for a TPU pod:
   exchanged — redundant compute is ~nsp/n_ct of a switch, far cheaper
   than a second ICI hop.
 
+`ckks_mul_relin_rescale_limb_sharded` composes the full serving hot step
+on the same schedule: the ciphertext convolution is limb-local, the relin
+switch costs the one target gather, and the rescale adds a single tiny
+all-reduce broadcasting the rounded q_last limb (one row per component) —
+total ICI per step: (n_ct + 2) polynomial rows.
+
 Every per-device constant (table rows, Barrett ratios, bundle matrix
 rows, key rows) enters shard_map as a SHARDED OPERAND, so each device's
 program sees only its static local slice — no device-index dynamic
-slicing (which defeats the partitioner's constant folding).
+slicing — and is device_put once per (plan, mesh, keys).
 
-Bit-exact with ops.keyswitch.switch_key (same math, same lazy ranges,
-row-sliced constants).  CKKS NTT-form dataflow (the serving hot path).
+Bit-exact with the in-core ops (same math, same lazy ranges, row-sliced
+constants), except the pipeline's dropped q_last row, which is returned
+as a zero pad (the next level re-shards).
 
 No reference analogue (single-process library; SURVEY §2.4).
 """
@@ -42,7 +49,7 @@ from ..ops.ntt import (NTTTables, ntt_forward, ntt_forward_lazy, ntt_inverse,
                        ntt_inverse_lazy)
 from .ntt_sp import shard_map
 
-__all__ = ["switch_key_limb_sharded"]
+__all__ = ["switch_key_limb_sharded", "ckks_mul_relin_rescale_limb_sharded"]
 
 _TAB_FIELDS = (
     "roots", "root_powers", "scaled_root_powers", "inv_root_powers",
@@ -90,6 +97,149 @@ def _modup_rows(power_target, tgt_ntt_rows, plan, rows, tables):
     return jnp.where(rows["diag"], tgt_ntt_rows[..., None, :, :], lifted_ntt)
 
 
+def _plan_consts(plan: KeySwitchPlan, mesh: Mesh, key_vector_data):
+    """Per-device constants + key rows, sharded over 'limb', device_put
+    ONCE per (plan, mesh, keys) and cached — the serving hot path must not
+    re-transfer megabytes of tables/keys per switch."""
+    n_ct, nsp = plan.n_ct_rns, plan.n_sp_rns
+    n_ct_all = plan.n_ct_all_rns
+
+    cache = plan.__dict__.setdefault("_sp_norm_cache", {})
+    nkey = (tuple(mesh.devices.flat), id(key_vector_data))
+    hit = cache.get(nkey)
+    if hit is not None and hit[0] is key_vector_data:
+        return hit[1], hit[2]
+
+    norm_tab = _tables_rows(plan.ext_tables, 0, n_ct)
+    key_host = np.asarray(key_vector_data)
+    q_last = int(plan.ct_limbs.p[n_ct - 1, 0])
+    half = q_last >> 1
+    # padded to n_ct rows: the dropped q_last row's entries are dummies
+    inv_q = np.ones((n_ct, 1), dtype=np.uint64)
+    half_mod = np.zeros((n_ct, 1), dtype=np.uint64)
+    for i in range(n_ct - 1):
+        qi = int(plan.ct_limbs.p[i, 0])
+        from ..utils.numth import try_invert_uint_mod
+
+        inv_q[i, 0] = try_invert_uint_mod(q_last % qi, qi)
+        half_mod[i, 0] = half % qi
+
+    norm = {
+        "tab": norm_tab,
+        "mat": np.ascontiguousarray(plan.bundle_mat[:, :n_ct, :]),
+        "diag": np.ascontiguousarray(plan.bundle_diag[:, :n_ct]),
+        "p": plan.ct_limbs.p, "r0": plan.ct_limbs.ratio0,
+        "r1": plan.ct_limbs.ratio1,
+        "neg": plan.neg_hat_pj_qi,             # [n_ct, nsp]
+        "invP": plan.inv_P_qi,                 # [n_ct, 1]
+        "key": key_host[:, :, :n_ct, :],
+        "key_sp": key_host[:, :, n_ct_all : n_ct_all + nsp, :],
+        "inv_q_last": inv_q,                   # [n_ct, 1] (last row dummy)
+        "half_mod": half_mod,                  # [n_ct, 1] (last row dummy)
+    }
+    norm_specs = {
+        "tab": {f: P("limb", *([None] * (np.asarray(v).ndim - 1)))
+                for f, v in norm_tab.items()},
+        "mat": P(None, "limb", None),
+        "diag": P(None, "limb", None),
+        "p": P("limb", None), "r0": P("limb", None), "r1": P("limb", None),
+        "neg": P("limb", None),
+        "invP": P("limb", None),
+        "key": P(None, None, "limb", None),
+        "key_sp": P(),
+        "inv_q_last": P("limb", None),
+        "half_mod": P("limb", None),
+    }
+    norm = jax.device_put(
+        norm,
+        jax.tree.map(lambda s: NamedSharding(mesh, s), norm_specs,
+                     is_leaf=lambda x: isinstance(x, P)),
+    )
+    cache[nkey] = (key_vector_data, norm, norm_specs)
+    return norm, norm_specs
+
+
+def _sp_consts(plan: KeySwitchPlan):
+    """Replicated special-row constants (tiny; computed redundantly)."""
+    n_ct = plan.n_ct_rns
+    cc_power = plan.ct_tables.coeff_count_power
+    cc = plan.ct_tables.coeff_count
+    sp_rows = {
+        "mat": plan.bundle_mat[:, n_ct:, :],
+        "p": plan.sp_limbs.p, "r0": plan.sp_limbs.ratio0,
+        "r1": plan.sp_limbs.ratio1,
+    }
+    sp_tables = _tables_from(_tables_rows(plan.ext_tables, n_ct, plan.n_ext),
+                             cc_power, cc)
+    return sp_rows, sp_tables
+
+
+def _switch_local(tgt_local, c, tab_own, plan, sp_rows, sp_tables,
+                  is_ntt_form: bool):
+    """The per-device switch body: one all_gather, everything else local.
+    Returns (d0_local, d1_local) for this device's rows."""
+    nb = plan.bundle_sel.shape[0]
+    nsp = plan.n_sp_rns
+    lax_axis = tgt_local.ndim - 2
+
+    if is_ntt_form:
+        pt_local = ntt_inverse_lazy(tgt_local, tab_own)
+        diag_src = tgt_local
+    else:
+        pt_local = tgt_local
+        if plan.lazy_digits:
+            diag_src = ntt_forward_lazy(tgt_local, tab_own)
+        else:
+            diag_src = ntt_forward(tgt_local, tab_own)
+    power_target = jax.lax.all_gather(
+        pt_local, "limb", axis=lax_axis, tiled=True
+    )  # the ONE collective of the switch: [.., n_ct, N]
+
+    dig_own = _modup_rows(power_target, diag_src, plan, c, tab_own)
+    dig_sp = _modup_rows(power_target, None, plan, sp_rows, sp_tables)
+
+    outs = []
+    for l in range(2):
+        acc_own = _accum_terms_128(
+            [(dig_own[..., b, :, :], c["key"][b, l]) for b in range(nb)],
+            c["p"], c["r0"], c["r1"],
+        )
+        acc_sp = _accum_terms_128(
+            [(dig_sp[..., b, :, :], c["key_sp"][b, l]) for b in range(nb)],
+            sp_rows["p"], sp_rows["r0"], sp_rows["r1"],
+        )
+        # special-prime rescale, own rows only (sp data replicated)
+        sp_power = ntt_inverse_lazy(acc_sp, sp_tables)
+        scaled = modops.mul_mod(
+            sp_power, plan.inv_hat_pj_pj,
+            sp_rows["p"], sp_rows["r0"], sp_rows["r1"],
+        )
+        temp = _accum_terms_128(
+            [(scaled[..., None, j, :], c["neg"][:, j, None])
+             for j in range(nsp)],
+            c["p"], c["r0"], c["r1"],
+        )
+        if is_ntt_form:
+            temp = ntt_forward(temp, tab_own)
+            s = modops.add_mod(acc_own, temp, c["p"])
+        else:
+            normal_power = ntt_inverse(acc_own, tab_own)
+            s = modops.add_mod(normal_power, temp, c["p"])
+        outs.append(modops.mul_mod(s, c["invP"], c["p"], c["r0"], c["r1"]))
+    return outs[0], outs[1]
+
+
+def _jit_cached(plan, mesh, tag, nd, build):
+    cache = plan.__dict__.setdefault("_sp_jit_cache", {})
+    ckey = (tuple(mesh.devices.flat), tuple(sorted(mesh.shape.items())),
+            tag, nd)
+    fn = cache.get(ckey)
+    if fn is None:
+        fn = jax.jit(build())
+        cache[ckey] = fn
+    return fn
+
+
 def switch_key_limb_sharded(target, key_vector_data, plan: KeySwitchPlan,
                             mesh: Mesh, is_ntt_form: bool = True):
     """Hybrid key switch over a limb-sharded mesh.
@@ -102,127 +252,108 @@ def switch_key_limb_sharded(target, key_vector_data, plan: KeySwitchPlan,
     single-gather schedule.  Requires n_ct % mesh.shape['limb'] == 0.
     """
     C = mesh.shape["limb"]
-    n_ct, nsp = plan.n_ct_rns, plan.n_sp_rns
-    if n_ct % C != 0:
-        raise ValueError(f"n_ct={n_ct} not divisible by limb={C}")
-    n_ct_all = plan.n_ct_all_rns
-    nb = plan.bundle_sel.shape[0]
+    if plan.n_ct_rns % C != 0:
+        raise ValueError(f"n_ct={plan.n_ct_rns} not divisible by limb={C}")
     cc_power = plan.ct_tables.coeff_count_power
     cc = plan.ct_tables.coeff_count
-
-    # --- per-device constants, sharded on their row axis.  Built and
-    # device_put ONCE per (plan, mesh, key) and cached: the serving hot
-    # path must not re-transfer megabytes of tables/keys per switch. ------
-    norm_cache = plan.__dict__.setdefault("_sp_norm_cache", {})
-    nkey = (tuple(mesh.devices.flat), id(key_vector_data))
-    hit = norm_cache.get(nkey)
-    if hit is not None and hit[0] is key_vector_data:
-        norm, norm_specs = hit[1], hit[2]
-    else:
-        norm_tab = _tables_rows(plan.ext_tables, 0, n_ct)
-        key_host = np.asarray(key_vector_data)
-        norm = {
-            "tab": norm_tab,
-            "mat": np.ascontiguousarray(plan.bundle_mat[:, :n_ct, :]),
-            "diag": np.ascontiguousarray(plan.bundle_diag[:, :n_ct]),
-            "p": plan.ct_limbs.p, "r0": plan.ct_limbs.ratio0,
-            "r1": plan.ct_limbs.ratio1,
-            "neg": plan.neg_hat_pj_qi,             # [n_ct, nsp]
-            "invP": plan.inv_P_qi,                 # [n_ct, 1]
-            "key": key_host[:, :, :n_ct, :],
-            "key_sp": key_host[:, :, n_ct_all : n_ct_all + nsp, :],
-        }
-        norm_specs = {
-            "tab": {f: P("limb", *([None] * (np.asarray(v).ndim - 1)))
-                    for f, v in norm_tab.items()},
-            "mat": P(None, "limb", None),
-            "diag": P(None, "limb", None),
-            "p": P("limb", None), "r0": P("limb", None), "r1": P("limb", None),
-            "neg": P("limb", None),
-            "invP": P("limb", None),
-            "key": P(None, None, "limb", None),
-            "key_sp": P(),
-        }
-        norm = jax.device_put(
-            norm,
-            jax.tree.map(lambda s: NamedSharding(mesh, s), norm_specs,
-                         is_leaf=lambda x: isinstance(x, P)),
-        )
-        norm_cache[nkey] = (key_vector_data, norm, norm_specs)
-
-    # replicated special-row constants (tiny; computed redundantly)
-    sp_rows = {
-        "mat": plan.bundle_mat[:, n_ct:, :],
-        "p": plan.sp_limbs.p, "r0": plan.sp_limbs.ratio0,
-        "r1": plan.sp_limbs.ratio1,
-    }
-    sp_tables = _tables_from(_tables_rows(plan.ext_tables, n_ct, plan.n_ext),
-                             cc_power, cc)
+    norm, norm_specs = _plan_consts(plan, mesh, key_vector_data)
+    sp_rows, sp_tables = _sp_consts(plan)
 
     def f(tgt_local, c):
         tab_own = _tables_from(c["tab"], cc_power, cc)
-        lax_axis = tgt_local.ndim - 2
-
-        if is_ntt_form:
-            pt_local = ntt_inverse_lazy(tgt_local, tab_own)
-            diag_src = tgt_local
-        else:
-            pt_local = tgt_local
-            if plan.lazy_digits:
-                diag_src = ntt_forward_lazy(tgt_local, tab_own)
-            else:
-                diag_src = ntt_forward(tgt_local, tab_own)
-        power_target = jax.lax.all_gather(
-            pt_local, "limb", axis=lax_axis, tiled=True
-        )  # the ONE collective: [.., n_ct, N]
-
-        dig_own = _modup_rows(power_target, diag_src, plan, c, tab_own)
-        dig_sp = _modup_rows(power_target, None, plan, sp_rows, sp_tables)
-
-        outs = []
-        for l in range(2):
-            acc_own = _accum_terms_128(
-                [(dig_own[..., b, :, :], c["key"][b, l]) for b in range(nb)],
-                c["p"], c["r0"], c["r1"],
-            )
-            acc_sp = _accum_terms_128(
-                [(dig_sp[..., b, :, :], c["key_sp"][b, l]) for b in range(nb)],
-                sp_rows["p"], sp_rows["r0"], sp_rows["r1"],
-            )
-            # special-prime rescale, own rows only (sp data replicated)
-            sp_power = ntt_inverse_lazy(acc_sp, sp_tables)
-            scaled = modops.mul_mod(
-                sp_power, plan.inv_hat_pj_pj,
-                sp_rows["p"], sp_rows["r0"], sp_rows["r1"],
-            )
-            temp = _accum_terms_128(
-                [(scaled[..., None, j, :], c["neg"][:, j, None])
-                 for j in range(nsp)],
-                c["p"], c["r0"], c["r1"],
-            )
-            if is_ntt_form:
-                temp = ntt_forward(temp, tab_own)
-                s = modops.add_mod(acc_own, temp, c["p"])
-            else:
-                normal_power = ntt_inverse(acc_own, tab_own)
-                s = modops.add_mod(normal_power, temp, c["p"])
-            outs.append(modops.mul_mod(s, c["invP"], c["p"], c["r0"], c["r1"]))
-        return outs[0], outs[1]
+        return _switch_local(tgt_local, c, tab_own, plan, sp_rows, sp_tables,
+                             is_ntt_form)
 
     nd = target.ndim
     spec = P(*([None] * (nd - 2) + ["limb", None]))
 
-    # Jit-wrapped and cached per (plan, mesh, rank): an EAGER shard_map
-    # call dispatches primitive-by-primitive across the device set (~200 s
-    # for this graph on the virtual mesh); one compiled program runs it in
-    # microseconds.
-    cache = plan.__dict__.setdefault("_sp_jit_cache", {})
-    ckey = (tuple(mesh.devices.flat), tuple(sorted(mesh.shape.items())),
-            nd, is_ntt_form)
-    fn = cache.get(ckey)
-    if fn is None:
-        fn = jax.jit(shard_map(
-            f, mesh, in_specs=(spec, norm_specs), out_specs=(spec, spec)
-        ))
-        cache[ckey] = fn
+    def build():
+        # jit-wrapped: an EAGER shard_map call dispatches primitive-by-
+        # primitive across the device set (~200 s for this graph on the
+        # virtual mesh); one compiled program runs it in microseconds.
+        return shard_map(f, mesh, in_specs=(spec, norm_specs),
+                         out_specs=(spec, spec))
+
+    fn = _jit_cached(plan, mesh, ("switch", is_ntt_form), nd, build)
     return fn(target, norm)
+
+
+def ckks_mul_relin_rescale_limb_sharded(a, b, key_vector_data,
+                                        plan: KeySwitchPlan, mesh: Mesh):
+    """The full CKKS serving hot step (multiply + relinearize + rescale)
+    on the explicit limb-sharded schedule.
+
+    a, b: GLOBAL u64[.., 2, n_ct, N] NTT-form ciphertext data sharded
+    P(..., None, 'limb', None).  Returns u64[.., 2, n_ct, N] at the NEXT
+    level in NTT form with the same sharding; the dropped q_last row
+    (global row n_ct - 1) is returned ZEROED as padding — slice
+    [..., :n_ct-1, :] for the next level's tensor (rows [:n_ct-1] are
+    bit-exact with pipelines.build_ckks_mul_relin_rescale's output).
+
+    ICI per device per step: one all_gather of the c2 target (n_ct rows)
+    + one 2-row all-reduce broadcast of the rounded q_last limb.
+    """
+    C = mesh.shape["limb"]
+    n_ct = plan.n_ct_rns
+    if n_ct % C != 0:
+        raise ValueError(f"n_ct={n_ct} not divisible by limb={C}")
+    rpn = n_ct // C
+    cc_power = plan.ct_tables.coeff_count_power
+    cc = plan.ct_tables.coeff_count
+    norm, norm_specs = _plan_consts(plan, mesh, key_vector_data)
+    sp_rows, sp_tables = _sp_consts(plan)
+    q_last = np.uint64(plan.ct_limbs.p[n_ct - 1, 0])
+    q_last_r1 = np.uint64(plan.ct_limbs.ratio1[n_ct - 1, 0])
+    half = np.uint64(int(q_last) >> 1)
+
+    def f(a_local, b_local, c):
+        tab_own = _tables_from(c["tab"], cc_power, cc)
+        d = jax.lax.axis_index("limb")
+
+        # (1) convolution: limb-local dyadic products on own rows
+        a0, a1 = a_local[..., 0, :, :], a_local[..., 1, :, :]
+        b0, b1 = b_local[..., 0, :, :], b_local[..., 1, :, :]
+        mm = lambda x, y: modops.mul_mod(x, y, c["p"], c["r0"], c["r1"])
+        c0 = mm(a0, b0)
+        c1 = modops.add_mod(mm(a0, b1), mm(a1, b0), c["p"])
+        c2 = mm(a1, b1)
+
+        # (2) relinearize: explicit switch on c2 (the one gather)
+        d0, d1 = _switch_local(c2, c, tab_own, plan, sp_rows, sp_tables, True)
+        u0 = modops.add_mod(c0, d0, c["p"])
+        u1 = modops.add_mod(c1, d1, c["p"])
+        u = jnp.stack([u0, u1], axis=-3)          # [.., 2, rpn, N]
+
+        # (3) rescale by q_last: the owner (device C-1) inverse-NTTs its
+        # last row; a masked psum broadcasts that ONE row to everyone
+        # (a single tiny all-reduce — ppermute disallows one-to-many)
+        last_tab = _tables_from(
+            {f_: c["tab"][f_][rpn - 1 : rpn] for f_ in _TAB_FIELDS},
+            cc_power, cc,
+        )
+        cand = ntt_inverse(u[..., rpn - 1 : rpn, :], last_tab)  # [..,2,1,N]
+        last = jax.lax.psum(
+            jnp.where(d == C - 1, cand, jnp.uint64(0)), "limb"
+        )
+        last = modops.barrett_reduce_64(last + half, q_last, q_last_r1)
+
+        last_mod_qi = modops.barrett_reduce_64(last, c["p"], c["r1"])
+        temp = modops.sub_mod(last_mod_qi, c["half_mod"], c["p"])
+        temp = ntt_forward(temp, tab_own)
+        diff = modops.sub_mod(u, temp, c["p"])
+        out = modops.mul_mod(diff, c["inv_q_last"], c["p"], c["r0"], c["r1"])
+
+        # zero the dropped global-last row (device C-1's local row rpn-1)
+        row_ids = jnp.arange(rpn).reshape(rpn, 1)
+        pad = jnp.logical_and(row_ids == rpn - 1, d == C - 1)
+        return jnp.where(pad, jnp.uint64(0), out)
+
+    nd = a.ndim
+    spec = P(*([None] * (nd - 3) + [None, "limb", None]))
+
+    def build():
+        return shard_map(f, mesh, in_specs=(spec, spec, norm_specs),
+                         out_specs=spec)
+
+    fn = _jit_cached(plan, mesh, "mrr", nd, build)
+    return fn(a, b, norm)

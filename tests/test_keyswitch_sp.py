@@ -138,3 +138,52 @@ def test_bit_exact_bfv_power_basis():
     )
     np.testing.assert_array_equal(np.asarray(d0), np.asarray(want0))
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(want1))
+
+
+@needs4
+def test_full_pipeline_limb_sharded_bit_exact():
+    """The composed mul+relin+rescale on the explicit schedule: rows
+    [:n_ct-1] bit-exact vs pipelines.build_ckks_mul_relin_rescale; the
+    dropped q_last row comes back zeroed; comm = 1 all-gather + 1
+    tiny one-row all-reduce broadcast."""
+    from gemini_seal_tpu.models.pipelines import build_ckks_mul_relin_rescale
+    from gemini_seal_tpu.parallel.keyswitch_sp import (
+        ckks_mul_relin_rescale_limb_sharded,
+    )
+
+    ctx, kg = setup(64, [30] * 5, nsp=1)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    rk = kg.relin_keys()
+    plan = KeySwitchPlan(ctx, ctx.first_parms_id)
+    n_ct = plan.n_ct_rns
+
+    a = np.asarray(enc.encrypt(encoder.encode([0.5, -1.0], 2.0 ** 25)).data)
+    b = np.asarray(enc.encrypt(encoder.encode([1.5, 0.25], 2.0 ** 25)).data)
+    kdata = np.stack([np.asarray(pk.data.data) for pk in rk.key(2)])
+
+    want = np.asarray(
+        jax.jit(build_ckks_mul_relin_rescale(ctx))(a, b, kdata)
+    )  # [2, n_ct-1, N]
+
+    mesh = _mesh_limb(4)
+    sh = NamedSharding(mesh, P(None, "limb", None))
+    da, db = jax.device_put(a, sh), jax.device_put(b, sh)
+    out = np.asarray(
+        ckks_mul_relin_rescale_limb_sharded(da, db, kdata, plan, mesh)
+    )
+    np.testing.assert_array_equal(out[:, : n_ct - 1, :], want)
+    assert np.all(out[:, n_ct - 1, :] == 0)
+
+    # comm profile: exactly one all-gather + one collective-permute
+    fn = jax.jit(
+        lambda x, y: ckks_mul_relin_rescale_limb_sharded(x, y, kdata, plan, mesh),
+        in_shardings=(sh, sh),
+    )
+    stats = collective_stats(fn.lower(da, db).compile().as_text())
+    assert stats.count.get("all-gather", 0) == 1, stats
+    assert stats.count.get("all-reduce", 0) == 1, stats
+    assert "collective-permute" not in stats.count, stats
+    assert "all-to-all" not in stats.count, stats
+    # the broadcast all-reduce is one row per component - tiny vs the gather
+    assert stats.bytes["all-reduce"] <= stats.bytes["all-gather"], stats
