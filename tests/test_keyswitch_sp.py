@@ -187,3 +187,36 @@ def test_full_pipeline_limb_sharded_bit_exact():
     assert "all-to-all" not in stats.count, stats
     # the broadcast all-reduce is one row per component - tiny vs the gather
     assert stats.bytes["all-reduce"] <= stats.bytes["all-gather"], stats
+
+
+@needs4
+def test_full_pipeline_realistic_shape():
+    """Explicit full pipeline at the realistic serving shape
+    (N=4096, L=8, nsp=2, batch 2), rows bit-exact vs the in-core step."""
+    from gemini_seal_tpu.models.pipelines import build_ckks_mul_relin_rescale
+    from gemini_seal_tpu.parallel.keyswitch_sp import (
+        ckks_mul_relin_rescale_limb_sharded,
+    )
+
+    ctx, kg = setup(4096, [30] * 10, nsp=2)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    rk = kg.relin_keys()
+    plan = KeySwitchPlan(ctx, ctx.first_parms_id)
+    n_ct = plan.n_ct_rns
+
+    a = np.stack([
+        np.asarray(enc.encrypt(encoder.encode([0.5 * (i + 1)], 2.0 ** 25)).data)
+        for i in range(2)
+    ])
+    kdata = np.stack([np.asarray(pk.data.data) for pk in rk.key(2)])
+    want = np.asarray(jax.jit(build_ckks_mul_relin_rescale(ctx))(a, a, kdata))
+
+    mesh = _mesh_limb(4)
+    sh = NamedSharding(mesh, P(None, None, "limb", None))
+    da = jax.device_put(a, sh)
+    out = np.asarray(
+        ckks_mul_relin_rescale_limb_sharded(da, da, kdata, plan, mesh)
+    )
+    np.testing.assert_array_equal(out[..., : n_ct - 1, :], want)
+    assert np.all(out[..., n_ct - 1, :] == 0)
