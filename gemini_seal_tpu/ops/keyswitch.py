@@ -181,6 +181,9 @@ class KeySwitchPlan:
         self._ext_moduli = ext_moduli
         self._sp_moduli = sp_moduli
         self._fused = None
+        # level's RNS tool: the sharded pipeline reuses its rescale
+        # constants (inv_q_last_mod_q) instead of re-deriving them
+        self.device_rns_tool = cd.device_rns_tool
 
         # Lazy-digit safety margin (exact-int check at plan build): every
         # constructible context passes (user primes are <= 59 bits and

@@ -112,17 +112,14 @@ def _plan_consts(plan: KeySwitchPlan, mesh: Mesh, key_vector_data):
 
     norm_tab = _tables_rows(plan.ext_tables, 0, n_ct)
     key_host = np.asarray(key_vector_data)
-    q_last = int(plan.ct_limbs.p[n_ct - 1, 0])
-    half = q_last >> 1
-    # padded to n_ct rows: the dropped q_last row's entries are dummies
+    # rescale constants come from the level's RNSTool precompute
+    # (utils/rns.py, rns.cpp:719-729 parity) — single source of truth with
+    # the in-core divide_and_round_q_last_ntt; padded to n_ct rows (the
+    # dropped q_last row's entry is a dummy, its output is zeroed)
     inv_q = np.ones((n_ct, 1), dtype=np.uint64)
-    half_mod = np.zeros((n_ct, 1), dtype=np.uint64)
-    for i in range(n_ct - 1):
-        qi = int(plan.ct_limbs.p[i, 0])
-        from ..utils.numth import try_invert_uint_mod
-
-        inv_q[i, 0] = try_invert_uint_mod(q_last % qi, qi)
-        half_mod[i, 0] = half % qi
+    inv_q[: n_ct - 1] = np.asarray(
+        plan.device_rns_tool.inv_q_last_mod_q
+    ).reshape(n_ct - 1, 1)
 
     norm = {
         "tab": norm_tab,
@@ -135,7 +132,6 @@ def _plan_consts(plan: KeySwitchPlan, mesh: Mesh, key_vector_data):
         "key": key_host[:, :, :n_ct, :],
         "key_sp": key_host[:, :, n_ct_all : n_ct_all + nsp, :],
         "inv_q_last": inv_q,                   # [n_ct, 1] (last row dummy)
-        "half_mod": half_mod,                  # [n_ct, 1] (last row dummy)
     }
     norm_specs = {
         "tab": {f: P("limb", *([None] * (np.asarray(v).ndim - 1)))
@@ -148,7 +144,6 @@ def _plan_consts(plan: KeySwitchPlan, mesh: Mesh, key_vector_data):
         "key": P(None, None, "limb", None),
         "key_sp": P(),
         "inv_q_last": P("limb", None),
-        "half_mod": P("limb", None),
     }
     norm = jax.device_put(
         norm,
@@ -338,7 +333,10 @@ def ckks_mul_relin_rescale_limb_sharded(a, b, key_vector_data,
         last = modops.barrett_reduce_64(last + half, q_last, q_last_r1)
 
         last_mod_qi = modops.barrett_reduce_64(last, c["p"], c["r1"])
-        temp = modops.sub_mod(last_mod_qi, c["half_mod"], c["p"])
+        # half mod q_i computed in-trace, exactly like the in-core
+        # divide_and_round_q_last_ntt (rnsops.py) — no duplicated precompute
+        half_mod = modops.barrett_reduce_64(half, c["p"], c["r1"])
+        temp = modops.sub_mod(last_mod_qi, half_mod, c["p"])
         temp = ntt_forward(temp, tab_own)
         diff = modops.sub_mod(u, temp, c["p"])
         out = modops.mul_mod(diff, c["inv_q_last"], c["p"], c["r0"], c["r1"])

@@ -175,7 +175,7 @@ def test_full_pipeline_limb_sharded_bit_exact():
     np.testing.assert_array_equal(out[:, : n_ct - 1, :], want)
     assert np.all(out[:, n_ct - 1, :] == 0)
 
-    # comm profile: exactly one all-gather + one collective-permute
+    # comm profile: exactly one all-gather + one tiny all-reduce
     fn = jax.jit(
         lambda x, y: ckks_mul_relin_rescale_limb_sharded(x, y, kdata, plan, mesh),
         in_shardings=(sh, sh),
@@ -185,7 +185,7 @@ def test_full_pipeline_limb_sharded_bit_exact():
     assert stats.count.get("all-reduce", 0) == 1, stats
     assert "collective-permute" not in stats.count, stats
     assert "all-to-all" not in stats.count, stats
-    # the broadcast all-reduce is one row per component - tiny vs the gather
+    # the q_last broadcast all-reduce is one row per component - tiny vs the gather
     assert stats.bytes["all-reduce"] <= stats.bytes["all-gather"], stats
 
 
