@@ -14,7 +14,7 @@ broadcast over those axes.
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -22,8 +22,6 @@ NTT-transformed for BFV, so key switching is correct for both schemes.
 
 from __future__ import annotations
 
-from typing import List
-
 import numpy as np
 
 from ..utils import numth
