@@ -117,7 +117,10 @@ class BatchEncoder:
         t = cd.parms.plain_modulus.value
         if len(values) > self.slots:
             raise ValueError("values_matrix size is too large")
-        vals = np.asarray(list(values), dtype=np.int64)
+        try:
+            vals = np.asarray(list(values), dtype=np.int64)
+        except OverflowError:
+            raise ValueError("input value is larger than plain_modulus")
         if vals.size and (int(vals.min()) < -t or int(vals.max()) >= t):
             raise ValueError("input value is larger than plain_modulus")
         vals = np.where(vals < 0, vals + t, vals).astype(np.uint64)

@@ -538,17 +538,25 @@ class Evaluator:
         self, encrypted: Ciphertext, steps: int, galois_keys: GaloisKeys
     ) -> Ciphertext:
         """reference: evaluator.cpp:1945-2000 (direct key or NAF fallback)."""
+        cd = self._cd(encrypted)
+        if not cd.qualifiers.using_batching:
+            raise RuntimeError("encryption parameters do not support batching")
+        if galois_keys.parms_id != self.context.key_parms_id:
+            raise ValueError("galois_keys is not valid for encryption parameters")
         if steps == 0:
             return encrypted
-        cd = self._cd(encrypted)
         tool = cd.galois_tool
         elt = tool.get_elt_from_step(steps)
         if galois_keys.has_key(elt):
             return self.apply_galois(encrypted, elt, galois_keys)
-        # NAF decomposition fallback
+        # NAF decomposition fallback (evaluator.cpp:1977-1999). A single-term
+        # NAF means a power-of-two rotation whose key is simply absent —
+        # recursing would loop forever, so mirror the reference's throw.
         from .utils.numth import naf
 
         terms = naf(steps)
+        if len(terms) == 1:
+            raise ValueError("Galois key not present")
         out = encrypted
         for term in sorted(terms, key=abs, reverse=True):
             if abs(term) != (cd.parms.poly_modulus_degree >> 1):

@@ -105,10 +105,17 @@ def _plan_consts(plan: KeySwitchPlan, mesh: Mesh, key_vector_data):
     n_ct_all = plan.n_ct_all_rns
 
     cache = plan.__dict__.setdefault("_sp_norm_cache", {})
-    nkey = (tuple(mesh.devices.flat), id(key_vector_data))
+    nkey = (
+        tuple(mesh.devices.flat),
+        tuple(sorted(mesh.shape.items())),
+        mesh.axis_names,
+        id(key_vector_data),
+    )
     hit = cache.get(nkey)
     if hit is not None and hit[0] is key_vector_data:
         return hit[1], hit[2]
+    if len(cache) >= 8:  # bound pinned key memory; oldest plan evicted
+        cache.pop(next(iter(cache)))
 
     norm_tab = _tables_rows(plan.ext_tables, 0, n_ct)
     key_host = np.asarray(key_vector_data)

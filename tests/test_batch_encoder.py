@@ -147,3 +147,11 @@ def test_compat_gen3_row_rotation(setup):
     out = bc.decode(dec.decrypt(rot))
     expect = vals[1:row] + vals[:1] + vals[row + 1:] + vals[row:row + 1]
     assert out == expect
+
+
+def test_encode_out_of_int64_range_raises_value_error(setup):
+    """Values beyond int64 must raise the documented ValueError, not
+    numpy's OverflowError (advisor round-2 finding)."""
+    *_, be = setup
+    with pytest.raises(ValueError, match="larger than plain_modulus"):
+        be.encode([1 << 80])

@@ -195,3 +195,33 @@ def test_conjugate_on_complex(setup):
     got = encoder.decode(dec.decrypt(conj), as_complex=True)
     for g, w in zip(got[:2], vals):
         assert abs(g - w.conjugate()) < 1e-4
+
+
+def test_missing_power_of_two_key_raises(setup):
+    """A power-of-two rotation step whose key is absent must raise cleanly
+    (reference: evaluator.cpp:1977-1989 NAF-size-1 throw), not recurse
+    forever. Regression for the round-2 RecursionError."""
+    ctx, kg, enc, dec, ev, encoder = setup
+    # keys ONLY for step 1: NAF(4) == [4] — single term, key absent.
+    gk = kg.galois_keys_from_steps([1])
+    ct = enc.encrypt(encoder.encode([1.0, 2.0], SCALE))
+    with pytest.raises(ValueError, match="Galois key not present"):
+        ev.rotate_vector(ct, 4, gk)
+    # composite steps whose NAF terms all have keys still work:
+    # NAF(3) == [4, -1], both keys present.
+    gk3 = kg.galois_keys_from_steps([4, -1])
+    vals = [float(i) for i in range(encoder.slot_count)]
+    ct3 = enc.encrypt(encoder.encode(vals, SCALE))
+    out = encoder.decode(dec.decrypt(ev.rotate_vector(ct3, 3, gk3)))
+    assert close(out[:4], [3.0, 4.0, 5.0, 6.0], 1e-2)
+
+
+def test_rotate_checks_galois_parms_id(setup):
+    """rotate_internal validates key parms before any work
+    (reference: evaluator.cpp:1957-1960)."""
+    ctx, kg, enc, dec, ev, encoder = setup
+    gk = kg.galois_keys_from_steps([1])
+    gk.parms_id = (0, 0, 0, 0)
+    ct = enc.encrypt(encoder.encode([1.0], SCALE))
+    with pytest.raises(ValueError, match="galois_keys is not valid"):
+        ev.rotate_vector(ct, 1, gk)
