@@ -22,9 +22,10 @@ import numpy as np
 
 from .ciphertext import Plaintext
 from .context import SealContext
+from .ops import modops
 from .ops.ntt import ntt_forward, ntt_inverse
 from .params import PARMS_ID_ZERO, SchemeType
-from .utils import numth
+from .utils import mplimb, numth
 
 __all__ = ["BatchEncoder", "CKKSEncoder", "IntegerEncoder", "ComplexRoots"]
 
@@ -251,10 +252,12 @@ class CKKSEncoder:
         if scale <= 0 or int(math.log2(scale)) + 1 >= cd.total_coeff_modulus_bit_count:
             raise ValueError("scale out of bounds")
 
+        vals_arr = np.asarray(values, dtype=np.complex128)
         conj_values = np.zeros(n, dtype=np.complex128)
-        for i, v in enumerate(values):
-            conj_values[self._index_map[i]] = v
-            conj_values[self._index_map[i + self.slots]] = np.conj(complex(v))
+        conj_values[self._index_map[: vals_arr.size]] = vals_arr
+        conj_values[self._index_map[self.slots : self.slots + vals_arr.size]] = (
+            np.conj(vals_arr)
+        )
 
         conj_values = self._embedding_inverse(conj_values)
         n_inv = (1.0 / n) * scale
@@ -303,30 +306,117 @@ class CKKSEncoder:
         return Plaintext(data=out, parms_id=cd.parms_id, scale=1.0)
 
     def _round_and_decompose(self, reals: np.ndarray, cd, bitcount: int) -> np.ndarray:
-        """Round half away from zero; decompose into RNS via the reference's
-        three size regimes (ckks.h:514-607)."""
-        parms = cd.parms
-        coeff_modulus = parms.coeff_modulus
-        L = len(coeff_modulus)
-        n = reals.shape[0]
-        dest = np.zeros((L, n), dtype=np.uint64)
-        # round half away from zero (std::round)
+        """Round half away from zero; decompose into RNS exactly.
+
+        The reference splits this into three size regimes
+        (ckks.h:514-607: <=64-bit, <=128-bit, generic big-int); here two
+        vectorized paths cover all sizes exactly: coefficients below
+        2^62 go through an exact float->int64 cast, larger ones through
+        an exact mantissa/exponent split (every rounded double IS
+        m * 2^e with a 53-bit integer mantissa, so its residue is
+        (m mod p) * (2^e mod p) mod p — one vector mulmod against a
+        cached power-of-two table).
+        """
         rounded = np.sign(reals) * np.floor(np.abs(reals) + 0.5)
-        if bitcount <= 52:
-            # exact in int64 via float (fast vector path)
+        pow2 = self._pow2_mod_table(cd)
+        return self._decompose_exact(rounded, cd.parms.coeff_modulus, pow2)
+
+    @staticmethod
+    def _decompose_exact(rounded: np.ndarray, moduli, pow2_tab=None) -> np.ndarray:
+        """Exact RNS residues of already-rounded (integer-valued) doubles.
+
+        Coefficients below 2^62 go through an exact float->int64 cast,
+        larger ones through an exact mantissa/exponent split (a rounded
+        double IS m * 2^e with a 53-bit integer mantissa, so its residue
+        is (m mod p) * (2^e mod p) mod p — one vector mulmod against a
+        power-of-two table)."""
+        L = len(moduli)
+        n = rounded.shape[0]
+        dest = np.zeros((L, n), dtype=np.uint64)
+        small = np.abs(rounded) < 2.0 ** 62
+        if small.all():
             as_int = rounded.astype(np.int64)
-            for j, mod in enumerate(coeff_modulus):
-                dest[j] = np.mod(as_int, mod.value).astype(np.uint64)
-        else:
-            for i in range(n):
-                coeffd = float(rounded[i])
-                is_negative = math.copysign(1.0, coeffd) < 0
-                coeffu = int(abs(coeffd))
-                residues = cd.rns_base.decompose(coeffu)
-                for j, mod in enumerate(coeff_modulus):
-                    r = residues[j]
-                    dest[j, i] = (mod.value - r) % mod.value if is_negative else r
+            for j, mod in enumerate(moduli):
+                dest[j] = np.mod(as_int, np.int64(mod.value)).astype(np.uint64)
+            return dest
+
+        big_idx = np.nonzero(~small)[0]
+        as_int = np.where(small, rounded, 0.0).astype(np.int64)
+        mant, expo = np.frexp(rounded[big_idx])
+        m_int = (mant * 9007199254740992.0).astype(np.int64)  # *2^53, exact
+        shift = expo.astype(np.int64) - 53  # >= 9 since |v| >= 2^62
+        if pow2_tab is None:
+            pow2_tab = CKKSEncoder._build_pow2_table(
+                moduli, int(shift.max()) + 1
+            )
+        for j, mod in enumerate(moduli):
+            p = mod.value
+            dest[j] = np.mod(as_int, np.int64(p)).astype(np.uint64)
+            r_m = np.mod(m_int, np.int64(p)).astype(np.uint64)
+            pw = pow2_tab[j][shift]
+            dest[j, big_idx] = modops.mul_mod(
+                r_m, pw, np.uint64(p),
+                np.uint64(mod.const_ratio[0]), np.uint64(mod.const_ratio[1]),
+            )
         return dest
+
+    @staticmethod
+    def _build_pow2_table(moduli, smax: int) -> np.ndarray:
+        tab = np.zeros((len(moduli), smax), dtype=np.uint64)
+        for j, mod in enumerate(moduli):
+            p = mod.value
+            cur = 1
+            for s in range(smax):
+                tab[j, s] = cur
+                cur = (cur * 2) % p
+        return tab
+
+    def _pow2_mod_table(self, cd) -> np.ndarray:
+        """Cached [L, total_bit_count+1] table of 2^s mod q_j."""
+        cache = cd.__dict__.setdefault("_ckks_pow2_cache", None)
+        if cache is not None:
+            return cache
+        tab = self._build_pow2_table(
+            cd.parms.coeff_modulus, cd.total_coeff_modulus_bit_count + 1
+        )
+        cd._ckks_pow2_cache = tab
+        return tab
+
+    def encode_at_base(self, values, scale: float, parms_id, moduli,
+                       ntt_tables) -> np.ndarray:
+        """Encode to an ARBITRARY coprime modulus set: the residues of
+        the same rounded integer coefficients encode() would produce at
+        this parms_id/scale, decomposed over `moduli` and transformed
+        with `ntt_tables` (e.g. the key-switch extended base q ∪ P for
+        raw-accumulator fused plaintext products — no reference
+        analogue; the reference's multiply_plain lives at the ct base).
+
+        Returns host uint64[len(moduli), N] in NTT form."""
+        cd = self.context.get_context_data(parms_id)
+        if cd is None:
+            raise ValueError("parms_id is not valid for encryption parameters")
+        n = self._n
+        if isinstance(values, (int, float, complex)):
+            values = [values] * self.slots
+        values = list(values)
+        if len(values) > self.slots:
+            raise ValueError("values_size is too large")
+        if scale <= 0 or int(math.log2(scale)) + 1 >= cd.total_coeff_modulus_bit_count:
+            raise ValueError("scale out of bounds")
+        vals_arr = np.asarray(values, dtype=np.complex128)
+        conj_values = np.zeros(n, dtype=np.complex128)
+        conj_values[self._index_map[: vals_arr.size]] = vals_arr
+        conj_values[self._index_map[self.slots : self.slots + vals_arr.size]] = (
+            np.conj(vals_arr)
+        )
+        conj_values = self._embedding_inverse(conj_values) * ((1.0 / n) * scale)
+        reals = conj_values.real
+        d = np.maximum(np.abs(reals), 1.0)
+        if int(np.max(np.floor(np.log2(d)))) + 2 >= cd.total_coeff_modulus_bit_count:
+            raise ValueError("encoded values are too large")
+        rounded = np.sign(reals) * np.floor(np.abs(reals) + 0.5)
+        dest = self._decompose_exact(rounded, moduli)
+        return np.asarray(ntt_forward(dest, ntt_tables), dtype=np.uint64)
 
     # -- decode ----------------------------------------------------------
     def decode(self, plain: Plaintext, as_complex: bool = False):
@@ -345,44 +435,29 @@ class CKKSEncoder:
             ntt_inverse(np.asarray(plain.data, dtype=np.uint64), cd.ntt_tables),
             dtype=np.uint64,
         )  # [L, N]
-        big = cd.rns_base.compose_array(data)  # python ints, length N
+        # CRT-compose to limb planes and center around 0 — vectorized
+        # replacement for the per-coefficient big-int walk
+        # (reference: ckks.h:668-744): v >= (q+1)/2 decodes as -(q - v).
         q = cd.total_coeff_modulus
-        upper_half = cd.upper_half_threshold
+        v_limbs = mplimb.compose_limbs(data, cd.rns_base)
+        K = v_limbs.shape[0]
+        upper = mplimb.int_to_limbs(cd.upper_half_threshold, K)[:, None]
+        q_limbs = mplimb.int_to_limbs(q, K)[:, None]
+        is_neg = mplimb.geq_limbs(v_limbs, upper)
+        neg_mag = mplimb.sub_from_limbs(q_limbs, v_limbs)
+        mag = np.where(is_neg[None, :], neg_mag, v_limbs)
+        # LSB-first double ladder, same op order as the reference (exact);
+        # negating the positive-ladder result is bit-exact to the
+        # reference's subtract-each-term order (IEEE rounding is
+        # sign-symmetric).
+        res_real = mplimb.ladder_to_double(mag, inv_scale)
+        res_real = np.where(is_neg, -res_real, res_real)
 
-        res = np.zeros(n, dtype=np.complex128)
-        two_pow_64 = 2.0 ** 64
-        for i in range(n):
-            v = big[i]
-            acc = 0.0
-            if v >= upper_half:
-                # centered negative: sum signed limb differences vs q
-                diff = v - q  # negative python int
-                # replicate the reference's per-limb ladder in double
-                scaled = inv_scale
-                dv = diff
-                # ladder over 64-bit limbs of |diff| with sign
-                limbs = []
-                x = abs(dv)
-                while x:
-                    limbs.append(x & 0xFFFFFFFFFFFFFFFF)
-                    x >>= 64
-                for limb in limbs:
-                    acc -= float(limb) * scaled if dv < 0 else -float(limb) * scaled
-                    scaled *= two_pow_64
-            else:
-                scaled = inv_scale
-                x = v
-                while x:
-                    acc += float(x & 0xFFFFFFFFFFFFFFFF) * scaled
-                    scaled *= two_pow_64
-                    x >>= 64
-            res[i] = acc
-
-        res = self._embedding_forward(res)
-        out = [res[self._index_map[i]] for i in range(self.slots)]
+        res = self._embedding_forward(res_real.astype(np.complex128))
+        out_arr = res[self._index_map[: self.slots]]
         if as_complex:
-            return [complex(v) for v in out]
-        return [float(v.real) for v in out]
+            return [complex(v) for v in out_arr]
+        return [float(v.real) for v in out_arr]
 
 
 class IntegerEncoder:

@@ -113,11 +113,12 @@ class RNSBase:
         return out
 
     def compose_array(self, residues: np.ndarray) -> List[int]:
-        """uint64[size, count] -> [count] big ints."""
-        return [
-            self.compose([int(residues[i, k]) for i in range(self.size)])
-            for k in range(residues.shape[1])
-        ]
+        """uint64[size, count] -> [count] big ints (vectorized CRT over
+        limb planes; reference: rns.cpp:416-450)."""
+        from . import mplimb
+
+        limbs = mplimb.compose_limbs(np.asarray(residues, dtype=np.uint64), self)
+        return mplimb.limbs_to_ints(limbs)
 
 
 @dataclass
