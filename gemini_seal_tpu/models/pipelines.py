@@ -469,11 +469,20 @@ def build_ckks_poly_eval(context: SealContext, coeffs, scale: float,
 
 
 def build_ckks_matvec(context: SealContext, diagonals, scale: float,
-                      encoder, parms_id=None) -> Callable:
+                      encoder, parms_id=None, fuse_moddown: bool = True) -> Callable:
     """Encrypted matrix-vector product by the diagonal method with HOISTED
     rotations: y = sum_d diag_d (*) rot(x, d) — one key-switch mod-up feeds
     every rotation (the inner loop of encrypted linear layers / LR or
     dense-NN inference; no reference analogue).
+
+    fuse_moddown (default): the k rotations' RAW key-switch accumulators
+    are multiplied by extended-base diagonal encodings and SUMMED, then
+    special-prime mod-downed ONCE — k-1 fewer rescale_special passes
+    (each an nsp-row inverse + n_ct-row forward NTT per component).  The
+    single interpolation rounding differs from the k sequential ones by
+    a bounded sub-noise amount (same argument as ops.keyswitch.
+    fused_moddown), so results decrypt equal but are not bit-identical
+    to fuse_moddown=False.
 
     diagonals: {step d: list of slot values} for the nonzero generalized
     diagonals M[i, (i+d) % cols]; step 0 needs no rotation key.
@@ -498,6 +507,18 @@ def build_ckks_matvec(context: SealContext, diagonals, scale: float,
         s: np.asarray(encoder.encode(list(diagonals[s]), scale, parms_id).data)
         for s in steps
     }
+    if fuse_moddown and rot_steps:
+        from ..modulus import Modulus
+        from ..ops.keyswitch import rescale_special
+
+        ext_mods = [Modulus(p) for p in plan.ext_moduli]
+        plains_ext = {
+            s: encoder.encode_at_base(
+                list(diagonals[s]), scale, parms_id, ext_mods, plan.ext_tables
+            )
+            for s in rot_steps
+        }
+        ext_limbs = plan.ext_limbs
 
     def step(ct, galois_keys_stack):
         c0 = ct[..., 0, :, :]
@@ -507,7 +528,28 @@ def build_ckks_matvec(context: SealContext, diagonals, scale: float,
             t0 = dyadic_product(c0, plains[0], limbs)
             t1 = dyadic_product(c1, plains[0], limbs)
             acc = jnp.stack([t0, t1], axis=-3)
-        if rot_steps:
+        if rot_steps and fuse_moddown:
+            ct_k = compute_modup_digits(c1, plan, True)   # hoisted once
+            raw0 = raw1 = None                            # [.., n_ext, N]
+            ct_part = None                                # rot(c0) diag sums
+            for i, (s, elt) in enumerate(zip(rot_steps, elts)):
+                ct_k_rot = tool.apply_galois_ntt(ct_k, elt)
+                a0, a1 = keyswitch_inner_product(
+                    ct_k_rot, galois_keys_stack[i], plan, True, raw=True
+                )
+                t0 = dyadic_product(a0, plains_ext[s], ext_limbs)
+                t1 = dyadic_product(a1, plains_ext[s], ext_limbs)
+                raw0 = t0 if raw0 is None else add_poly(raw0, t0, ext_limbs)
+                raw1 = t1 if raw1 is None else add_poly(raw1, t1, ext_limbs)
+                p0 = dyadic_product(
+                    tool.apply_galois_ntt(c0, elt), plains[s], limbs
+                )
+                ct_part = p0 if ct_part is None else add_poly(ct_part, p0, limbs)
+            d0 = rescale_special(raw0, plan, is_ntt_output=True)
+            d1 = rescale_special(raw1, plan, is_ntt_output=True)
+            term = jnp.stack([add_poly(ct_part, d0, limbs), d1], axis=-3)
+            acc = term if acc is None else add_poly(acc, term, limbs)
+        elif rot_steps:
             ct_k = compute_modup_digits(c1, plan, True)   # hoisted once
             for i, (s, elt) in enumerate(zip(rot_steps, elts)):
                 ct_k_rot = tool.apply_galois_ntt(ct_k, elt)

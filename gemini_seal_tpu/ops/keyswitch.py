@@ -82,6 +82,7 @@ class KeySwitchPlan:
             dtype=np.int64,
         )
         ext_moduli = [key_modulus[i] for i in self.ext_key_indices]
+        self.ext_moduli = ext_moduli
         self.n_ext = len(ext_moduli)
         self.ext_limbs = LimbConstants.from_moduli(ext_moduli)
         self.ct_limbs = LimbConstants.from_moduli(ext_moduli[:n_ct])

@@ -423,15 +423,21 @@ def test_hoisted_matvec():
     ])
 
     ct = enc.encrypt(encoder.encode(x_slots, scale))
-    fn = jax.jit(build_ckks_matvec(ctx, diagonals, scale, encoder))
-    out = np.asarray(fn(np.asarray(ct.data), gk_stack))
-
-    got = encoder.decode(dec.decrypt(
-        Ciphertext(out, ct.parms_id, True, scale * scale)
-    ))
     want = M @ x
-    for i in range(4):
-        assert abs(got[i] - want[i]) < 1e-4, (i, got[i], want[i])
+    results = {}
+    for fuse in (False, True):
+        fn = jax.jit(build_ckks_matvec(ctx, diagonals, scale, encoder,
+                                       fuse_moddown=fuse))
+        out = np.asarray(fn(np.asarray(ct.data), gk_stack))
+        got = encoder.decode(dec.decrypt(
+            Ciphertext(out, ct.parms_id, True, scale * scale)
+        ))
+        results[fuse] = got
+        for i in range(4):
+            assert abs(got[i] - want[i]) < 1e-4, (fuse, i, got[i], want[i])
+    # the fused single mod-down's interpolation rounding stays sub-noise
+    for a, b in zip(results[False][:8], results[True][:8]):
+        assert abs(a - b) < 1e-5, (a, b)
 
 
 def bfv_setup(n=64, bits=(40, 40, 40, 40), t=257):
