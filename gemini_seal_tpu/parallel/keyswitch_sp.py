@@ -231,6 +231,21 @@ def _switch_local(tgt_local, c, tab_own, plan, sp_rows, sp_tables,
     return outs[0], outs[1]
 
 
+def _data_spec(nd: int, mesh: Mesh, n_trailing: int) -> P:
+    """Partition spec for [batch..., (size,) limb, N] data: 'limb' on the
+    limb axis and, when the mesh has a 'dp' axis and the data has batch
+    dims, 'dp' on the leading batch axis — the recommended (dp, limb)
+    production layout (PERF.md comm table, ratio 0.52) runs the SAME
+    one-gather schedule: the switch body is batch-polymorphic and its
+    collectives name only the 'limb' axis, so dp shards move zero bytes."""
+    n_batch = nd - n_trailing
+    lead = [None] * n_batch
+    if "dp" in mesh.axis_names and n_batch > 0:
+        lead[0] = "dp"
+    trail = [None] * (n_trailing - 2) + ["limb", None]
+    return P(*(lead + trail))
+
+
 def _jit_cached(plan, mesh, tag, nd, build):
     cache = plan.__dict__.setdefault("_sp_jit_cache", {})
     ckey = (tuple(mesh.devices.flat), tuple(sorted(mesh.shape.items())),
@@ -267,7 +282,7 @@ def switch_key_limb_sharded(target, key_vector_data, plan: KeySwitchPlan,
                              is_ntt_form)
 
     nd = target.ndim
-    spec = P(*([None] * (nd - 2) + ["limb", None]))
+    spec = _data_spec(nd, mesh, 2)
 
     def build():
         # jit-wrapped: an EAGER shard_map call dispatches primitive-by-
@@ -354,7 +369,7 @@ def ckks_mul_relin_rescale_limb_sharded(a, b, key_vector_data,
         return jnp.where(pad, jnp.uint64(0), out)
 
     nd = a.ndim
-    spec = P(*([None] * (nd - 3) + [None, "limb", None]))
+    spec = _data_spec(nd, mesh, 3)
 
     def build():
         return shard_map(f, mesh, in_specs=(spec, spec, norm_specs),

@@ -220,3 +220,90 @@ def test_full_pipeline_realistic_shape():
     )
     np.testing.assert_array_equal(out[..., : n_ct - 1, :], want)
     assert np.all(out[..., n_ct - 1, :] == 0)
+
+
+needs8 = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+
+
+def _mesh_dp_limb(dp, c):
+    from jax.sharding import Mesh
+
+    return Mesh(
+        np.asarray(jax.devices()[: dp * c]).reshape(dp, c),
+        axis_names=("dp", "limb"),
+    )
+
+
+@needs8
+def test_dp_limb_switch_bit_exact_and_profile():
+    """The recommended (dp=2, limb=4) production layout on the SAME
+    one-gather schedule: batch axis dp-sharded, limbs limb-sharded,
+    bit-exact vs in-core, and the collectives still name only 'limb'
+    (dp moves zero bytes)."""
+    ctx, kg = setup(64, [30] * 5, nsp=1)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    rk = kg.relin_keys()
+    plan = KeySwitchPlan(ctx, ctx.first_parms_id)
+
+    ct = enc.encrypt(encoder.encode([0.5, -1.25, 2.0], 2.0 ** 25))
+    base = np.asarray(ct.data)[1]
+    target = np.stack([base * 0 + base, np.roll(base, 1, axis=-1),
+                       base, base[:, ::-1].copy()])  # batch 4, distinct
+    kdata = np.stack([np.asarray(pk.data.data) for pk in rk.key(2)])
+    from gemini_seal_tpu.ops.keyswitch import switch_key as sk_incore
+
+    want0, want1 = sk_incore(target, kdata, plan, True)
+
+    mesh = _mesh_dp_limb(2, 4)
+    sh = NamedSharding(mesh, P("dp", "limb", None))
+    d0, d1 = switch_key_limb_sharded(
+        jax.device_put(target, sh), kdata, plan, mesh
+    )
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(want0))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(want1))
+
+    fn = jax.jit(
+        lambda t: switch_key_limb_sharded(t, kdata, plan, mesh),
+        in_shardings=(sh,),
+    )
+    txt = fn.lower(jax.device_put(target, sh)).compile().as_text()
+    stats = collective_stats(txt)
+    assert stats.count.get("all-gather", 0) == 1, stats
+    assert "all-reduce" not in stats.count, stats
+    assert "collective-permute" not in stats.count, stats
+    # per-device gather volume: the dp shard's slice of the target only
+    assert stats.bytes["all-gather"] <= target.nbytes // 2, stats
+
+
+@needs8
+def test_dp_limb_full_pipeline_bit_exact():
+    """mul+relin+rescale on the (dp=2, limb=4) mesh, rows bit-exact vs
+    the in-core step at a realistic batched shape."""
+    from gemini_seal_tpu.models.pipelines import build_ckks_mul_relin_rescale
+    from gemini_seal_tpu.parallel.keyswitch_sp import (
+        ckks_mul_relin_rescale_limb_sharded,
+    )
+
+    ctx, kg = setup(256, [30] * 9, nsp=1)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    rk = kg.relin_keys()
+    plan = KeySwitchPlan(ctx, ctx.first_parms_id)
+    n_ct = plan.n_ct_rns
+
+    a = np.stack([
+        np.asarray(enc.encrypt(encoder.encode([0.5 * (i + 1), -i], 2.0 ** 25)).data)
+        for i in range(4)
+    ])
+    kdata = np.stack([np.asarray(pk.data.data) for pk in rk.key(2)])
+    want = np.asarray(jax.jit(build_ckks_mul_relin_rescale(ctx))(a, a, kdata))
+
+    mesh = _mesh_dp_limb(2, 4)
+    sh = NamedSharding(mesh, P("dp", None, "limb", None))
+    da = jax.device_put(a, sh)
+    out = np.asarray(
+        ckks_mul_relin_rescale_limb_sharded(da, da, kdata, plan, mesh)
+    )
+    np.testing.assert_array_equal(out[..., : n_ct - 1, :], want)
+    assert np.all(out[..., n_ct - 1, :] == 0)
