@@ -352,7 +352,8 @@ def build_ckks_poly_eval(context: SealContext, coeffs, scale: float,
                          encoder, rotate_sum_log2: int = 0,
                          coeff_precision_bits: int = 30,
                          fused: bool = False,
-                         composed: bool = False):
+                         composed: bool = False,
+                         rotate_mode: str = "tree"):
     """Deep encrypted polynomial evaluation (BASELINE config 5).
 
     Computes p(x) = sum_k coeffs[k] * x^k over len(coeffs)-2 multiplicative
@@ -370,11 +371,23 @@ def build_ckks_poly_eval(context: SealContext, coeffs, scale: float,
     (PERF.md "compile-time note" prescription).  Outputs are bit-identical
     between the two modes.
 
+    rotate_mode selects the rotation-sum dataflow:
+    - "tree" (default): log2 doubling tree — rotate_sum_log2 sequential
+      full key switches with power-of-two step keys (bit-exact with the
+      host evaluator's rotate/add chain).
+    - "flat": ONE hoisted mod-up feeds 2^m - 1 raw inner products whose
+      accumulators are summed and special-prime mod-downed ONCE — m
+      mod-ups/mod-downs collapse to one of each at the cost of
+      2^m - 1 (cheap) inner products.  Needs keys for EVERY step
+      1..2^m-1, stack ordered by step; decrypt-equal to "tree" within
+      sub-noise rounding (raw-accumulator fusion, cf. build_ckks_matvec).
+
     Returns (step, out_parms_id, out_scale):
     step(x_data, relin_key, galois_keys_stack) -> u64[..., 2, L_deep, N].
     x_data: fresh ciphertext of x at `scale`; galois_keys_stack:
-    u64[rotate_sum_log2, n_bundles, 2, L_key, N] (pass a zero-size array
-    when rotate_sum_log2 == 0).
+    u64[n_keys, n_bundles, 2, L_key, N] with n_keys = rotate_sum_log2
+    ("tree") or 2^rotate_sum_log2 - 1 ("flat"); pass a zero-size array
+    when rotate_sum_log2 == 0.
     """
     import numpy as np
 
@@ -430,7 +443,33 @@ def build_ckks_poly_eval(context: SealContext, coeffs, scale: float,
             acc = term if acc is None else add_poly(acc, term, deep_limbs)
         c0 = add_poly(acc[..., 0, :, :], acc_c0, deep_limbs)
         r = jnp.concatenate([c0[..., None, :, :], acc[..., 1:, :, :]], axis=-3)
-        if rotate_sum_log2:
+        if rotate_sum_log2 and rotate_mode == "flat":
+            from ..ops.keyswitch import rescale_special
+
+            tool = deep_cd.galois_tool
+            ext_limbs = rot_plan.ext_limbs
+            c0r, c1r = r[..., 0, :, :], r[..., 1, :, :]
+            ct_k = compute_modup_digits(c1r, rot_plan, True)  # hoisted once
+            raw0 = raw1 = None
+            c0_acc = c0r
+            for i, s in enumerate(range(1, 1 << rotate_sum_log2)):
+                elt = tool.get_elt_from_step(s)
+                ct_k_rot = tool.apply_galois_ntt(ct_k, elt)
+                a0, a1 = keyswitch_inner_product(
+                    ct_k_rot, galois_keys_stack[i], rot_plan, True, raw=True
+                )
+                raw0 = a0 if raw0 is None else add_poly(raw0, a0, ext_limbs)
+                raw1 = a1 if raw1 is None else add_poly(raw1, a1, ext_limbs)
+                c0_acc = add_poly(
+                    c0_acc, tool.apply_galois_ntt(c0r, elt), deep_limbs
+                )
+            d0 = rescale_special(raw0, rot_plan, is_ntt_output=True)
+            d1 = rescale_special(raw1, rot_plan, is_ntt_output=True)
+            r = jnp.stack([
+                add_poly(c0_acc, d0, deep_limbs),
+                add_poly(c1r, d1, deep_limbs),
+            ], axis=-3)
+        elif rotate_sum_log2:
             tool = deep_cd.galois_tool
             for i in range(rotate_sum_log2):
                 elt = tool.get_elt_from_step(1 << i)

@@ -33,7 +33,23 @@ from .ntt import (NTTTables, ntt_forward, ntt_forward_lazy, ntt_inverse,
 from .rnsops import _dot_mod_128, _slice_tables
 
 __all__ = ["KeySwitchPlan", "switch_key", "compute_modup_digits",
-           "keyswitch_inner_product", "fused_moddown"]
+           "keyswitch_inner_product", "fused_moddown", "NTTOps",
+           "IN_CORE_NTT"]
+
+
+class NTTOps:
+    """Pluggable NTT strategy: the key-switch dataflow is identical in-core
+    and under coefficient sharding — only the four transform entry points
+    differ (parallel/pipeline_csp.py passes the all_to_all four-step
+    bodies).  Defaults to the in-core ops.ntt transforms."""
+
+    forward = staticmethod(ntt_forward)
+    forward_lazy = staticmethod(ntt_forward_lazy)
+    inverse = staticmethod(ntt_inverse)
+    inverse_lazy = staticmethod(ntt_inverse_lazy)
+
+
+IN_CORE_NTT = NTTOps()
 
 
 def _gather_tables(t: NTTTables, idx) -> NTTTables:
@@ -242,7 +258,8 @@ class KeySwitchPlan:
         return self._fused
 
 
-def rescale_special(ext_poly_ntt, plan: KeySwitchPlan, is_ntt_output: bool):
+def rescale_special(ext_poly_ntt, plan: KeySwitchPlan, is_ntt_output: bool,
+                    ntt: NTTOps = IN_CORE_NTT):
     """Mod-down by P = prod(special primes) (multi_special_primes.cpp:237-304).
 
     ext_poly_ntt: [n_ext, N] with ALL limbs in NTT domain (the inner-product
@@ -256,7 +273,7 @@ def rescale_special(ext_poly_ntt, plan: KeySwitchPlan, is_ntt_output: bool):
     # special limbs to power basis — [0, 2p) lazy is fine: the only
     # consumer is the full-range Barrett mul_mod below
     sp_tables = _slice_tables(plan.ext_tables, n_ct, plan.n_ext)
-    sp_power = ntt_inverse_lazy(sp, sp_tables)
+    sp_power = ntt.inverse_lazy(sp, sp_tables)
 
     # temp_i = sum_j (ct_pj * hat_pj^{-1} mod pj) * (-hat_pj mod qi)
     scaled = modops.mul_mod(
@@ -266,15 +283,16 @@ def rescale_special(ext_poly_ntt, plan: KeySwitchPlan, is_ntt_output: bool):
 
     q = plan.ct_limbs
     if is_ntt_output:
-        temp = ntt_forward(temp, plan.ct_tables)
+        temp = ntt.forward(temp, plan.ct_tables)
         acc = modops.add_mod(normal, temp, q.p)
     else:
-        normal_power = ntt_inverse(normal, plan.ct_tables)
+        normal_power = ntt.inverse(normal, plan.ct_tables)
         acc = modops.add_mod(normal_power, temp, q.p)
     return modops.mul_mod(acc, plan.inv_P_qi, q.p, q.ratio0, q.ratio1)
 
 
-def compute_modup_digits(target, plan: KeySwitchPlan, is_ntt_form: bool):
+def compute_modup_digits(target, plan: KeySwitchPlan, is_ntt_form: bool,
+                         ntt: NTTOps = IN_CORE_NTT):
     """Bundle-batched mod-up digit decomposition: [..., n_ct, N] target ->
     [..., n_bundles, n_ext, N] NTT-domain digit polynomials (ct_k).
 
@@ -298,14 +316,14 @@ def compute_modup_digits(target, plan: KeySwitchPlan, is_ntt_form: bool):
     # ct_k is consumed by the 128-bit inner-product accumulation, which
     # Barrett-reduces exactly from any range.  Outputs are bit-identical.
     power_target = (
-        ntt_inverse_lazy(target, plan.ct_tables) if is_ntt_form else target
+        ntt.inverse_lazy(target, plan.ct_tables) if is_ntt_form else target
     )
     if is_ntt_form:
         ntt_target = target
     elif plan.lazy_digits:
-        ntt_target = ntt_forward_lazy(target, plan.ct_tables)
+        ntt_target = ntt.forward_lazy(target, plan.ct_tables)
     else:
-        ntt_target = ntt_forward(target, plan.ct_tables)
+        ntt_target = ntt.forward(target, plan.ct_tables)
     pad_width = [(0, 0)] * len(batch) + [(0, n_ext - n_ct), (0, 0)]
     ntt_target_ext = m_.pad(ntt_target, pad_width)
 
@@ -325,14 +343,15 @@ def compute_modup_digits(target, plan: KeySwitchPlan, is_ntt_form: bool):
     # plan.lazy_digits gates the range: with many bundles the accumulated
     # sum would exceed 2^128 at 4p, so reduce canonically there.
     if plan.lazy_digits:
-        lifted_ntt = ntt_forward_lazy(lifted, plan.ext_tables)
+        lifted_ntt = ntt.forward_lazy(lifted, plan.ext_tables)
     else:
-        lifted_ntt = ntt_forward(lifted, plan.ext_tables)
+        lifted_ntt = ntt.forward(lifted, plan.ext_tables)
     return m_.where(plan.bundle_diag, ntt_target_ext[..., None, :, :], lifted_ntt)
 
 
 def keyswitch_inner_product(ct_k, key_vector_data, plan: KeySwitchPlan,
-                            is_ntt_output: bool, raw: bool = False):
+                            is_ntt_output: bool, raw: bool = False,
+                            ntt: NTTOps = IN_CORE_NTT):
     """128-bit-exact inner product of mod-up digits with a key-switch key,
     then special-prime rescale (evaluator.cpp:2313-2361).
 
@@ -353,7 +372,8 @@ def keyswitch_inner_product(ct_k, key_vector_data, plan: KeySwitchPlan,
         if raw:
             out.append(acc)
         else:
-            out.append(rescale_special(acc, plan, is_ntt_output=is_ntt_output))
+            out.append(rescale_special(acc, plan, is_ntt_output=is_ntt_output,
+                                       ntt=ntt))
     return out[0], out[1]
 
 
@@ -395,7 +415,8 @@ def fused_moddown(c, acc, plan: KeySwitchPlan):
     return modops.mul_mod(s, k["inv_qd_qi"], ol.p, ol.ratio0, ol.ratio1)
 
 
-def switch_key(target, key_vector_data, plan: KeySwitchPlan, is_ntt_form: bool):
+def switch_key(target, key_vector_data, plan: KeySwitchPlan, is_ntt_form: bool,
+               ntt: NTTOps = IN_CORE_NTT):
     """Core hybrid key switch (evaluator.cpp:2259-2368).
 
     target: [..., n_ct, N] in the ciphertext domain (NTT iff is_ntt_form);
@@ -405,5 +426,6 @@ def switch_key(target, key_vector_data, plan: KeySwitchPlan, is_ntt_form: bool):
     Returns (delta0, delta1): [..., n_ct, N] contributions in the
     ciphertext domain, to be added onto c0/c1.
     """
-    ct_k = compute_modup_digits(target, plan, is_ntt_form)
-    return keyswitch_inner_product(ct_k, key_vector_data, plan, is_ntt_form)
+    ct_k = compute_modup_digits(target, plan, is_ntt_form, ntt=ntt)
+    return keyswitch_inner_product(ct_k, key_vector_data, plan, is_ntt_form,
+                                   ntt=ntt)

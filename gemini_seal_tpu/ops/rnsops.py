@@ -201,10 +201,16 @@ def divide_and_round_q_last(x, tool: DeviceRNSTool):
     return modops.mul_mod(diff, tool.inv_q_last_mod_q, rest_p, rest_r0, rest_r1)
 
 
-def divide_and_round_q_last_ntt(x, tool: DeviceRNSTool, tables: NTTTables):
+def divide_and_round_q_last_ntt(x, tool: DeviceRNSTool, tables: NTTTables,
+                                ntt=None):
     """NTT-domain variant (reference: rns.cpp:777-851): iNTT the last limb,
     round, lift back per remaining limb with a forward NTT, subtract,
-    multiply by q_last^{-1}."""
+    multiply by q_last^{-1}.
+
+    `ntt` optionally swaps the transform entry points (keyswitch.NTTOps) —
+    the coeff-sharded pipeline passes the all_to_all four-step bodies."""
+    fwd = ntt_forward if ntt is None else ntt.forward
+    inv = ntt_inverse if ntt is None else ntt.inverse
     L = x.shape[-2]
     q = tool.q_limbs
     last_p = q.p[L - 1, 0]
@@ -218,13 +224,13 @@ def divide_and_round_q_last_ntt(x, tool: DeviceRNSTool, tables: NTTTables):
     last_tables = _slice_tables(tables, L - 1, L)
     rest_tables = _slice_tables(tables, 0, L - 1)
 
-    last = ntt_inverse(x[..., L - 1 : L, :], last_tables)  # [..., 1, N]
+    last = inv(x[..., L - 1 : L, :], last_tables)  # [..., 1, N]
     last = modops.barrett_reduce_64(last[..., 0, :] + half, last_p, last_r1)
     # reduce into each remaining limb, subtract half, NTT forward
     last_mod_qi = modops.barrett_reduce_64(last[..., None, :], rest_p, rest_r1)
     half_mod_qi = modops.barrett_reduce_64(half, rest_p, rest_r1)
     temp = modops.sub_mod(last_mod_qi, half_mod_qi, rest_p)
-    temp = ntt_forward(temp, rest_tables)
+    temp = fwd(temp, rest_tables)
     diff = modops.sub_mod(rest, temp, rest_p)
     return modops.mul_mod(diff, tool.inv_q_last_mod_q, rest_p, rest_r0, rest_r1)
 

@@ -233,70 +233,83 @@ def _transpose_blocks(x, coeff_axis):
     )
 
 
+def forward_4step_local(xl, tables, C: int, coeff_axis: str,
+                        lazy: bool = False):
+    """The four-step forward body, callable INSIDE an enclosing shard_map
+    (composed coeff-sharded pipelines, parallel/pipeline_csp.py).
+
+    xl: this device's [..., L, chunk] shard.  lazy=True returns the
+    [0, 4p) range (ops.ntt.ntt_forward_lazy contract), else canonical."""
+    n = tables.coeff_count
+    log_c = C.bit_length() - 1
+    chunk = n // C
+    cc = chunk // C
+    w_all = tables.root_powers
+    ws_all = tables.scaled_root_powers
+    d = jax.lax.axis_index(coeff_axis)
+    p1 = tables.modulus.reshape(-1, 1)
+    # broadcast against the grouped row view [..., L, m, rows_h, cc]
+    p4 = tables.modulus.reshape(-1, 1, 1, 1)
+    two_p4 = p4 * np.uint64(2)
+    batch = xl.shape[:-1]
+    L = xl.shape[-2]
+
+    # transpose in: rows become the C axis locally
+    y = _transpose_blocks(xl.reshape(batch + (C, cc)), coeff_axis)
+    # cross stages, now local over the row axis
+    for s in range(log_c):
+        m = 1 << s
+        rows_h = C >> (s + 1)          # rows per half-group
+        w = w_all[:, m : 2 * m][:, :, None, None]
+        ws = ws_all[:, m : 2 * m][:, :, None, None]
+        yr = y.reshape(batch[:-1] + (L, m, 2, rows_h, cc))
+        x0 = yr[..., 0, :, :]
+        x1 = yr[..., 1, :, :]
+        x0 = jnp.where(x0 >= two_p4, x0 - two_p4, x0)
+        v = modops.mul_mod_shoup_lazy(x1, w, ws, p4)
+        y = jnp.stack([x0 + v, x0 - v + two_p4], axis=-3).reshape(
+            batch + (C, cc)
+        )
+    # transpose back, then the chunk-local stages
+    x2 = _transpose_blocks(y, coeff_axis).reshape(batch + (chunk,))
+    x2 = _local_forward_stages(x2, tables, log_c, d, C)
+    return x2 if lazy else modops.reduce_twice(x2, p1)
+
+
+def _check_4step(n, C):
+    if C & (C - 1):
+        raise ValueError("coeff axis size must be a power of two")
+    if n % C or n // C < C:
+        raise ValueError("need chunk >= C for the block transpose")
+
+
 def ntt_forward_sharded_4step(x, tables, mesh: Mesh, coeff_axis: str = "coeff"):
     """Forward NTT, coefficient-sharded, four-step communication schedule.
 
     Bit-exact vs ops.ntt.ntt_forward (identical butterfly dataflow; only
     the communication pattern differs from ntt_forward_sharded)."""
     C = mesh.shape[coeff_axis]
-    n = tables.coeff_count
-    log_c = C.bit_length() - 1
-    if C & (C - 1):
-        raise ValueError("coeff axis size must be a power of two")
-    chunk = n // C
-    if n % C or chunk < C:
-        raise ValueError("need chunk >= C for the block transpose")
-    cc = chunk // C
-    w_all = tables.root_powers
-    ws_all = tables.scaled_root_powers
+    _check_4step(tables.coeff_count, C)
 
     def local(xl):
-        d = jax.lax.axis_index(coeff_axis)
-        p1 = tables.modulus.reshape(-1, 1)
-        # broadcast against the grouped row view [..., L, m, rows_h, cc]
-        p4 = tables.modulus.reshape(-1, 1, 1, 1)
-        two_p4 = p4 * np.uint64(2)
-        batch = xl.shape[:-1]
-        L = xl.shape[-2]
-
-        # transpose in: rows become the C axis locally
-        y = _transpose_blocks(xl.reshape(batch + (C, cc)), coeff_axis)
-        # cross stages, now local over the row axis
-        for s in range(log_c):
-            m = 1 << s
-            rows_h = C >> (s + 1)          # rows per half-group
-            w = w_all[:, m : 2 * m][:, :, None, None]
-            ws = ws_all[:, m : 2 * m][:, :, None, None]
-            yr = y.reshape(batch[:-1] + (L, m, 2, rows_h, cc))
-            x0 = yr[..., 0, :, :]
-            x1 = yr[..., 1, :, :]
-            x0 = jnp.where(x0 >= two_p4, x0 - two_p4, x0)
-            v = modops.mul_mod_shoup_lazy(x1, w, ws, p4)
-            y = jnp.stack([x0 + v, x0 - v + two_p4], axis=-3).reshape(
-                batch + (C, cc)
-            )
-        # transpose back, then the chunk-local stages
-        x2 = _transpose_blocks(y, coeff_axis).reshape(batch + (chunk,))
-        x2 = _local_forward_stages(x2, tables, log_c, d, C)
-        return modops.reduce_twice(x2, p1)
+        return forward_4step_local(xl, tables, C, coeff_axis)
 
     spec_in = P(*([None] * (x.ndim - 1) + [coeff_axis]))
     fn = shard_map(local, mesh, (spec_in,), spec_in)
     return fn(x)
 
 
-def ntt_inverse_sharded_4step(x, tables, mesh: Mesh, coeff_axis: str = "coeff"):
-    """Inverse NTT, coefficient-sharded, four-step communication schedule;
-    bit-exact vs ops.ntt.ntt_inverse."""
-    C = mesh.shape[coeff_axis]
+def inverse_4step_local(xl, tables, C: int, coeff_axis: str,
+                        lazy: bool = False):
+    """The four-step inverse body, callable INSIDE an enclosing shard_map
+    (composed coeff-sharded pipelines, parallel/pipeline_csp.py).
+
+    xl: this device's [..., L, chunk] shard, input in [0, 2p).
+    lazy=True returns [0, 2p) (ops.ntt.ntt_inverse_lazy contract)."""
     n = tables.coeff_count
     log_n = tables.coeff_count_power
     log_c = C.bit_length() - 1
-    if C & (C - 1):
-        raise ValueError("coeff axis size must be a power of two")
     chunk = n // C
-    if n % C or chunk < C:
-        raise ValueError("need chunk >= C for the block transpose")
     cc = chunk // C
     w_all = tables.inv_root_powers
     ws_all = tables.scaled_inv_root_powers
@@ -309,58 +322,67 @@ def ntt_inverse_sharded_4step(x, tables, mesh: Mesh, coeff_axis: str = "coeff"):
         offsets.append(ofs)
         ofs += n >> (s + 1)
 
+    d = jax.lax.axis_index(coeff_axis)
+    p1 = tables.modulus.reshape(-1, 1)
+    p3 = tables.modulus.reshape(-1, 1, 1)
+    two_p3 = p3 * np.uint64(2)
+    p4 = tables.modulus.reshape(-1, 1, 1, 1)
+    two_p4 = p4 * np.uint64(2)
+    L = xl.shape[-2]
+    batch = xl.shape[:-1]
+    x2 = xl
+
+    # chunk-local stages first (identical to ntt_inverse_sharded)
+    for s in range(log_n - log_c):
+        m = n >> (s + 1)
+        h = 1 << s
+        local_groups = m // C
+        w = jax.lax.dynamic_slice_in_dim(
+            w_all[:, offsets[s] : offsets[s] + m],
+            d * local_groups, local_groups, axis=1,
+        )[:, :, None]
+        ws = jax.lax.dynamic_slice_in_dim(
+            ws_all[:, offsets[s] : offsets[s] + m],
+            d * local_groups, local_groups, axis=1,
+        )[:, :, None]
+        xr = x2.reshape(batch[:-1] + (L, local_groups, 2, h))
+        x0 = xr[..., 0, :]
+        x1 = xr[..., 1, :]
+        t = x0 + x1
+        t = jnp.where(t >= two_p3, t - two_p3, t)
+        dd = x0 - x1 + two_p3
+        y1 = modops.mul_mod_shoup_lazy(dd, w, ws, p3)
+        x2 = jnp.stack([t, y1], axis=-2).reshape(batch + (chunk,))
+
+    # transpose in; last log_c stages act over the row axis
+    y = _transpose_blocks(x2.reshape(batch + (C, cc)), coeff_axis)
+    for s in range(log_n - log_c, log_n):
+        m = n >> (s + 1)               # groups over rows
+        rows_h = C // (2 * m)
+        w = w_all[:, offsets[s] : offsets[s] + m][:, :, None, None]
+        ws = ws_all[:, offsets[s] : offsets[s] + m][:, :, None, None]
+        yr = y.reshape(batch[:-1] + (L, m, 2, rows_h, cc))
+        x0 = yr[..., 0, :, :]
+        x1 = yr[..., 1, :, :]
+        t = x0 + x1
+        t = jnp.where(t >= two_p4, t - two_p4, t)
+        dd = x0 - x1 + two_p4
+        if m == 1:
+            t = modops.mul_mod_shoup_lazy(t, inv_n, inv_n_s, p4)
+        y1 = modops.mul_mod_shoup_lazy(dd, w, ws, p4)
+        y = jnp.stack([t, y1], axis=-3).reshape(batch + (C, cc))
+    out = _transpose_blocks(y, coeff_axis).reshape(batch + (chunk,))
+    return out if lazy else modops.reduce_once(out, p1)
+
+
+def ntt_inverse_sharded_4step(x, tables, mesh: Mesh, coeff_axis: str = "coeff"):
+    """Inverse NTT, coefficient-sharded, four-step communication schedule;
+    bit-exact vs ops.ntt.ntt_inverse."""
+    C = mesh.shape[coeff_axis]
+    _check_4step(tables.coeff_count, C)
+
     def local(xl):
-        d = jax.lax.axis_index(coeff_axis)
-        p1 = tables.modulus.reshape(-1, 1)
-        p3 = tables.modulus.reshape(-1, 1, 1)
-        two_p3 = p3 * np.uint64(2)
-        p4 = tables.modulus.reshape(-1, 1, 1, 1)
-        two_p4 = p4 * np.uint64(2)
-        L = xl.shape[-2]
-        batch = xl.shape[:-1]
-        x2 = xl
-
-        # chunk-local stages first (identical to ntt_inverse_sharded)
-        for s in range(log_n - log_c):
-            m = n >> (s + 1)
-            h = 1 << s
-            local_groups = m // C
-            w = jax.lax.dynamic_slice_in_dim(
-                w_all[:, offsets[s] : offsets[s] + m],
-                d * local_groups, local_groups, axis=1,
-            )[:, :, None]
-            ws = jax.lax.dynamic_slice_in_dim(
-                ws_all[:, offsets[s] : offsets[s] + m],
-                d * local_groups, local_groups, axis=1,
-            )[:, :, None]
-            xr = x2.reshape(batch[:-1] + (L, local_groups, 2, h))
-            x0 = xr[..., 0, :]
-            x1 = xr[..., 1, :]
-            t = x0 + x1
-            t = jnp.where(t >= two_p3, t - two_p3, t)
-            dd = x0 - x1 + two_p3
-            y1 = modops.mul_mod_shoup_lazy(dd, w, ws, p3)
-            x2 = jnp.stack([t, y1], axis=-2).reshape(batch + (chunk,))
-
-        # transpose in; last log_c stages act over the row axis
-        y = _transpose_blocks(x2.reshape(batch + (C, cc)), coeff_axis)
-        for s in range(log_n - log_c, log_n):
-            m = n >> (s + 1)               # groups over rows
-            rows_h = C // (2 * m)
-            w = w_all[:, offsets[s] : offsets[s] + m][:, :, None, None]
-            ws = ws_all[:, offsets[s] : offsets[s] + m][:, :, None, None]
-            yr = y.reshape(batch[:-1] + (L, m, 2, rows_h, cc))
-            x0 = yr[..., 0, :, :]
-            x1 = yr[..., 1, :, :]
-            t = x0 + x1
-            t = jnp.where(t >= two_p4, t - two_p4, t)
-            dd = x0 - x1 + two_p4
-            if m == 1:
-                t = modops.mul_mod_shoup_lazy(t, inv_n, inv_n_s, p4)
-            y1 = modops.mul_mod_shoup_lazy(dd, w, ws, p4)
-            y = jnp.stack([t, y1], axis=-3).reshape(batch + (C, cc))
-        out = _transpose_blocks(y, coeff_axis).reshape(batch + (chunk,))
-        return modops.reduce_once(out, p1)
+        return inverse_4step_local(xl, tables, C, coeff_axis)
 
     spec_in = P(*([None] * (x.ndim - 1) + [coeff_axis]))
     fn = shard_map(local, mesh, (spec_in,), spec_in)

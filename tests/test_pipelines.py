@@ -315,6 +315,37 @@ def test_deep_poly_eval():
     out_composed = np.asarray(run(np.asarray(ct.data), rk_data, gk_stack))
     np.testing.assert_array_equal(out_composed, out)
 
+    # rotate_mode="flat" (hoisted raw-sum, ONE mod-up + ONE mod-down):
+    # with rotate_sum_log2=1 the key set coincides (step 1 only); results
+    # decrypt equal to the tree within sub-noise rounding
+    stepf, deep_idf, out_scalef = build_ckks_poly_eval(
+        ctx, coeffs, scale, encoder, rotate_sum_log2=1,
+        coeff_precision_bits=25, rotate_mode="flat",
+    )
+    outf = np.asarray(jax.jit(stepf)(np.asarray(ct.data), rk_data, gk_stack))
+    gotf = encoder.decode(dec.decrypt(Ciphertext(outf, deep_idf, True, out_scalef)))
+    for g, e in zip(gotf[: len(vals)], expect):
+        assert abs(g - e) < 1e-3, (gotf[: len(vals)], expect)
+    for g, gt in zip(gotf[:8], got[:8]):
+        assert abs(g - gt) < 1e-5, (g, gt)
+
+    # flat with m=2: sums 4 adjacent slots, needs keys for steps 1..3
+    elts3 = [tool.get_elt_from_step(s) for s in (1, 2, 3)]
+    gk3 = kg.galois_keys(elts3)
+    gk3_stack = np.stack([
+        np.stack([np.asarray(pk.data.data) for pk in gk3.key(e)]) for e in elts3
+    ])
+    step2, deep_id2f, out_scale2f = build_ckks_poly_eval(
+        ctx, coeffs, scale, encoder, rotate_sum_log2=2,
+        coeff_precision_bits=25, rotate_mode="flat",
+    )
+    out2 = np.asarray(jax.jit(step2)(np.asarray(ct.data), rk_data, gk3_stack))
+    got2 = encoder.decode(dec.decrypt(Ciphertext(out2, deep_id2f, True, out_scale2f)))
+    padded2 = vals + [0.0] * 3
+    expect2 = [sum(p(padded2[i + j]) for j in range(4)) for i in range(len(vals))]
+    for g, e in zip(got2[: len(vals)], expect2):
+        assert abs(g - e) < 1e-3, (got2[: len(vals)], expect2)
+
 
 def test_multi_special_prime_pipeline():
     """nsp=3 hybrid key-switch through the jitted pipeline is bit-exact vs
