@@ -332,8 +332,25 @@ class CKKSEncoder:
         power-of-two table)."""
         L = len(moduli)
         n = rounded.shape[0]
-        dest = np.zeros((L, n), dtype=np.uint64)
         small = np.abs(rounded) < 2.0 ** 62
+        if not small.all():
+            # native fast path for the mixed/big regime (exact integers)
+            from .utils import native as _native
+
+            if _native.available():
+                if pow2_tab is None:
+                    mant, expo = np.frexp(rounded[~small])
+                    pow2_tab = CKKSEncoder._build_pow2_table(
+                        moduli, int(expo.max()) - 53 + 1
+                    )
+                out = _native.decompose_rounded(
+                    rounded,
+                    np.asarray([m.value for m in moduli], dtype=np.uint64),
+                    pow2_tab,
+                )
+                if out is not None:
+                    return out
+        dest = np.zeros((L, n), dtype=np.uint64)
         if small.all():
             as_int = rounded.astype(np.int64)
             for j, mod in enumerate(moduli):
@@ -456,8 +473,8 @@ class CKKSEncoder:
         res = self._embedding_forward(res_real.astype(np.complex128))
         out_arr = res[self._index_map[: self.slots]]
         if as_complex:
-            return [complex(v) for v in out_arr]
-        return [float(v.real) for v in out_arr]
+            return out_arr.tolist()
+        return out_arr.real.tolist()
 
 
 class IntegerEncoder:

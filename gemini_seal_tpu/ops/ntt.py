@@ -30,6 +30,7 @@ from typing import List, Sequence
 import numpy as np
 
 from ..utils import numth
+from ..utils import native as _native
 from .backend import xp
 from ..modulus import Modulus
 from . import modops
@@ -189,12 +190,28 @@ def _expand(v, extra_dims: int):
     return v.reshape(v.shape + (1,) * extra_dims)
 
 
+def _host_fast(x, tables):
+    """True when the call is host-plane (numpy in, numpy tables) and the
+    native transform is available — the object layer's encode/decode/
+    decrypt path, where numpy's per-stage passes cost ~10x the C++ loop."""
+    return (
+        isinstance(x, np.ndarray)
+        and isinstance(tables.root_powers, np.ndarray)
+        and _native.available()
+    )
+
+
 def ntt_forward_lazy(x, tables):
     """Forward negacyclic NTT over the last axis; output lazy in [0, 4p).
 
     x: uint64[..., L, N]; tables: NTTTables (or its device mirror).
     Mirrors ntt_negacyclic_harvey_lazy (reference: ntt.cpp:292-342).
     """
+    if _host_fast(x, tables):
+        return _native.ntt_forward(
+            x, tables.root_powers, tables.scaled_root_powers, tables.modulus,
+            canonical=False,
+        )
     n = tables.coeff_count
     log_n = tables.coeff_count_power
     batch = x.shape[:-1]
@@ -226,6 +243,11 @@ def ntt_forward_lazy(x, tables):
 
 def ntt_forward(x, tables):
     """Forward NTT with canonical output in [0, p)."""
+    if _host_fast(x, tables):
+        return _native.ntt_forward(
+            x, tables.root_powers, tables.scaled_root_powers, tables.modulus,
+            canonical=True,
+        )
     out = ntt_forward_lazy(x, tables)
     p = _expand(tables.modulus, 1)
     return modops.reduce_twice(out, p)
@@ -238,6 +260,12 @@ def ntt_inverse_lazy(x, tables):
     (reference: ntt.cpp:345-404) including the sequential reordered twiddle
     walk and the n^{-1} fold into the last butterfly layer.
     """
+    if _host_fast(x, tables):
+        return _native.ntt_inverse(
+            x, tables.inv_root_powers, tables.scaled_inv_root_powers,
+            tables.inv_degree_modulo, tables.scaled_inv_degree,
+            tables.modulus, canonical=False,
+        )
     n = tables.coeff_count
     log_n = tables.coeff_count_power
     batch = x.shape[:-1]
@@ -274,6 +302,12 @@ def ntt_inverse_lazy(x, tables):
 
 def ntt_inverse(x, tables):
     """Inverse NTT with canonical output in [0, p)."""
+    if _host_fast(x, tables):
+        return _native.ntt_inverse(
+            x, tables.inv_root_powers, tables.scaled_inv_root_powers,
+            tables.inv_degree_modulo, tables.scaled_inv_degree,
+            tables.modulus, canonical=True,
+        )
     out = ntt_inverse_lazy(x, tables)
     p = _expand(tables.modulus, 1)
     return modops.reduce_once(out, p)

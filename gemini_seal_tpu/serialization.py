@@ -456,3 +456,128 @@ def load_relin_keys(data: bytes, context=None, validate: bool = True) -> RelinKe
 
 def load_galois_keys(data: bytes, context=None, validate: bool = True) -> GaloisKeys:
     return _load_kswitch_into(GaloisKeys, data, context, validate)
+
+
+# ---------------------------------------------------------------------------
+# Streaming / bounded-stream surface (reference: serialization.h:211-278,
+# util/streambuf.h).  save_size precomputes the buffer bound WITHOUT
+# materializing the payload; save_to/read_framed work on file-like streams
+# and never read past one framed object (several objects can share one
+# stream back to back, exactly like the reference's Save/Load on iostreams).
+# ---------------------------------------------------------------------------
+
+def _deflate_bound(n: int) -> int:
+    """zlib compressBound(n) (the reference's upper bound for compr_mode
+    deflate)."""
+    return n + (n >> 12) + (n >> 14) + (n >> 25) + 13
+
+
+def _int_array_size(count: int) -> int:
+    return HEADER_SIZE + 8 + 8 * count
+
+
+def _payload_size(obj) -> int:
+    """Exact wire payload size (before framing), computed arithmetically
+    from metadata — no payload materialization (serialization.h save_size)."""
+    if isinstance(obj, Modulus):
+        return 8
+    if isinstance(obj, EncryptionParameters):
+        L = len(obj.coeff_modulus)
+        return 1 + 8 + 8 + 8 + (L + 1) * (HEADER_SIZE + 8)
+    if isinstance(obj, SecretKey):
+        return 32 + 8 + 8 + _int_array_size(int(np.asarray(obj.data).size))
+    if isinstance(obj, Plaintext):
+        return 32 + 8 + 8 + _int_array_size(int(np.asarray(obj.data).size))
+    if isinstance(obj, PublicKey):
+        return _payload_size(obj.data)
+    if isinstance(obj, Ciphertext):
+        return 32 + 1 + 8 + 8 + 8 + 8 + _int_array_size(
+            int(np.asarray(obj.data).size)
+        )
+    if isinstance(obj, KSwitchKeys):
+        total = 32 + 8
+        for row in obj.keys:
+            total += 8
+            for pk in row:
+                total += HEADER_SIZE + _payload_size(pk.data)
+        return total
+    raise TypeError(f"cannot size {type(obj)}")
+
+
+def save_size(obj, compr_mode: int = COMPR_NONE) -> int:
+    """Bytes needed to save `obj`: exact for COMPR_NONE, an upper bound
+    for COMPR_DEFLATE (reference: Serialization::ComprSizeEstimate)."""
+    n = _payload_size(obj)
+    if compr_mode == COMPR_NONE:
+        return HEADER_SIZE + n
+    if compr_mode == COMPR_DEFLATE:
+        return HEADER_SIZE + _deflate_bound(n)
+    raise ValueError("unsupported compression mode")
+
+
+def save_to(obj, stream, compr_mode: int = COMPR_NONE) -> int:
+    """Write one framed object to a file-like stream; returns the byte
+    count (== save_size for COMPR_NONE, <= for deflate)."""
+    blob = save(obj, compr_mode)
+    stream.write(blob)
+    return len(blob)
+
+
+def read_framed(stream) -> bytes:
+    """Read EXACTLY one framed object from a stream (bounded by the
+    SEALHeader size field — never consumes past the object)."""
+    header = stream.read(HEADER_SIZE)
+    if len(header) != HEADER_SIZE:
+        raise ValueError("loaded SEALHeader is invalid")
+    magic, hsize = struct.unpack_from("<HB", header, 0)
+    if magic != SEAL_MAGIC or hsize != HEADER_SIZE:
+        raise ValueError("loaded SEALHeader is invalid")
+    (total,) = struct.unpack_from("<Q", header, 8)
+    if total < HEADER_SIZE:
+        raise ValueError("loaded SEALHeader is invalid")
+    body = stream.read(total - HEADER_SIZE)
+    if len(body) != total - HEADER_SIZE:
+        raise ValueError("loaded SEALHeader is invalid")
+    return header + body
+
+
+def load_ciphertext_from(stream, context=None, validate: bool = True) -> Ciphertext:
+    return load_ciphertext(read_framed(stream), context, validate)
+
+
+def load_plaintext_from(stream, context=None) -> Plaintext:
+    return load_plaintext(read_framed(stream), context)
+
+
+def load_secret_key_from(stream, context=None, validate: bool = True) -> SecretKey:
+    return load_secret_key(read_framed(stream), context, validate)
+
+
+def load_public_key_from(stream, context=None, validate: bool = True) -> PublicKey:
+    return load_public_key(read_framed(stream), context, validate)
+
+
+def load_relin_keys_from(stream, context=None, validate: bool = True) -> RelinKeys:
+    return load_relin_keys(read_framed(stream), context, validate)
+
+
+def load_galois_keys_from(stream, context=None, validate: bool = True) -> GaloisKeys:
+    return load_galois_keys(read_framed(stream), context, validate)
+
+
+def load_parms_from(stream) -> EncryptionParameters:
+    return load_parms(read_framed(stream))
+
+
+__all__ += [
+    "save_size",
+    "save_to",
+    "read_framed",
+    "load_ciphertext_from",
+    "load_plaintext_from",
+    "load_secret_key_from",
+    "load_public_key_from",
+    "load_relin_keys_from",
+    "load_galois_keys_from",
+    "load_parms_from",
+]

@@ -79,6 +79,30 @@ def compose_limbs(residues: np.ndarray, base, nwords: int | None = None) -> np.n
         raise ValueError("residue plane count does not match the base")
     q = base.base_prod
     K = nwords if nwords is not None else max(1, (q.bit_length() + 63) // 64)
+
+    # native fast path (bit-identical exact integers; ~7x the numpy passes)
+    from . import native as _native
+
+    if _native.available():
+        consts = base.__dict__.get("_compose_native_consts")
+        if consts is None or consts[0] != K:
+            qhat = np.stack(
+                [int_to_limbs(base.punctured_prod[j], K) for j in range(L)]
+            )
+            qprod = int_to_limbs(q, K + 1)
+            consts = (
+                K,
+                np.asarray(base.inv_punctured_prod_mod_base, dtype=np.uint64),
+                np.asarray(base.values(), dtype=np.uint64),
+                qhat, qprod,
+            )
+            base._compose_native_consts = consts
+        out = _native.crt_compose(
+            np.asarray(residues, dtype=np.uint64),
+            consts[1], consts[2], consts[3], consts[4], K,
+        )
+        if out is not None:
+            return out
     # one extra word for the pre-reduction sum (< L * q)
     acc = np.zeros((K + 1, n), dtype=_U64)
 

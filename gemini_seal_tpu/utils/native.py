@@ -79,6 +79,28 @@ def _load():
         lib.gst_unframe.argtypes = [
             ctypes.c_void_p, ctypes.c_uint64, ctypes.c_char_p, ctypes.c_uint64,
         ]
+        lib.gst_ntt_forward.restype = None
+        lib.gst_ntt_forward.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ]
+        lib.gst_ntt_inverse.restype = None
+        lib.gst_ntt_inverse.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int,
+        ]
+        lib.gst_crt_compose.restype = None
+        lib.gst_crt_compose.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.c_uint64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
+        lib.gst_decompose_rounded.restype = None
+        lib.gst_decompose_rounded.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64,
+        ]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -147,3 +169,85 @@ def unframe(data: bytes, out_cap_hint: int = 0) -> Optional[bytes]:
         if n < 0:
             raise ValueError("loaded SEALHeader is invalid")
         return out.raw[:n]
+
+
+def _ptr(a: np.ndarray):
+    import ctypes
+
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def ntt_forward(x: np.ndarray, w, ws, mods, canonical: bool):
+    """In-place-on-a-copy host forward NTT over [..., L, n]; returns the
+    transformed array, or None when the native module is unavailable.
+    Bit-identical to ops.ntt.ntt_forward(_lazy)."""
+    lib = _load()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, dtype=np.uint64).copy()
+    L, n = x.shape[-2], x.shape[-1]
+    rows = int(np.prod(x.shape[:-2], dtype=np.int64)) if x.ndim > 2 else 1
+    w = np.ascontiguousarray(w, dtype=np.uint64)
+    ws = np.ascontiguousarray(ws, dtype=np.uint64)
+    mods = np.ascontiguousarray(mods, dtype=np.uint64)
+    lib.gst_ntt_forward(
+        _ptr(x), rows, L, n.bit_length() - 1, _ptr(w), _ptr(ws), _ptr(mods),
+        1 if canonical else 0,
+    )
+    return x
+
+
+def ntt_inverse(x: np.ndarray, w, ws, inv_n, inv_n_s, mods, canonical: bool):
+    """Host inverse NTT (reordered twiddles, folded n^-1), or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, dtype=np.uint64).copy()
+    L, n = x.shape[-2], x.shape[-1]
+    rows = int(np.prod(x.shape[:-2], dtype=np.int64)) if x.ndim > 2 else 1
+    w = np.ascontiguousarray(w, dtype=np.uint64)
+    ws = np.ascontiguousarray(ws, dtype=np.uint64)
+    inv_n = np.ascontiguousarray(inv_n, dtype=np.uint64)
+    inv_n_s = np.ascontiguousarray(inv_n_s, dtype=np.uint64)
+    mods = np.ascontiguousarray(mods, dtype=np.uint64)
+    lib.gst_ntt_inverse(
+        _ptr(x), rows, L, n.bit_length() - 1, _ptr(w), _ptr(ws),
+        _ptr(inv_n), _ptr(inv_n_s), _ptr(mods), 1 if canonical else 0,
+    )
+    return x
+
+
+def crt_compose(residues: np.ndarray, inv_punc, mods, qhat, qprod,
+                nwords: int):
+    """[L, n] residues -> [K, n] limb planes of v in [0, q); or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    residues = np.ascontiguousarray(residues, dtype=np.uint64)
+    L, n = residues.shape
+    out = np.empty((nwords, n), dtype=np.uint64)
+    lib.gst_crt_compose(
+        _ptr(out), _ptr(residues), n, L, nwords,
+        _ptr(np.ascontiguousarray(inv_punc, dtype=np.uint64)),
+        _ptr(np.ascontiguousarray(mods, dtype=np.uint64)),
+        _ptr(np.ascontiguousarray(qhat, dtype=np.uint64)),
+        _ptr(np.ascontiguousarray(qprod, dtype=np.uint64)),
+    )
+    return out
+
+
+def decompose_rounded(rounded: np.ndarray, mods, pow2: np.ndarray):
+    """Exact RNS residues of integer-valued doubles; [L, n] or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    rounded = np.ascontiguousarray(rounded, dtype=np.float64)
+    pow2 = np.ascontiguousarray(pow2, dtype=np.uint64)
+    mods = np.ascontiguousarray(mods, dtype=np.uint64)
+    L = mods.shape[0]
+    n = rounded.shape[0]
+    out = np.empty((L, n), dtype=np.uint64)
+    lib.gst_decompose_rounded(
+        _ptr(out), _ptr(rounded), n, L, _ptr(mods), _ptr(pow2), pow2.shape[1]
+    )
+    return out

@@ -11,6 +11,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cmath>
+#include <vector>
 
 namespace {
 
@@ -230,6 +231,201 @@ int64_t gst_unframe(uint8_t *out, uint64_t out_cap, const uint8_t *data,
     return (int64_t)dest_len;
   }
   return -1;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Host-plane negacyclic NTT (forward/inverse), bit-identical to the
+// vectorized transforms in gemini_seal_tpu/ops/ntt.py (which are pinned to
+// the reference ntt.cpp:213-282): Shoup lazy butterflies, forward output
+// [0, 4p) (canonical via two conditional subtracts), inverse [0, 2p)
+// (canonical via one).  The host object layer (encoders, decryptor,
+// encryptor) calls these instead of paying numpy's per-stage passes.
+// ---------------------------------------------------------------------------
+
+static inline uint64_t mulhi_u64(uint64_t a, uint64_t b) {
+  return (uint64_t)(((unsigned __int128)a * b) >> 64);
+}
+
+static void ntt_fwd_row(uint64_t *x, uint64_t n, uint64_t log_n,
+                        const uint64_t *w_row, const uint64_t *ws_row,
+                        uint64_t p, int canonical) {
+  const uint64_t two_p = p << 1;
+  for (uint64_t s = 0; s < log_n; s++) {
+    uint64_t m = (uint64_t)1 << s;
+    uint64_t h = n >> (s + 1);
+    for (uint64_t i = 0; i < m; i++) {
+      uint64_t w = w_row[m + i];
+      uint64_t ws = ws_row[m + i];
+      uint64_t *x0 = x + 2 * i * h;
+      uint64_t *x1 = x0 + h;
+      for (uint64_t k = 0; k < h; k++) {
+        uint64_t a = x0[k];
+        if (a >= two_p) a -= two_p;
+        uint64_t b = x1[k];
+        uint64_t q = mulhi_u64(b, ws);
+        uint64_t v = b * w - q * p;          // [0, 2p)
+        x0[k] = a + v;
+        x1[k] = a - v + two_p;
+      }
+    }
+  }
+  if (canonical) {
+    for (uint64_t k = 0; k < n; k++) {
+      uint64_t a = x[k];
+      if (a >= two_p) a -= two_p;
+      if (a >= p) a -= p;
+      x[k] = a;
+    }
+  }
+}
+
+static void ntt_inv_row(uint64_t *x, uint64_t n, uint64_t log_n,
+                        const uint64_t *w_row, const uint64_t *ws_row,
+                        uint64_t inv_n, uint64_t inv_n_s, uint64_t p,
+                        int canonical) {
+  const uint64_t two_p = p << 1;
+  uint64_t ofs = 1;
+  for (uint64_t s = 0; s < log_n; s++) {
+    uint64_t m = n >> (s + 1);
+    uint64_t h = (uint64_t)1 << s;
+    for (uint64_t i = 0; i < m; i++) {
+      uint64_t w = w_row[ofs + i];
+      uint64_t ws = ws_row[ofs + i];
+      uint64_t *x0 = x + 2 * i * h;
+      uint64_t *x1 = x0 + h;
+      for (uint64_t k = 0; k < h; k++) {
+        uint64_t a = x0[k];
+        uint64_t b = x1[k];
+        uint64_t t = a + b;
+        if (t >= two_p) t -= two_p;
+        uint64_t d = a - b + two_p;
+        if (m == 1) {
+          uint64_t q = mulhi_u64(t, inv_n_s);
+          t = t * inv_n - q * p;
+        }
+        uint64_t qd = mulhi_u64(d, ws);
+        x0[k] = t;
+        x1[k] = d * w - qd * p;
+      }
+    }
+    ofs += m;
+  }
+  if (canonical) {
+    for (uint64_t k = 0; k < n; k++) {
+      uint64_t a = x[k];
+      if (a >= p) a -= p;
+      x[k] = a;
+    }
+  }
+}
+
+extern "C" {
+
+// x: [rows, L, n] row-major, transformed IN PLACE per (row, limb).
+// w/ws: [L, n]; mods (+inv_n/inv_n_s for the inverse): [L].
+void gst_ntt_forward(uint64_t *x, uint64_t rows, uint64_t L, uint64_t log_n,
+                     const uint64_t *w, const uint64_t *ws,
+                     const uint64_t *mods, int canonical) {
+  uint64_t n = (uint64_t)1 << log_n;
+  for (uint64_t r = 0; r < rows; r++)
+    for (uint64_t l = 0; l < L; l++)
+      ntt_fwd_row(x + (r * L + l) * n, n, log_n, w + l * n, ws + l * n,
+                  mods[l], canonical);
+}
+
+void gst_ntt_inverse(uint64_t *x, uint64_t rows, uint64_t L, uint64_t log_n,
+                     const uint64_t *w, const uint64_t *ws,
+                     const uint64_t *inv_n, const uint64_t *inv_n_s,
+                     const uint64_t *mods, int canonical) {
+  uint64_t n = (uint64_t)1 << log_n;
+  for (uint64_t r = 0; r < rows; r++)
+    for (uint64_t l = 0; l < L; l++)
+      ntt_inv_row(x + (r * L + l) * n, n, log_n, w + l * n, ws + l * n,
+                  inv_n[l], inv_n_s[l], mods[l], canonical);
+}
+
+// CRT compose: residues [L, n] -> base-2^64 limb planes out [K, n] holding
+// the unique v in [0, q).  inv_punc[L], mods[L], qhat [L, K] words
+// (little-endian), qprod [K+1] words of q.  Exact-integer semantics equal
+// to utils/mplimb.compose_limbs (reference: rns.cpp:369-414).
+void gst_crt_compose(uint64_t *out, const uint64_t *residues, uint64_t n,
+                     uint64_t L, uint64_t K, const uint64_t *inv_punc,
+                     const uint64_t *mods, const uint64_t *qhat,
+                     const uint64_t *qprod) {
+  std::vector<uint64_t> acc(K + 1);
+  for (uint64_t i = 0; i < n; i++) {
+    for (uint64_t k = 0; k <= K; k++) acc[k] = 0;
+    for (uint64_t j = 0; j < L; j++) {
+      uint64_t p = mods[j];
+      uint64_t t =
+          (uint64_t)(((unsigned __int128)residues[j * n + i] * inv_punc[j]) % p);
+      unsigned __int128 carry = 0;
+      for (uint64_t k = 0; k < K; k++) {
+        unsigned __int128 cur =
+            (unsigned __int128)t * qhat[j * K + k] + acc[k] + (uint64_t)carry;
+        acc[k] = (uint64_t)cur;
+        carry = cur >> 64;
+      }
+      acc[K] += (uint64_t)carry;
+    }
+    // at most L-1 conditional big-subtractions of q
+    for (uint64_t it = 0; it + 1 < L || it == 0; it++) {
+      // compare acc (K+1 words) >= qprod (K+1 words, top word 0 or q's)
+      int ge = 1;
+      for (int64_t k = (int64_t)K; k >= 0; k--) {
+        uint64_t qa = qprod[k];
+        if (acc[k] > qa) { ge = 1; break; }
+        if (acc[k] < qa) { ge = 0; break; }
+      }
+      if (!ge) break;
+      unsigned __int128 borrow = 0;
+      for (uint64_t k = 0; k <= K; k++) {
+        unsigned __int128 sub = (unsigned __int128)qprod[k] + (uint64_t)borrow;
+        uint64_t a = acc[k];
+        acc[k] = (uint64_t)((unsigned __int128)a - sub);
+        borrow = ((unsigned __int128)a < sub) ? 1 : 0;
+      }
+    }
+    for (uint64_t k = 0; k < K; k++) out[k * n + i] = acc[k];
+  }
+}
+
+// Exact RNS decomposition of rounded (integer-valued) doubles: dest [L, n].
+// Small |v| < 2^62 go through int64; larger through the exact mantissa/
+// exponent split against pow2 [L, smax] (2^s mod p).  Matches
+// CKKSEncoder._decompose_exact (reference regimes: ckks.h:514-607).
+void gst_decompose_rounded(uint64_t *dest, const double *rounded, uint64_t n,
+                           uint64_t L, const uint64_t *mods,
+                           const uint64_t *pow2, uint64_t smax) {
+  for (uint64_t i = 0; i < n; i++) {
+    double v = rounded[i];
+    double av = v < 0 ? -v : v;
+    if (av < 4611686018427387904.0 /* 2^62 */) {
+      int64_t iv = (int64_t)v;
+      for (uint64_t j = 0; j < L; j++) {
+        int64_t p = (int64_t)mods[j];
+        int64_t r = iv % p;
+        if (r < 0) r += p;
+        dest[j * n + i] = (uint64_t)r;
+      }
+    } else {
+      int e;
+      double m = std::frexp(v, &e);
+      int64_t m_int = (int64_t)(m * 9007199254740992.0); /* *2^53, exact */
+      uint64_t shift = (uint64_t)(e - 53);
+      for (uint64_t j = 0; j < L; j++) {
+        int64_t p = (int64_t)mods[j];
+        int64_t rm = m_int % p;
+        if (rm < 0) rm += p;
+        uint64_t r = (uint64_t)(((unsigned __int128)(uint64_t)rm *
+                                 pow2[j * smax + shift]) %
+                                (uint64_t)p);
+        dest[j * n + i] = r;
+      }
+    }
+  }
 }
 
 }  // extern "C"

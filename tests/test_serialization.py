@@ -547,3 +547,70 @@ def test_seeded_relin_keys_expand_in_reference(tmp_path):
             np.testing.assert_array_equal(
                 np.asarray(a.data.data), np.asarray(b.data.data)
             )
+
+
+# ---------------------------------------------------------------------------
+# Streaming / bounded-stream surface (reference: serialization.h:211-278)
+# ---------------------------------------------------------------------------
+
+def test_save_size_exact_and_bound():
+    """save_size is EXACT for COMPR_NONE (no payload materialization) and
+    an upper bound for deflate, for every object kind."""
+    ctx, parms = make_ctx()
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    ct = enc.encrypt(Plaintext.from_hex("5x^3 + 4"))
+    rk = kg.relin_keys()
+    gk = kg.galois_keys([3])
+    objs = [parms, parms.coeff_modulus[0], kg.secret_key, kg.public_key(),
+            Plaintext.from_hex("2x^1 + 1"), ct, rk, gk]
+    for obj in objs:
+        blob = ser.save(obj)
+        assert ser.save_size(obj) == len(blob), type(obj)
+        blob_z = ser.save(obj, ser.COMPR_DEFLATE)
+        assert ser.save_size(obj, ser.COMPR_DEFLATE) >= len(blob_z), type(obj)
+
+
+def test_stream_multi_object_bounded():
+    """Several objects saved back to back into ONE stream load back in
+    order, each read consuming exactly its framed bytes (the bounded-
+    stream property); trailing bytes stay unread."""
+    import io
+
+    ctx, parms = make_ctx()
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    dec = Decryptor(ctx, kg.secret_key)
+    ct = enc.encrypt(Plaintext.from_hex("5x^3 + 4"))
+    rk = kg.relin_keys()
+
+    buf = io.BytesIO()
+    n1 = ser.save_to(parms, buf)
+    n2 = ser.save_to(ct, buf, ser.COMPR_DEFLATE)
+    n3 = ser.save_to(rk, buf)
+    buf.write(b"TRAILING")
+    assert n1 == ser.save_size(parms)
+
+    buf.seek(0)
+    p2 = ser.load_parms_from(buf)
+    assert p2.parms_id == parms.parms_id
+    ct2 = ser.load_ciphertext_from(buf, ctx)
+    assert np.array_equal(np.asarray(ct2.data), np.asarray(ct.data))
+    rk2 = ser.load_relin_keys_from(buf, ctx)
+    got = dec.decrypt(Evaluator(ctx).relinearize(
+        Evaluator(ctx).multiply(ct, ct), rk2))
+    want = dec.decrypt(Evaluator(ctx).relinearize(
+        Evaluator(ctx).multiply(ct, ct), rk))
+    assert got.to_hex() == want.to_hex()
+    assert buf.read() == b"TRAILING"
+
+
+def test_read_framed_rejects_truncation():
+    import io
+
+    ctx, parms = make_ctx()
+    blob = ser.save(parms)
+    with pytest.raises(ValueError, match="invalid"):
+        ser.read_framed(io.BytesIO(blob[:10]))
+    with pytest.raises(ValueError, match="invalid"):
+        ser.read_framed(io.BytesIO(blob[:-4]))
