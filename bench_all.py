@@ -64,7 +64,16 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--iters", type=int, default=0)
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--only", default="",
+                    help="comma list of configs to run in isolation "
+                         "(1..5, extra); empty = all.  Isolated runs avoid "
+                         "the 5-15%% steady-state drift of back-to-back "
+                         "sweeps (PERF.md config-3 note).")
     cfg = ap.parse_args()
+    _sel = set(x for x in cfg.only.split(",") if x)
+
+    def _want(key):
+        return not _sel or key in _sel
 
     import jax
     import jax.numpy as jnp
@@ -90,215 +99,224 @@ def main():
         )
 
     # ---- config 1: BFV encrypt/add/multiply/decrypt, N=4096 -------------
-    n = 1024 if small else 4096
-    parms = EncryptionParameters(SchemeType.BFV)
-    parms.set_poly_modulus_degree(n)
-    parms.set_coeff_modulus(CoeffModulus.bfv_default(n) if not small
-                            else CoeffModulus.create(n, [30, 30, 30]))
-    parms.set_plain_modulus(PlainModulus.batching(n, 20))
-    parms.set_random_seed(tuple(range(8)))
-    ctx = SealContext(parms, sec_level=SecLevelType.none if small else SecLevelType.tc128)
-    kg = KeyGenerator(ctx)
-    enc = Encryptor(ctx, public_key=kg.public_key())
-    be = BatchEncoder(ctx)
-    ct = enc.encrypt(be.encode(list(range(n))))
-    a = np.broadcast_to(np.asarray(ct.data), (B,) + ct.data.shape)
-    rk = kg.relin_keys()
-    rk_data = np.stack([np.asarray(pk.data.data) for pk in rk.key(2)])
-    step = checksum_jit(build_bfv_mul_relin(ctx))
-    da, dk = jax.device_put(a), jax.device_put(rk_data)
-    ops = _sync_time(lambda s, x, k: step(s, x, x, k), (da, dk), B, cfg.iters)
-    emit(f"bfv_mul_relin_n{n}_ops_per_s", ops, "ciphertext_ops/s")
+    if _want("1"):
+        n = 1024 if small else 4096
+        parms = EncryptionParameters(SchemeType.BFV)
+        parms.set_poly_modulus_degree(n)
+        parms.set_coeff_modulus(CoeffModulus.bfv_default(n) if not small
+                                else CoeffModulus.create(n, [30, 30, 30]))
+        parms.set_plain_modulus(PlainModulus.batching(n, 20))
+        parms.set_random_seed(tuple(range(8)))
+        ctx = SealContext(parms, sec_level=SecLevelType.none if small else SecLevelType.tc128)
+        kg = KeyGenerator(ctx)
+        enc = Encryptor(ctx, public_key=kg.public_key())
+        be = BatchEncoder(ctx)
+        ct = enc.encrypt(be.encode(list(range(n))))
+        a = np.broadcast_to(np.asarray(ct.data), (B,) + ct.data.shape)
+        rk = kg.relin_keys()
+        rk_data = np.stack([np.asarray(pk.data.data) for pk in rk.key(2)])
+        step = checksum_jit(build_bfv_mul_relin(ctx))
+        da, dk = jax.device_put(a), jax.device_put(rk_data)
+        ops = _sync_time(lambda s, x, k: step(s, x, x, k), (da, dk), B, cfg.iters)
+        emit(f"bfv_mul_relin_n{n}_ops_per_s", ops, "ciphertext_ops/s")
 
     # ---- config 2: BFV rotate_rows, N=8192 ------------------------------
-    n = 1024 if small else 8192
-    parms = EncryptionParameters(SchemeType.BFV)
-    parms.set_poly_modulus_degree(n)
-    parms.set_coeff_modulus(CoeffModulus.bfv_default(n) if not small
-                            else CoeffModulus.create(n, [30, 30, 30]))
-    parms.set_plain_modulus(PlainModulus.batching(n, 20))
-    parms.set_random_seed(tuple(range(8)))
-    ctx = SealContext(parms, sec_level=SecLevelType.none if small else SecLevelType.tc128)
-    kg = KeyGenerator(ctx)
-    enc = Encryptor(ctx, public_key=kg.public_key())
-    be = BatchEncoder(ctx)
-    tool = ctx.first_context_data().galois_tool
-    elt = tool.get_elt_from_step(1)
-    gk = kg.galois_keys([elt])
-    ct = enc.encrypt(be.encode(list(range(n))))
-    # rotate via the generic keyswitch pipeline on power-basis data
-    from gemini_seal_tpu.ops.keyswitch import KeySwitchPlan, switch_key
-    from gemini_seal_tpu.ops.dyadic import add_poly
-    plan = KeySwitchPlan(ctx, ctx.first_parms_id)
-    limbs = ctx.first_context_data().limb_constants
-    gk_data = np.stack([np.asarray(pk.data.data) for pk in gk.key(elt)])
+    if _want("2"):
+        n = 1024 if small else 8192
+        parms = EncryptionParameters(SchemeType.BFV)
+        parms.set_poly_modulus_degree(n)
+        parms.set_coeff_modulus(CoeffModulus.bfv_default(n) if not small
+                                else CoeffModulus.create(n, [30, 30, 30]))
+        parms.set_plain_modulus(PlainModulus.batching(n, 20))
+        parms.set_random_seed(tuple(range(8)))
+        ctx = SealContext(parms, sec_level=SecLevelType.none if small else SecLevelType.tc128)
+        kg = KeyGenerator(ctx)
+        enc = Encryptor(ctx, public_key=kg.public_key())
+        be = BatchEncoder(ctx)
+        tool = ctx.first_context_data().galois_tool
+        elt = tool.get_elt_from_step(1)
+        gk = kg.galois_keys([elt])
+        ct = enc.encrypt(be.encode(list(range(n))))
+        # rotate via the generic keyswitch pipeline on power-basis data
+        from gemini_seal_tpu.ops.keyswitch import KeySwitchPlan, switch_key
+        from gemini_seal_tpu.ops.dyadic import add_poly
+        plan = KeySwitchPlan(ctx, ctx.first_parms_id)
+        limbs = ctx.first_context_data().limb_constants
+        gk_data = np.stack([np.asarray(pk.data.data) for pk in gk.key(elt)])
 
-    def bfv_rotate(x, k):
-        c0 = tool.apply_galois(x[..., 0, :, :], elt, limbs)
-        c1 = tool.apply_galois(x[..., 1, :, :], elt, limbs)
-        d0, d1 = switch_key(c1, k, plan, False)
-        return jnp.stack([add_poly(c0, d0, limbs), d1], axis=-3)
+        def bfv_rotate(x, k):
+            c0 = tool.apply_galois(x[..., 0, :, :], elt, limbs)
+            c1 = tool.apply_galois(x[..., 1, :, :], elt, limbs)
+            d0, d1 = switch_key(c1, k, plan, False)
+            return jnp.stack([add_poly(c0, d0, limbs), d1], axis=-3)
 
-    step = checksum_jit(bfv_rotate)
-    a = np.broadcast_to(np.asarray(ct.data), (B,) + ct.data.shape)
-    da, dk = jax.device_put(a), jax.device_put(gk_data)
-    ops = _sync_time(lambda s, x, k: step(s, x, k), (da, dk), B, cfg.iters)
-    emit(f"bfv_rotate_rows_n{n}_ops_per_s", ops, "ciphertext_ops/s")
+        step = checksum_jit(bfv_rotate)
+        a = np.broadcast_to(np.asarray(ct.data), (B,) + ct.data.shape)
+        da, dk = jax.device_put(a), jax.device_put(gk_data)
+        ops = _sync_time(lambda s, x, k: step(s, x, k), (da, dk), B, cfg.iters)
+        emit(f"bfv_rotate_rows_n{n}_ops_per_s", ops, "ciphertext_ops/s")
 
-    # hoisted variant: 8 rotations off ONE mod-up (config 2's production
-    # shape for diagonal-method workloads)
-    from gemini_seal_tpu.models.pipelines import build_bfv_rotate_many
-    hsteps = list(range(1, 9))
-    helts = [tool.get_elt_from_step(s) for s in hsteps]
-    hgk = kg.galois_keys(helts)
-    hgk_stack = np.stack([
-        np.stack([np.asarray(pk.data.data) for pk in hgk.key(e)]) for e in helts
-    ])
-    hb = max(B // 8, 2)
-    ha = np.broadcast_to(np.asarray(ct.data), (hb,) + ct.data.shape)
-    hstep = checksum_jit(build_bfv_rotate_many(ctx, hsteps))
-    dha, dhk = jax.device_put(ha), jax.device_put(hgk_stack)
-    hops = _sync_time(lambda s, x, k: hstep(s, x, k), (dha, dhk),
-                      hb * len(hsteps), cfg.iters)
-    emit(f"bfv_rotate_rows_hoisted8_n{n}_rot_per_s", hops, "rotations/s")
+        # hoisted variant: 8 rotations off ONE mod-up (config 2's production
+        # shape for diagonal-method workloads)
+        from gemini_seal_tpu.models.pipelines import build_bfv_rotate_many
+        hsteps = list(range(1, 9))
+        helts = [tool.get_elt_from_step(s) for s in hsteps]
+        hgk = kg.galois_keys(helts)
+        hgk_stack = np.stack([
+            np.stack([np.asarray(pk.data.data) for pk in hgk.key(e)]) for e in helts
+        ])
+        hb = max(B // 8, 2)
+        ha = np.broadcast_to(np.asarray(ct.data), (hb,) + ct.data.shape)
+        hstep = checksum_jit(build_bfv_rotate_many(ctx, hsteps))
+        dha, dhk = jax.device_put(ha), jax.device_put(hgk_stack)
+        hops = _sync_time(lambda s, x, k: hstep(s, x, k), (dha, dhk),
+                          hb * len(hsteps), cfg.iters)
+        emit(f"bfv_rotate_rows_hoisted8_n{n}_rot_per_s", hops, "rotations/s")
 
     # ---- config 3: multiply+relin+mod_switch down the chain -------------
-    n = 1024 if small else 8192
-    bits = [30, 30, 30] if small else [50, 40, 40, 40, 50]
-    parms = EncryptionParameters(SchemeType.BFV)
-    parms.set_poly_modulus_degree(n)
-    parms.set_coeff_modulus(CoeffModulus.create(n, bits))
-    parms.set_plain_modulus(PlainModulus.batching(n, 20))
-    parms.set_random_seed(tuple(range(8)))
-    ctx = SealContext(parms, sec_level=SecLevelType.none)
-    kg = KeyGenerator(ctx)
-    enc = Encryptor(ctx, public_key=kg.public_key())
-    be = BatchEncoder(ctx)
-    rk = kg.relin_keys()
-    rk_data = np.stack([np.asarray(pk.data.data) for pk in rk.key(2)])
-    ct = enc.encrypt(be.encode([3] * n))
-    # one fused program: BEHZ multiply + relin + ONE CRT multi-drop over
-    # all dropped primes (decrypt-equal; noise pinned in test_noise)
-    from gemini_seal_tpu.models.pipelines import build_bfv_mul_relin_modswitch
-    chain = build_bfv_mul_relin_modswitch(ctx, fused_drop=True)
-    step = checksum_jit(chain)
-    a = np.broadcast_to(np.asarray(ct.data), (B,) + ct.data.shape)
-    da, dk = jax.device_put(a), jax.device_put(rk_data)
-    ops = _sync_time(lambda s, x, k: step(s, x, x, k), (da, dk), B, cfg.iters)
-    emit(f"bfv_mul_relin_chain_n{n}_ops_per_s", ops, "ciphertext_ops/s")
+    if _want("3"):
+        n = 1024 if small else 8192
+        bits = [30, 30, 30] if small else [50, 40, 40, 40, 50]
+        parms = EncryptionParameters(SchemeType.BFV)
+        parms.set_poly_modulus_degree(n)
+        parms.set_coeff_modulus(CoeffModulus.create(n, bits))
+        parms.set_plain_modulus(PlainModulus.batching(n, 20))
+        parms.set_random_seed(tuple(range(8)))
+        ctx = SealContext(parms, sec_level=SecLevelType.none)
+        kg = KeyGenerator(ctx)
+        enc = Encryptor(ctx, public_key=kg.public_key())
+        be = BatchEncoder(ctx)
+        rk = kg.relin_keys()
+        rk_data = np.stack([np.asarray(pk.data.data) for pk in rk.key(2)])
+        ct = enc.encrypt(be.encode([3] * n))
+        # one fused program: BEHZ multiply + relin + ONE CRT multi-drop over
+        # all dropped primes (decrypt-equal; noise pinned in test_noise)
+        from gemini_seal_tpu.models.pipelines import build_bfv_mul_relin_modswitch
+        chain = build_bfv_mul_relin_modswitch(ctx, fused_drop=True)
+        step = checksum_jit(chain)
+        a = np.broadcast_to(np.asarray(ct.data), (B,) + ct.data.shape)
+        da, dk = jax.device_put(a), jax.device_put(rk_data)
+        ops = _sync_time(lambda s, x, k: step(s, x, x, k), (da, dk), B, cfg.iters)
+        emit(f"bfv_mul_relin_chain_n{n}_ops_per_s", ops, "ciphertext_ops/s")
 
-    # dedicated square vs multiply at the same config (VERDICT r1 item 2:
-    # one base extension + 3-product convolution)
-    mulstep = checksum_jit(build_bfv_mul_relin(ctx))
-    sqstep = checksum_jit(build_bfv_mul_relin(ctx, square=True))
-    mops = _sync_time(lambda s, x, k: mulstep(s, x, x, k), (da, dk), B, cfg.iters)
-    sops = _sync_time(lambda s, x, k: sqstep(s, x, k), (da, dk), B, cfg.iters)
-    emit(f"bfv_mul_relin_n{n}_ops_per_s", mops, "ciphertext_ops/s")
-    emit(f"bfv_square_relin_n{n}_ops_per_s", sops, "ciphertext_ops/s")
-    emit(f"bfv_square_vs_mul_n{n}_speedup", sops / mops, "x")
+        # dedicated square vs multiply at the same config (VERDICT r1 item 2:
+        # one base extension + 3-product convolution)
+        mulstep = checksum_jit(build_bfv_mul_relin(ctx))
+        sqstep = checksum_jit(build_bfv_mul_relin(ctx, square=True))
+        mops = _sync_time(lambda s, x, k: mulstep(s, x, x, k), (da, dk), B, cfg.iters)
+        sops = _sync_time(lambda s, x, k: sqstep(s, x, k), (da, dk), B, cfg.iters)
+        emit(f"bfv_mul_relin_n{n}_ops_per_s", mops, "ciphertext_ops/s")
+        emit(f"bfv_square_relin_n{n}_ops_per_s", sops, "ciphertext_ops/s")
+        emit(f"bfv_square_vs_mul_n{n}_speedup", sops / mops, "x")
 
     # ---- config 4: CKKS mult+relin+rescale, N=16384 ----------------------
-    n = 1024 if small else 16384
-    bits = [40, 30, 40] if small else [50, 40, 40, 40, 40, 50]
-    parms = EncryptionParameters(SchemeType.CKKS)
-    parms.set_poly_modulus_degree(n)
-    parms.set_coeff_modulus(CoeffModulus.create(n, bits))
-    parms.set_random_seed(tuple(range(8)))
-    ctx = SealContext(parms, sec_level=SecLevelType.none)
-    kg = KeyGenerator(ctx)
-    enc = Encryptor(ctx, public_key=kg.public_key())
-    encoder = CKKSEncoder(ctx)
-    rk = kg.relin_keys()
-    rk_data = np.stack([np.asarray(pk.data.data) for pk in rk.key(2)])
-    ct = enc.encrypt(encoder.encode([1.001] * encoder.slot_count, 2.0 ** 40))
-    step = checksum_jit(build_ckks_mul_relin_rescale(ctx))
-    a = np.broadcast_to(np.asarray(ct.data), (B,) + ct.data.shape)
-    da, dk = jax.device_put(a), jax.device_put(rk_data)
-    ops = _sync_time(lambda s, x, k: step(s, x, x, k), (da, dk), B, cfg.iters)
-    emit(f"ckks_mul_relin_rescale_n{n}_ops_per_s", ops, "ciphertext_ops/s")
+    if _want("4"):
+        n = 1024 if small else 16384
+        bits = [40, 30, 40] if small else [50, 40, 40, 40, 40, 50]
+        parms = EncryptionParameters(SchemeType.CKKS)
+        parms.set_poly_modulus_degree(n)
+        parms.set_coeff_modulus(CoeffModulus.create(n, bits))
+        parms.set_random_seed(tuple(range(8)))
+        ctx = SealContext(parms, sec_level=SecLevelType.none)
+        kg = KeyGenerator(ctx)
+        enc = Encryptor(ctx, public_key=kg.public_key())
+        encoder = CKKSEncoder(ctx)
+        rk = kg.relin_keys()
+        rk_data = np.stack([np.asarray(pk.data.data) for pk in rk.key(2)])
+        ct = enc.encrypt(encoder.encode([1.001] * encoder.slot_count, 2.0 ** 40))
+        step = checksum_jit(build_ckks_mul_relin_rescale(ctx))
+        a = np.broadcast_to(np.asarray(ct.data), (B,) + ct.data.shape)
+        da, dk = jax.device_put(a), jax.device_put(rk_data)
+        ops = _sync_time(lambda s, x, k: step(s, x, x, k), (da, dk), B, cfg.iters)
+        emit(f"ckks_mul_relin_rescale_n{n}_ops_per_s", ops, "ciphertext_ops/s")
 
-    # NTT/s per chip at the same config
-    tables = ctx.first_context_data().ntt_tables
-    L = len(ctx.first_context_data().parms.coeff_modulus)
-    nttstep = checksum_jit(lambda x: ntt_forward(x, tables))
-    x = np.asarray(ct.data)[None].repeat(B, 0)
-    dx = jax.device_put(x)
-    per = _sync_time(lambda s, x: nttstep(s, x), (dx,), B * 2 * L, cfg.iters)
-    emit(f"ntt_n{n}_per_s", per, "poly_limb_ntts/s")
+        # NTT/s per chip at the same config
+        tables = ctx.first_context_data().ntt_tables
+        L = len(ctx.first_context_data().parms.coeff_modulus)
+        nttstep = checksum_jit(lambda x: ntt_forward(x, tables))
+        x = np.asarray(ct.data)[None].repeat(B, 0)
+        dx = jax.device_put(x)
+        per = _sync_time(lambda s, x: nttstep(s, x), (dx,), B * 2 * L, cfg.iters)
+        emit(f"ntt_n{n}_per_s", per, "poly_limb_ntts/s")
 
     # ---- config 5: deep CKKS poly eval + rotations, N=32768 -------------
-    n = 1024 if small else 32768
-    bits = [59, 30, 30, 30, 59] if small else [59, 40, 40, 40, 40, 40, 40, 59]
-    scale = 2.0 ** 30 if small else 2.0 ** 40
-    parms = EncryptionParameters(SchemeType.CKKS)
-    parms.set_poly_modulus_degree(n)
-    parms.set_coeff_modulus(CoeffModulus.create(n, bits))
-    parms.set_random_seed(tuple(range(8)))
-    ctx = SealContext(parms, sec_level=SecLevelType.none)
-    kg = KeyGenerator(ctx)
-    enc = Encryptor(ctx, public_key=kg.public_key())
-    encoder = CKKSEncoder(ctx)
-    tool = ctx.first_context_data().galois_tool
-    rk = kg.relin_keys()
-    elts = [tool.get_elt_from_step(1), tool.get_elt_from_step(2)]
-    gk = kg.galois_keys(elts)
-    coeffs = [1.0, -0.5, 0.25, 0.125, 0.0625]
-    # composed=True: one jitted program per level + one combine program —
-    # seconds of compile instead of the ~10-min monolithic deep graph, and
-    # the batch can sit at the sweet spot (PERF.md compile-time note)
-    stepfn, deep_id, out_scale = build_ckks_poly_eval(
-        ctx, coeffs, scale, encoder, rotate_sum_log2=2,
-        coeff_precision_bits=25, composed=True,
-    )
-    ct = enc.encrypt(encoder.encode([0.5] * encoder.slot_count, scale))
-    rk_data = np.stack([np.asarray(pk.data.data) for pk in rk.key(2)])
-    gk_stack = np.stack([
-        np.stack([np.asarray(pk.data.data) for pk in gk.key(e)]) for e in elts
-    ])
-    deep_batch = B
-    a = np.broadcast_to(np.asarray(ct.data), (deep_batch,) + ct.data.shape)
-    cks = jax.jit(lambda salt, y: jnp.sum(y, dtype=jnp.uint64) + salt)
-    da = jax.device_put(a)
-    dk = jax.device_put(rk_data)
-    dg = jax.device_put(gk_stack)
-    ops = _sync_time(lambda s, x, k, g: cks(s, stepfn(x, k, g)), (da, dk, dg),
-                     deep_batch, cfg.iters)
-    emit(f"ckks_deep_poly4_rot_n{n}_ops_per_s", ops, "ciphertext_ops/s")
+    if _want("5"):
+        n = 1024 if small else 32768
+        bits = [59, 30, 30, 30, 59] if small else [59, 40, 40, 40, 40, 40, 40, 59]
+        scale = 2.0 ** 30 if small else 2.0 ** 40
+        parms = EncryptionParameters(SchemeType.CKKS)
+        parms.set_poly_modulus_degree(n)
+        parms.set_coeff_modulus(CoeffModulus.create(n, bits))
+        parms.set_random_seed(tuple(range(8)))
+        ctx = SealContext(parms, sec_level=SecLevelType.none)
+        kg = KeyGenerator(ctx)
+        enc = Encryptor(ctx, public_key=kg.public_key())
+        encoder = CKKSEncoder(ctx)
+        tool = ctx.first_context_data().galois_tool
+        rk = kg.relin_keys()
+        # flat hoisted rotation-sum (round 3): keys for steps 1..3, ONE
+        # mod-up + ONE mod-down instead of two sequential key switches —
+        # measured 73.2 vs 67.8 ops/s for the tree on this config
+        elts = [tool.get_elt_from_step(s_) for s_ in (1, 2, 3)]
+        gk = kg.galois_keys(elts)
+        coeffs = [1.0, -0.5, 0.25, 0.125, 0.0625]
+        # composed=True: one jitted program per level + one combine program —
+        # seconds of compile instead of the ~10-min monolithic deep graph, and
+        # the batch can sit at the sweet spot (PERF.md compile-time note)
+        stepfn, deep_id, out_scale = build_ckks_poly_eval(
+            ctx, coeffs, scale, encoder, rotate_sum_log2=2,
+            coeff_precision_bits=25, composed=True, rotate_mode="flat",
+        )
+        ct = enc.encrypt(encoder.encode([0.5] * encoder.slot_count, scale))
+        rk_data = np.stack([np.asarray(pk.data.data) for pk in rk.key(2)])
+        gk_stack = np.stack([
+            np.stack([np.asarray(pk.data.data) for pk in gk.key(e)]) for e in elts
+        ])
+        deep_batch = B
+        a = np.broadcast_to(np.asarray(ct.data), (deep_batch,) + ct.data.shape)
+        cks = jax.jit(lambda salt, y: jnp.sum(y, dtype=jnp.uint64) + salt)
+        da = jax.device_put(a)
+        dk = jax.device_put(rk_data)
+        dg = jax.device_put(gk_stack)
+        ops = _sync_time(lambda s, x, k, g: cks(s, stepfn(x, k, g)), (da, dk, dg),
+                         deep_batch, cfg.iters)
+        emit(f"ckks_deep_poly4_rot_n{n}_ops_per_s", ops, "ciphertext_ops/s")
 
     # ---- extra: encrypted dense-layer matvec (hoisted rotations) --------
-    n = 1024 if small else 8192
-    bits = [40, 30, 40] if small else [50, 40, 40, 50]
-    parms = EncryptionParameters(SchemeType.CKKS)
-    parms.set_poly_modulus_degree(n)
-    parms.set_coeff_modulus(CoeffModulus.create(n, bits))
-    parms.set_random_seed(tuple(range(8)))
-    ctx = SealContext(parms, sec_level=SecLevelType.none)
-    kg = KeyGenerator(ctx)
-    enc = Encryptor(ctx, public_key=kg.public_key())
-    encoder = CKKSEncoder(ctx)
-    tool = ctx.first_context_data().galois_tool
-    from gemini_seal_tpu.models.pipelines import build_ckks_matvec
-    dim = 8
-    rng = np.random.default_rng(1)
-    M = rng.uniform(-0.5, 0.5, size=(dim, dim))
-    slots = encoder.slot_count
-    diagonals = {
-        dd: [M[i % dim, (i + dd) % dim] for i in range(slots)]
-        for dd in range(dim)
-    }
-    msteps = sorted(s for s in diagonals if s != 0)
-    elts = [tool.get_elt_from_step(s) for s in msteps]
-    gk = kg.galois_keys(elts)
-    gk_stack = np.stack([
-        np.stack([np.asarray(pk.data.data) for pk in gk.key(e)]) for e in elts
-    ])
-    x = enc.encrypt(encoder.encode([0.5] * slots, 2.0 ** 40))
-    mb = max(B // 8, 2)
-    a = np.broadcast_to(np.asarray(x.data), (mb,) + x.data.shape)
-    step = checksum_jit(build_ckks_matvec(ctx, diagonals, 2.0 ** 40, encoder))
-    da, dk = jax.device_put(a), jax.device_put(gk_stack)
-    ops = _sync_time(lambda s, c, k: step(s, c, k), (da, dk), mb, cfg.iters)
-    emit(f"ckks_dense8x8_hoisted_n{n}_layers_per_s", ops, "encrypted_layers/s")
+    if _want("extra"):
+        n = 1024 if small else 8192
+        bits = [40, 30, 40] if small else [50, 40, 40, 50]
+        parms = EncryptionParameters(SchemeType.CKKS)
+        parms.set_poly_modulus_degree(n)
+        parms.set_coeff_modulus(CoeffModulus.create(n, bits))
+        parms.set_random_seed(tuple(range(8)))
+        ctx = SealContext(parms, sec_level=SecLevelType.none)
+        kg = KeyGenerator(ctx)
+        enc = Encryptor(ctx, public_key=kg.public_key())
+        encoder = CKKSEncoder(ctx)
+        tool = ctx.first_context_data().galois_tool
+        from gemini_seal_tpu.models.pipelines import build_ckks_matvec
+        dim = 8
+        rng = np.random.default_rng(1)
+        M = rng.uniform(-0.5, 0.5, size=(dim, dim))
+        slots = encoder.slot_count
+        diagonals = {
+            dd: [M[i % dim, (i + dd) % dim] for i in range(slots)]
+            for dd in range(dim)
+        }
+        msteps = sorted(s for s in diagonals if s != 0)
+        elts = [tool.get_elt_from_step(s) for s in msteps]
+        gk = kg.galois_keys(elts)
+        gk_stack = np.stack([
+            np.stack([np.asarray(pk.data.data) for pk in gk.key(e)]) for e in elts
+        ])
+        x = enc.encrypt(encoder.encode([0.5] * slots, 2.0 ** 40))
+        mb = max(B // 8, 2)
+        a = np.broadcast_to(np.asarray(x.data), (mb,) + x.data.shape)
+        step = checksum_jit(build_ckks_matvec(ctx, diagonals, 2.0 ** 40, encoder))
+        da, dk = jax.device_put(a), jax.device_put(gk_stack)
+        ops = _sync_time(lambda s, c, k: step(s, c, k), (da, dk), mb, cfg.iters)
+        emit(f"ckks_dense8x8_hoisted_n{n}_layers_per_s", ops, "encrypted_layers/s")
 
 
 if __name__ == "__main__":

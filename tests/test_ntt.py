@@ -177,3 +177,31 @@ def test_roundtrip_large_n(log_n):
     assert (fwd < p).all()
     back = np.asarray(ntt_inverse(fwd, tables))
     np.testing.assert_array_equal(back, x)
+
+
+def test_native_and_pure_paths_bit_identical(monkeypatch):
+    """The native C++ host transform and the pure vectorized path must
+    agree bit for bit in ALL four variants (the host suite otherwise
+    exercises only whichever path is available)."""
+    from gemini_seal_tpu.modulus import CoeffModulus
+    from gemini_seal_tpu.ops import ntt as ntt_mod
+    from gemini_seal_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("native module unavailable")
+    mods = CoeffModulus.create(1024, [50, 36])
+    tabs = ntt_mod.build_ntt_tables(10, mods)
+    rng = np.random.default_rng(17)
+    x = np.stack(
+        [rng.integers(0, 2 * m.value, (3, 1024), dtype=np.uint64) for m in mods],
+        axis=1,
+    )  # lazy [0, 2p) inputs
+    fns = [
+        ("fwd", ntt_mod.ntt_forward), ("fwd_lazy", ntt_mod.ntt_forward_lazy),
+        ("inv", ntt_mod.ntt_inverse), ("inv_lazy", ntt_mod.ntt_inverse_lazy),
+    ]
+    got_native = {k: np.asarray(f(x, tabs)) for k, f in fns}
+    monkeypatch.setattr(native, "available", lambda: False)
+    got_pure = {k: np.asarray(f(x, tabs)) for k, f in fns}
+    for k in got_native:
+        assert np.array_equal(got_native[k], got_pure[k]), k
