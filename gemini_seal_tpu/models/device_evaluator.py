@@ -281,8 +281,26 @@ class DeviceEvaluator:
         return Ciphertext(f(a.data, kdata), a.parms_id, is_ntt, a.scale)
 
     def rotate_vector(self, a, steps, galois_keys):
-        tool = self._cd(a).galois_tool
-        return self.apply_galois(a, tool.get_elt_from_step(steps), galois_keys)
+        """Direct key when present, else the reference's NAF fallback
+        (evaluator.cpp:1945-1999) — a single-term NAF with a missing key
+        raises instead of recursing."""
+        if steps == 0:
+            return a
+        cd = self._cd(a)
+        tool = cd.galois_tool
+        elt = tool.get_elt_from_step(steps)
+        if galois_keys.has_key(elt):
+            return self.apply_galois(a, elt, galois_keys)
+        from ..utils.numth import naf
+
+        terms = naf(steps)
+        if len(terms) == 1:
+            raise ValueError("Galois key not present")
+        out = a
+        for term in sorted(terms, key=abs, reverse=True):
+            if abs(term) != (cd.parms.poly_modulus_degree >> 1):
+                out = self.rotate_vector(out, term, galois_keys)
+        return out
 
     rotate_rows = rotate_vector
 

@@ -248,3 +248,25 @@ def test_device_plain_op_validation(ckks):
     pw = dev.transform_from_ntt(a)
     with pytest.raises(ValueError, match="NTT form"):
         dev.square(pw)
+
+
+def test_device_rotate_naf_fallback(ckks):
+    """DeviceEvaluator mirrors the host rotation guards: NAF fallback for
+    composite steps, clean error for a power-of-two step with a missing
+    key (host parity, evaluator.cpp:1945-1999)."""
+    from gemini_seal_tpu import Decryptor
+
+    ctx, kg, enc, encoder = ckks
+    dev = DeviceEvaluator(ctx)
+    dec = Decryptor(ctx, kg.secret_key)
+    tool = ctx.first_context_data().galois_tool
+    scale = 2.0 ** 30
+    gk1 = kg.galois_keys(tool.get_elts_from_steps([1]))
+    gk = kg.galois_keys(tool.get_elts_from_steps([4, -1]))
+    vals = [float(i) for i in range(encoder.slot_count)]
+    ct = dev.put(enc.encrypt(encoder.encode(vals, scale)))
+    with pytest.raises(ValueError, match="Galois key not present"):
+        dev.rotate_vector(ct, 4, gk1)
+    rot = dev.rotate_vector(ct, 3, gk)  # NAF(3) = [4, -1]
+    got = encoder.decode(dec.decrypt(dev.get(rot)))
+    assert abs(got[0] - 3.0) < 1e-2 and abs(got[1] - 4.0) < 1e-2
