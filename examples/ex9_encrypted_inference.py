@@ -98,6 +98,23 @@ def main():
     print("cleartext:", [round(float(w), 4) for w in want[:4]], "...")
     print(f"max error: {err:.2e}")
     assert err < 1e-3
+
+    # the same layer as ONE fused jitted program (raw-accumulator matvec
+    # with a single mod-down + rescale + bias + square, fully on device)
+    from gemini_seal_tpu.models.pipelines import build_ckks_dense_layer
+
+    bias = [b[i % dim] for i in range(slots)]
+    rk_data = np.stack([np.asarray(pk.data.data) for pk in rk.key(2)])
+    layer, out_id, out_scale = build_ckks_dense_layer(
+        ctx, diagonals, bias, scale, encoder
+    )
+    fused_out = np.asarray(jax.jit(layer)(np.asarray(ct.data), gk_stack, rk_data))
+    got_f = encoder.decode(
+        dec.decrypt(Ciphertext(fused_out, out_id, True, out_scale))
+    )[:dim]
+    err_f = max(abs(g - w) for g, w in zip(got_f, want))
+    print(f"fused one-program layer max error: {err_f:.2e}")
+    assert err_f < 1e-3
     print("ex9 OK — dense layer with square activation on encrypted input")
 
 

@@ -40,6 +40,7 @@ __all__ = [
     "build_ckks_rotate_many",
     "build_ckks_poly_eval",
     "build_ckks_matvec",
+    "build_ckks_dense_layer",
     "build_bfv_mul_relin",
     "build_bfv_mul_relin_modswitch",
     "build_bfv_rotate_many",
@@ -603,3 +604,68 @@ def build_ckks_matvec(context: SealContext, diagonals, scale: float,
         return acc
 
     return step
+
+
+def build_ckks_dense_layer(context: SealContext, diagonals, bias, scale: float,
+                           encoder, parms_id=None, activation: str = "square"):
+    """One ENTIRE encrypted dense layer y = act(M @ x + b) as a single
+    jitted program (the ex9 flow fused end to end; no reference analogue —
+    the reference composes per-op C++ calls):
+
+    raw-accumulator hoisted matvec (ONE mod-up, ONE special-prime
+    mod-down for all rotations) -> q_last rescale -> plaintext bias add
+    -> square activation (3-product square + relin + rescale).
+
+    diagonals: {step: slot values} of M (diagonal method); bias: slot
+    values of b.  activation: "square" or None (linear layer).
+
+    Returns (fn, out_parms_id, out_scale):
+    fn(ct_data, galois_keys_stack, relin_key) -> u64[..., 2, L_out, N]
+    NTT form at `out_scale`.
+    """
+    import numpy as np
+
+    if parms_id is None:
+        parms_id = context.first_parms_id
+    cd0 = context.get_context_data(parms_id)
+    cd1 = cd0.next_context_data
+    if cd1 is None or (activation == "square" and cd1.next_context_data is None):
+        raise ValueError("modulus chain too short for a dense layer")
+    mv_step = build_ckks_matvec(context, diagonals, scale, encoder, parms_id)
+    q0 = cd0.parms.coeff_modulus[-1].value
+    scale_r = scale * scale / q0
+    limbs1 = cd1.limb_constants
+    bias_pt = np.asarray(
+        encoder.encode(list(bias), scale_r, cd1.parms_id).data
+    )
+
+    if activation == "square":
+        plan1 = KeySwitchPlan(context, cd1.parms_id)
+        tool1 = cd1.device_rns_tool
+        tables1 = cd1.ntt_tables
+        q1 = cd1.parms.coeff_modulus[-1].value
+        out_parms_id = cd1.next_context_data.parms_id
+        out_scale = scale_r * scale_r / q1
+    elif activation is None:
+        out_parms_id = cd1.parms_id
+        out_scale = scale_r
+    else:
+        raise ValueError(f"unsupported activation {activation!r}")
+
+    tool0 = cd0.device_rns_tool
+    tables0 = cd0.ntt_tables
+
+    def step(ct, galois_keys_stack, relin_key):
+        y = mv_step(ct, galois_keys_stack)            # [.., 2, L0, N] scale^2
+        y = divide_and_round_q_last_ntt(y, tool0, tables0)
+        c0 = add_poly(y[..., 0, :, :], bias_pt, limbs1)
+        y = jnp.concatenate([c0[..., None, :, :], y[..., 1:, :, :]], axis=-3)
+        if activation == "square":
+            d0, d1, d2 = _square3(y, limbs1)
+            c0r, c1r = _relinearize_batched(d0, d1, d2, relin_key, plan1,
+                                            limbs1, True)
+            y = jnp.stack([c0r, c1r], axis=-3)
+            y = divide_and_round_q_last_ntt(y, tool1, tables1)
+        return y
+
+    return step, out_parms_id, out_scale

@@ -539,3 +539,58 @@ def test_bfv_rotate_many_hoisted_matches_host():
     out = np.asarray(step(np.asarray(ct.data), gk_stack))
     for i, h in enumerate(host):
         np.testing.assert_array_equal(out[i], np.asarray(h.data))
+
+
+def test_fused_dense_layer():
+    """build_ckks_dense_layer: one jitted program computing
+    act(M @ x + b) == the eager ex9 flow (matvec, rescale, bias, square)."""
+    import jax
+    from gemini_seal_tpu.ciphertext import Ciphertext
+    from gemini_seal_tpu.models.pipelines import build_ckks_dense_layer
+
+    ctx, kg = ckks_setup(n=256, bits=(50, 40, 40, 50))
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    dec = Decryptor(ctx, kg.secret_key)
+    tool = ctx.first_context_data().galois_tool
+    rk = kg.relin_keys()
+    scale = 2.0 ** 40
+    dim = 4
+
+    rng = np.random.default_rng(7)
+    M = rng.uniform(-0.5, 0.5, size=(dim, dim))
+    b = rng.uniform(-0.2, 0.2, size=dim)
+    x = rng.uniform(-1, 1, size=dim)
+    slots = encoder.slot_count
+    x_slots = [x[i % dim] for i in range(slots)]
+    diagonals = {
+        d: [M[i % dim, (i + d) % dim] for i in range(slots)] for d in range(dim)
+    }
+    bias = [b[i % dim] for i in range(slots)]
+    steps = sorted(s for s in diagonals if s != 0)
+    elts = [tool.get_elt_from_step(s) for s in steps]
+    gk = kg.galois_keys(elts)
+    gk_stack = np.stack([
+        np.stack([np.asarray(pk.data.data) for pk in gk.key(e)]) for e in elts
+    ])
+    rk_data = np.stack([np.asarray(pk.data.data) for pk in rk.key(2)])
+    ct = enc.encrypt(encoder.encode(x_slots, scale))
+
+    fn, out_id, out_scale = build_ckks_dense_layer(
+        ctx, diagonals, bias, scale, encoder
+    )
+    out = np.asarray(jax.jit(fn)(np.asarray(ct.data), gk_stack, rk_data))
+    got = encoder.decode(dec.decrypt(Ciphertext(out, out_id, True, out_scale)))
+    want = (M @ x + b) ** 2
+    for g, w in zip(got[:dim], want):
+        assert abs(g - w) < 1e-3, (got[:dim], want)
+
+    # linear variant (activation=None)
+    fnl, out_idl, out_scalel = build_ckks_dense_layer(
+        ctx, diagonals, bias, scale, encoder, activation=None
+    )
+    outl = np.asarray(jax.jit(fnl)(np.asarray(ct.data), gk_stack, rk_data))
+    gotl = encoder.decode(dec.decrypt(Ciphertext(outl, out_idl, True, out_scalel)))
+    wantl = M @ x + b
+    for g, w in zip(gotl[:dim], wantl):
+        assert abs(g - w) < 1e-3, (gotl[:dim], wantl)
