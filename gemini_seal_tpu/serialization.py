@@ -479,6 +479,19 @@ def _int_array_size(count: int) -> int:
 def _payload_size(obj) -> int:
     """Exact wire payload size (before framing), computed arithmetically
     from metadata — no payload materialization (serialization.h save_size)."""
+    if isinstance(obj, SerializableCiphertext):
+        arr = np.asarray(obj.ct.data)
+        # members + half-size IntArray (c0 only) + 64-byte seed
+        return 32 + 1 + 8 + 8 + 8 + 8 + _int_array_size(int(arr[0].size)) + 64
+    if isinstance(obj, SerializableKSwitchKeys):
+        total = 32 + 8
+        for row, seeds in zip(obj.obj.keys, obj.seed_rows):
+            total += 8
+            for pk, _ in zip(row, seeds):
+                total += HEADER_SIZE + _payload_size(
+                    SerializableCiphertext(pk.data, (0,) * 8)
+                )
+        return total
     if isinstance(obj, Modulus):
         return 8
     if isinstance(obj, EncryptionParameters):
@@ -517,8 +530,12 @@ def save_size(obj, compr_mode: int = COMPR_NONE) -> int:
 
 def save_to(obj, stream, compr_mode: int = COMPR_NONE) -> int:
     """Write one framed object to a file-like stream; returns the byte
-    count (== save_size for COMPR_NONE, <= for deflate)."""
-    blob = save(obj, compr_mode)
+    count (== save_size for COMPR_NONE, <= for deflate).  Serializable
+    (seed-compressed) wrappers stream through their own save()."""
+    if isinstance(obj, (SerializableCiphertext, SerializableKSwitchKeys)):
+        blob = obj.save(compr_mode)
+    else:
+        blob = save(obj, compr_mode)
     stream.write(blob)
     return len(blob)
 

@@ -614,3 +614,24 @@ def test_read_framed_rejects_truncation():
         ser.read_framed(io.BytesIO(blob[:10]))
     with pytest.raises(ValueError, match="invalid"):
         ser.read_framed(io.BytesIO(blob[:-4]))
+
+
+def test_save_size_serializable_objects():
+    """save_size covers the seed-compressed wrappers exactly (the
+    largest objects shipped to a serving accelerator)."""
+    import io
+
+    ctx, parms = make_ctx()
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, secret_key=kg.secret_key)
+    sct = enc.encrypt_symmetric_serializable(Plaintext.from_hex("2x^1 + 1"))
+    srk = kg.relin_keys_serializable()
+    for obj in (sct, srk):
+        blob = obj.save()
+        assert ser.save_size(obj) == len(blob), type(obj)
+        assert ser.save_size(obj, ser.COMPR_DEFLATE) >= len(
+            obj.save(ser.COMPR_DEFLATE)
+        )
+        buf = io.BytesIO()
+        n = ser.save_to(obj, buf)
+        assert n == len(blob) and buf.getvalue() == blob
