@@ -47,12 +47,13 @@ class _CoeffShardedNTT(NTTOps):
         )
 
 
-def _coeff_spec(nd: int, mesh: Mesh, coeff_axis: str) -> P:
-    """[batch..., (size/limb rows,) N] data: shard only the last axis;
-    'dp' on the leading batch axis when the mesh has one and there is
-    a batch axis (leading dims beyond the two structural row axes)."""
+def _coeff_spec(nd: int, mesh: Mesh, coeff_axis: str, n_struct: int) -> P:
+    """[batch..., <n_struct structural axes ending in N>] data: shard the
+    last axis over `coeff_axis`, and 'dp' on the leading batch axis when
+    the mesh has one and batch dims exist (n_struct = 2 for [L, N]
+    targets, 3 for [size, L, N] ciphertexts)."""
     lead = [None] * (nd - 1)
-    if "dp" in mesh.axis_names and nd > 3:
+    if "dp" in mesh.axis_names and nd > n_struct:
         lead[0] = "dp"
     return P(*(lead + [coeff_axis]))
 
@@ -75,7 +76,7 @@ def switch_key_coeff_sharded(target, key_vector_data, plan: KeySwitchPlan,
         return switch_key(tgt_local, key_local, plan, is_ntt_form, ntt=nttops)
 
     nd = target.ndim
-    spec = _coeff_spec(nd, mesh, coeff_axis)
+    spec = _coeff_spec(nd, mesh, coeff_axis, 2)
     kspec = P(None, None, None, coeff_axis)
 
     def build():
@@ -118,7 +119,7 @@ def ckks_mul_relin_rescale_coeff_sharded(a, b, key_vector_data,
         return divide_and_round_q_last_ntt(u, tool, tables, ntt=nttops)
 
     nd = a.ndim
-    spec = _coeff_spec(nd, mesh, coeff_axis)
+    spec = _coeff_spec(nd, mesh, coeff_axis, 3)
     kspec = P(None, None, None, coeff_axis)
 
     def build():

@@ -134,3 +134,40 @@ def test_switch_key_coeff_sharded_batched():
     )
     np.testing.assert_array_equal(np.asarray(d0), np.asarray(want0))
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(want1))
+
+
+@needs8
+def test_dp_coeff_mixed_mesh():
+    """(dp=2, coeff=4): batch axis data-parallel, coefficients sharded —
+    bit-exact for both the switch and the full step."""
+    ctx, kg = setup(1024, [30] * 6, nsp=1)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    rk = kg.relin_keys()
+    plan = KeySwitchPlan(ctx, ctx.first_parms_id)
+
+    a = np.stack([
+        np.asarray(enc.encrypt(encoder.encode([0.5 * (i + 1)], 2.0 ** 25)).data)
+        for i in range(4)
+    ])
+    kdata = np.stack([np.asarray(pk.data.data) for pk in rk.key(2)])
+    want = np.asarray(jax.jit(build_ckks_mul_relin_rescale(ctx))(a, a, kdata))
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("dp", "coeff"))
+    sh = NamedSharding(mesh, P("dp", None, None, "coeff"))
+    ksh = NamedSharding(mesh, P(None, None, None, "coeff"))
+    da = jax.device_put(a, sh)
+    dk = jax.device_put(kdata, ksh)
+    out = np.asarray(
+        ckks_mul_relin_rescale_coeff_sharded(da, da, dk, plan, mesh)
+    )
+    np.testing.assert_array_equal(out, want)
+
+    tgt = a[:, 1]  # [4, n_ct, N] batched switch target
+    want0, want1 = switch_key(tgt, kdata, plan, True)
+    tsh = NamedSharding(mesh, P("dp", None, "coeff"))
+    d0, d1 = switch_key_coeff_sharded(
+        jax.device_put(tgt, tsh), dk, plan, mesh
+    )
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(want0))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(want1))
