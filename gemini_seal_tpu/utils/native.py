@@ -53,7 +53,15 @@ def _load():
         return _LIB
     _TRIED = True
     path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "_gst_native.so")
-    if not os.path.exists(path):
+    src = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        "native", "gst_native.cpp",
+    )
+    stale = (
+        os.path.exists(path) and os.path.exists(src)
+        and os.path.getmtime(path) < os.path.getmtime(src)
+    )
+    if not os.path.exists(path) or stale:
         _try_build(path)
     if not os.path.exists(path):
         return None
@@ -102,7 +110,8 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64,
         ]
         _LIB = lib
-    except OSError:
+    except (OSError, AttributeError):
+        # missing file or a stale .so lacking newer symbols
         _LIB = None
     return _LIB
 
