@@ -201,3 +201,37 @@ def test_compose_array_vectorized(base):
     for k in (0, 7, 32):
         want = base.compose([int(residues[j, k]) for j in range(base.size)])
         assert got[k] == want
+
+
+def test_encode_at_base_high_scale_matches_ct_base(ckks):
+    """encode_at_base residues at an EXTENDED base must be the residues of
+    the SAME rounded integers encode() produces — including the >52-bit
+    mantissa-split regime (native fast path with a fresh pow2 table)."""
+    ctx, encoder = ckks
+    from gemini_seal_tpu.modulus import Modulus
+    from gemini_seal_tpu.ops.keyswitch import KeySwitchPlan
+    from gemini_seal_tpu.ops.ntt import ntt_inverse
+
+    plan = KeySwitchPlan(ctx, ctx.first_parms_id)
+    ext_mods = [Modulus(p) for p in plan.ext_moduli]
+    scale = 2.0 ** 80
+    vals = [1.5, -2.25, 3.5e6, -7.75]
+    ext = encoder.encode_at_base(vals, scale, ctx.first_parms_id,
+                                 ext_mods, plan.ext_tables)
+    ext_power = np.asarray(ntt_inverse(ext, plan.ext_tables), dtype=np.uint64)
+
+    # reconstruct the signed integers from the ct-base encode() and check
+    # every extended-row residue
+    pt = encoder.encode(vals, scale)
+    cd = ctx.first_context_data()
+    data = np.asarray(ntt_inverse(np.asarray(pt.data), cd.ntt_tables),
+                      dtype=np.uint64)
+    big = cd.rns_base.compose_array(data)
+    q = cd.total_coeff_modulus
+    half = cd.upper_half_threshold
+    for i in range(0, cd.parms.poly_modulus_degree, 37):
+        v = big[i]
+        if v >= half:
+            v -= q
+        for j, m in enumerate(ext_mods):
+            assert int(ext_power[j, i]) == v % m.value, (i, j)
