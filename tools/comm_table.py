@@ -97,6 +97,103 @@ def main():
     row("train step (mul+rot+add)", ctx, kg, 8, 2, 4,
         lambda c: build_ckks_train_step(c), n_keys=2)
 
+    # explicit round-3 schedules (hand-placed collectives)
+    _explicit_rows(ctx, kg)
+
+
+def _explicit_rows(ctx, kg):
+    from jax.sharding import Mesh
+
+    from gemini_seal_tpu.models.pipelines import build_bfv_mul_relin
+    from gemini_seal_tpu.ops.keyswitch import KeySwitchPlan
+    from gemini_seal_tpu.parallel.behz_sp import bfv_mul_relin_limb_sharded
+    from gemini_seal_tpu.parallel.keyswitch_sp import (
+        ckks_mul_relin_rescale_limb_sharded,
+    )
+    from gemini_seal_tpu.parallel.pipeline_csp import (
+        ckks_mul_relin_rescale_coeff_sharded,
+    )
+
+    devices = jax.devices()
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    rk = kg.relin_keys()
+    plan = KeySwitchPlan(ctx, ctx.first_parms_id)
+    a = np.stack([np.asarray(
+        enc.encrypt(encoder.encode([0.5], 2.0 ** 25)).data)] * 8)
+    kdata = np.stack([np.asarray(pk.data.data) for pk in rk.key(2)])
+    hbm = a.nbytes * 2 + kdata.nbytes
+
+    def emit(name, mesh_desc, stats):
+        kinds = ", ".join(
+            f"{k}:{stats.bytes[k]//1024}K" for k in sorted(stats.count)
+        ) or "none"
+        print(f"| {name} | {mesh_desc} | {a.shape} | "
+              f"{stats.total_bytes/1024:.0f} KiB | {hbm/1024:.0f} KiB | "
+              f"{stats.total_bytes/max(hbm,1):.2f} | {kinds} |")
+
+    # explicit one-gather limb schedule under (dp=2, limb=4)
+    mesh = Mesh(np.asarray(devices[:8]).reshape(2, 4), ("dp", "limb"))
+    sh = NamedSharding(mesh, P("dp", None, "limb", None))
+    da = jax.device_put(a, sh)
+    fn = jax.jit(
+        lambda x, y: ckks_mul_relin_rescale_limb_sharded(x, y, kdata, plan, mesh),
+        in_shardings=(sh, sh),
+    )
+    emit("mul+relin+rescale EXPLICIT", "(2,4)",
+         collective_stats(fn.lower(da, da).compile().as_text()))
+
+    # coefficient-sharded all_to_all schedule
+    cmesh = Mesh(np.asarray(devices[:4]), ("coeff",))
+    csh = NamedSharding(cmesh, P(None, None, None, "coeff"))
+    cksh = NamedSharding(cmesh, P(None, None, None, "coeff"))
+    dca = jax.device_put(a, csh)
+    dck = jax.device_put(kdata, cksh)
+    cfn = jax.jit(
+        lambda x, y, k: ckks_mul_relin_rescale_coeff_sharded(x, y, k, plan, cmesh),
+        in_shardings=(csh, csh, cksh),
+    )
+    emit("mul+relin+rescale COEFF-SHARDED", "(coeff=4)",
+         collective_stats(cfn.lower(dca, dca, dck).compile().as_text()))
+
+    # BFV BEHZ: GSPMD vs the explicit five-gather schedule
+    from gemini_seal_tpu import PlainModulus, Plaintext
+
+    bparms = EncryptionParameters(SchemeType.BFV)
+    bparms.set_poly_modulus_degree(2048)
+    bparms.set_coeff_modulus(CoeffModulus.create(2048, [30] * 9))
+    bparms.set_plain_modulus(PlainModulus.batching(2048, 20).value)
+    bparms.set_random_seed(tuple(range(21, 29)))
+    bctx = SealContext(bparms, sec_level=SecLevelType.none)
+    bkg = KeyGenerator(bctx)
+    benc = Encryptor(bctx, public_key=bkg.public_key())
+    brk = bkg.relin_keys()
+    ba = np.stack([np.asarray(
+        benc.encrypt(Plaintext.from_hex("3x^2 + 2")).data)] * 8)
+    bk = np.stack([np.asarray(pk.data.data) for pk in brk.key(2)])
+    lmesh = Mesh(np.asarray(devices[:4]), ("limb",))
+    lsh = NamedSharding(lmesh, P(None, None, "limb", None))
+    dba = jax.device_put(ba, lsh)
+    hbm_b = ba.nbytes * 2 + bk.nbytes
+
+    def emit_b(name, stats):
+        kinds = ", ".join(
+            f"{k}:{stats.bytes[k]//1024}K" for k in sorted(stats.count)
+        ) or "none"
+        print(f"| {name} | (limb=4) | {ba.shape} | "
+              f"{stats.total_bytes/1024:.0f} KiB | {hbm_b/1024:.0f} KiB | "
+              f"{stats.total_bytes/max(hbm_b,1):.2f} | {kinds} |")
+
+    gfn = jax.jit(build_bfv_mul_relin(bctx), in_shardings=(lsh, lsh, None))
+    emit_b("BFV BEHZ mul+relin GSPMD",
+           collective_stats(gfn.lower(dba, dba, bk).compile().as_text()))
+    efn = jax.jit(
+        lambda x, y: bfv_mul_relin_limb_sharded(x, y, bk, bctx, lmesh),
+        in_shardings=(lsh, lsh),
+    )
+    emit_b("BFV BEHZ mul+relin EXPLICIT",
+           collective_stats(efn.lower(dba, dba).compile().as_text()))
+
 
 if __name__ == "__main__":
     main()
