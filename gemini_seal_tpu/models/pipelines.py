@@ -44,6 +44,7 @@ __all__ = [
     "build_bfv_mul_relin",
     "build_bfv_mul_relin_modswitch",
     "build_bfv_rotate_many",
+    "build_bfv_matvec",
     "build_ckks_train_step",
 ]
 
@@ -669,3 +670,110 @@ def build_ckks_dense_layer(context: SealContext, diagonals, bias, scale: float,
         return y
 
     return step, out_parms_id, out_scale
+
+
+def build_bfv_matvec(context: SealContext, diagonals, batch_encoder,
+                     parms_id=None) -> Callable:
+    """Encrypted BFV matrix-vector product by the diagonal method with
+    HOISTED rotations and a SINGLE fused mod-down (the BFV twin of
+    build_ckks_matvec; integer/slot-exact inference over batched rows).
+
+    y = sum_d diag_d (*) rot_rows(x, d): one mod-up digit decomposition
+    feeds every rotation's raw key-switch inner product; the raws are
+    multiplied by extended-base NTT encodings of the (centered) diagonal
+    plaintexts, summed, and special-prime rescaled ONCE; the rot(c0)
+    plaintext products ride one shared forward NTT of c0.  Per matvec:
+    1 mod-up + k inner products + 1 mod-down + 3 full-poly NTT passes —
+    vs k of everything in the eager composition.
+
+    diagonals: {step d: list of slot values in [0, t)} for the nonzero
+    generalized diagonals.  Returns fn(ct, galois_keys_stack) ->
+    u64[..., 2, L, N] power basis at the same level (decrypt-equal to the
+    eager rotate/multiply_plain/add composition within sub-noise
+    rounding).
+    """
+    import numpy as np
+
+    if parms_id is None:
+        parms_id = context.first_parms_id
+    cd = context.get_context_data(parms_id)
+    limbs = cd.limb_constants
+    tool = cd.galois_tool
+    tables = cd.ntt_tables
+    plan = KeySwitchPlan(context, parms_id)
+    thresh = cd.plain_upper_half_threshold
+    t = cd.parms.plain_modulus.value
+    n = cd.parms.poly_modulus_degree
+
+    steps = sorted(diagonals.keys())
+    rot_steps = [s for s in steps if s != 0]
+    elts = [tool.get_elt_from_step(s) for s in rot_steps]
+
+    def lift(plain_data, moduli):
+        """Centered plain lift: residues of (v - t if v >= thresh else v)
+        over an arbitrary modulus set (evaluator.cpp:1560-1580 semantics,
+        valid beyond the ct base because it works on the signed value)."""
+        pdata = np.zeros(n, dtype=np.int64)
+        arr = np.asarray(plain_data, dtype=np.int64)
+        pdata[: arr.shape[0]] = arr
+        w = np.where(pdata >= np.int64(thresh), pdata - np.int64(t), pdata)
+        out = np.zeros((len(moduli), n), dtype=np.uint64)
+        for j, m in enumerate(moduli):
+            out[j] = np.mod(w, np.int64(m.value)).astype(np.uint64)
+        return out
+
+    from ..modulus import Modulus
+
+    ct_mods = cd.parms.coeff_modulus
+    ext_mods = [Modulus(p) for p in plan.ext_moduli]
+    plains = {}
+    plains_ext = {}
+    for s in steps:
+        pt = batch_encoder.encode(list(diagonals[s]))
+        plains[s] = np.asarray(
+            ntt_forward(lift(pt.data, ct_mods), tables), dtype=np.uint64
+        )
+        if s != 0:
+            plains_ext[s] = np.asarray(
+                ntt_forward(lift(pt.data, ext_mods), plan.ext_tables),
+                dtype=np.uint64,
+            )
+    ext_limbs = plan.ext_limbs
+
+    from ..ops.keyswitch import rescale_special
+    from ..ops.ntt import ntt_inverse as _ntt_inverse
+
+    def step(ct, galois_keys_stack):
+        c0 = ct[..., 0, :, :]
+        c1 = ct[..., 1, :, :]
+        c0_ntt = ntt_forward(c0, tables)
+        acc0 = acc1 = None
+        if 0 in plains:
+            c1_ntt = ntt_forward(c1, tables)
+            acc0 = dyadic_product(c0_ntt, plains[0], limbs)
+            acc1 = dyadic_product(c1_ntt, plains[0], limbs)
+        if rot_steps:
+            ct_k = compute_modup_digits(c1, plan, False)   # hoisted once
+            raw0 = raw1 = None
+            for i, (s, elt) in enumerate(zip(rot_steps, elts)):
+                ct_k_rot = tool.apply_galois_ntt(ct_k, elt)
+                a0, a1 = keyswitch_inner_product(
+                    ct_k_rot, galois_keys_stack[i], plan, False, raw=True
+                )
+                t0 = dyadic_product(a0, plains_ext[s], ext_limbs)
+                t1 = dyadic_product(a1, plains_ext[s], ext_limbs)
+                raw0 = t0 if raw0 is None else add_poly(raw0, t0, ext_limbs)
+                raw1 = t1 if raw1 is None else add_poly(raw1, t1, ext_limbs)
+                p0 = dyadic_product(
+                    tool.apply_galois_ntt(c0_ntt, elt), plains[s], limbs
+                )
+                acc0 = p0 if acc0 is None else add_poly(acc0, p0, limbs)
+            d0 = rescale_special(raw0, plan, is_ntt_output=True)
+            d1 = rescale_special(raw1, plan, is_ntt_output=True)
+            acc0 = add_poly(acc0, d0, limbs)
+            acc1 = d1 if acc1 is None else add_poly(acc1, d1, limbs)
+        out0 = _ntt_inverse(acc0, tables)
+        out1 = _ntt_inverse(acc1, tables)
+        return jnp.stack([out0, out1], axis=-3)
+
+    return step

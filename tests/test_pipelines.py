@@ -594,3 +594,58 @@ def test_fused_dense_layer():
     wantl = M @ x + b
     for g, w in zip(gotl[:dim], wantl):
         assert abs(g - w) < 1e-3, (gotl[:dim], wantl)
+
+
+def test_bfv_hoisted_matvec():
+    """BFV diagonal-method matvec (hoisted, single fused mod-down)
+    decrypts to M @ x over the slot rows, matching the eager
+    rotate/multiply_plain/add composition."""
+    import jax
+    from gemini_seal_tpu.ciphertext import Ciphertext
+    from gemini_seal_tpu.models.pipelines import build_bfv_matvec
+
+    n = 64
+    t = PlainModulus.batching(n, 17)
+    ctx, kg = bfv_setup(n=n, bits=(40, 40, 40, 40), t=t.value)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    be = BatchEncoder(ctx)
+    dec = Decryptor(ctx, kg.secret_key)
+    ev = Evaluator(ctx)
+    tool = ctx.first_context_data().galois_tool
+
+    dim = 4
+    rng = np.random.default_rng(5)
+    M = rng.integers(0, 7, size=(dim, dim))
+    x = rng.integers(0, 7, size=dim)
+    row = n // 2
+    # periodic extension within each batching row so row-rotations wrap
+    x_slots = [int(x[i % dim]) for i in range(n)]
+    diagonals = {
+        d: [int(M[i % dim, (i + d) % dim]) for i in range(n)]
+        for d in range(dim)
+    }
+    steps = sorted(s for s in diagonals if s != 0)
+    elts = [tool.get_elt_from_step(s) for s in steps]
+    gk = kg.galois_keys(elts)
+    gk_stack = np.stack([
+        np.stack([np.asarray(pk.data.data) for pk in gk.key(e)]) for e in elts
+    ])
+    ct = enc.encrypt(be.encode(x_slots))
+
+    # eager reference composition
+    want_acc = None
+    for s in sorted(diagonals):
+        term = ev.multiply_plain(
+            ev.rotate_rows(ct, s, gk) if s else ct, be.encode(diagonals[s])
+        )
+        want_acc = term if want_acc is None else ev.add(want_acc, term)
+    want = be.decode(dec.decrypt(want_acc))
+
+    fn = jax.jit(build_bfv_matvec(ctx, diagonals, be))
+    out = np.asarray(fn(np.asarray(ct.data), gk_stack))
+    got = be.decode(dec.decrypt(
+        Ciphertext(out, ct.parms_id, False, 1.0)
+    ))
+    assert got == want
+    expect = [int((M @ x)[i % dim]) % t.value for i in range(dim)]
+    assert got[:dim] == expect, (got[:dim], expect)
