@@ -45,6 +45,7 @@ __all__ = [
     "build_bfv_mul_relin_modswitch",
     "build_bfv_rotate_many",
     "build_bfv_matvec",
+    "build_ckks_mlp",
     "build_ckks_train_step",
 ]
 
@@ -777,3 +778,31 @@ def build_bfv_matvec(context: SealContext, diagonals, batch_encoder,
         return jnp.stack([out0, out1], axis=-3)
 
     return step
+
+
+def build_ckks_mlp(context: SealContext, layers, scale: float, encoder):
+    """Multi-layer encrypted MLP: chain of build_ckks_dense_layer programs
+    walking down the modulus chain (each linear layer consumes one level,
+    each square-activated layer two).
+
+    layers: [(diagonals, bias, activation), ...] with activation "square"
+    or None.  Returns (fn, out_parms_id, out_scale):
+    fn(ct_data, [gk_stack_per_layer], relin_key) -> u64[..., 2, L_out, N].
+    """
+    fns = []
+    pid = context.first_parms_id
+    cur_scale = float(scale)
+    for diagonals, bias, act in layers:
+        fn, pid, cur_scale = build_ckks_dense_layer(
+            context, diagonals, bias, cur_scale, encoder,
+            parms_id=pid, activation=act,
+        )
+        fns.append(fn)
+
+    def step(ct, gk_stacks, relin_key):
+        y = ct
+        for fn, g in zip(fns, gk_stacks):
+            y = fn(y, g, relin_key)
+        return y
+
+    return step, pid, cur_scale

@@ -649,3 +649,54 @@ def test_bfv_hoisted_matvec():
     assert got == want
     expect = [int((M @ x)[i % dim]) % t.value for i in range(dim)]
     assert got[:dim] == expect, (got[:dim], expect)
+
+
+def test_ckks_mlp_two_layers():
+    """Two chained dense layers (square activation then linear) as one
+    program: y = M2 @ (act(M1 @ x + b1)) + b2."""
+    import jax
+    from gemini_seal_tpu.ciphertext import Ciphertext
+    from gemini_seal_tpu.models.pipelines import build_ckks_mlp
+
+    ctx, kg = ckks_setup(n=512, bits=(50, 40, 40, 40, 50))
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    dec = Decryptor(ctx, kg.secret_key)
+    tool = ctx.first_context_data().galois_tool
+    rk = kg.relin_keys()
+    scale = 2.0 ** 40
+    dim = 4
+
+    rng = np.random.default_rng(9)
+    M1 = rng.uniform(-0.5, 0.5, size=(dim, dim))
+    b1 = rng.uniform(-0.2, 0.2, size=dim)
+    M2 = rng.uniform(-0.5, 0.5, size=(dim, dim))
+    b2 = rng.uniform(-0.2, 0.2, size=dim)
+    x = rng.uniform(-1, 1, size=dim)
+    slots = encoder.slot_count
+
+    def diag(M):
+        return {d: [M[i % dim, (i + d) % dim] for i in range(slots)]
+                for d in range(dim)}
+
+    def bias(b):
+        return [b[i % dim] for i in range(slots)]
+
+    layers = [(diag(M1), bias(b1), "square"), (diag(M2), bias(b2), None)]
+    all_steps = sorted(s for s in range(dim) if s != 0)
+    elts = [tool.get_elt_from_step(s) for s in all_steps]
+    gk = kg.galois_keys(elts)
+    gk_stack = np.stack([
+        np.stack([np.asarray(pk.data.data) for pk in gk.key(e)]) for e in elts
+    ])
+    rk_data = np.stack([np.asarray(pk.data.data) for pk in rk.key(2)])
+    ct = enc.encrypt(encoder.encode([x[i % dim] for i in range(slots)], scale))
+
+    fn, out_id, out_scale = build_ckks_mlp(ctx, layers, scale, encoder)
+    out = np.asarray(jax.jit(
+        lambda c, g, k: fn(c, [g, g], k)
+    )(np.asarray(ct.data), gk_stack, rk_data))
+    got = encoder.decode(dec.decrypt(Ciphertext(out, out_id, True, out_scale)))
+    want = M2 @ ((M1 @ x + b1) ** 2) + b2
+    for g, w in zip(got[:dim], want):
+        assert abs(g - w) < 1e-2, (got[:dim], want)
