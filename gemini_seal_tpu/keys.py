@@ -45,6 +45,25 @@ class KSwitchKeys:
     def size(self) -> int:
         return sum(1 for k in self.keys if k)
 
+    def stacked(self, *indices):
+        """Key tensor(s) for the jitted pipelines: one index ->
+        u64[n_bundles, 2, L_key, N]; several -> a stacked
+        u64[n_indices, n_bundles, 2, L_key, N] (the `keys_stack`
+        argument of the hoisted/matvec builders).  Indices use the
+        subclass meaning: key_power for RelinKeys, galois_elt for
+        GaloisKeys (no analogue in the reference, which passes whole key
+        objects into eager C++ calls)."""
+        import numpy as np
+
+        def one(i):
+            vec = self.key(i)
+            return np.stack([np.asarray(pk.data.data) for pk in vec])
+
+        if len(indices) == 1:
+            return one(indices[0])
+        return np.stack([one(i) for i in indices])
+
+
     def data(self, index: int) -> List[PublicKey]:
         if index >= len(self.keys) or not self.keys[index]:
             raise ValueError("keyswitching key does not exist")

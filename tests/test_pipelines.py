@@ -700,3 +700,21 @@ def test_ckks_mlp_two_layers():
     want = M2 @ ((M1 @ x + b1) ** 2) + b2
     for g, w in zip(got[:dim], want):
         assert abs(g - w) < 1e-2, (got[:dim], want)
+
+
+def test_stacked_key_helper():
+    """KSwitchKeys.stacked() matches the hand-built np.stack pattern used
+    by every pipeline harness."""
+    ctx, kg = ckks_setup()
+    rk = kg.relin_keys()
+    tool = ctx.first_context_data().galois_tool
+    elts = tool.get_elts_from_steps([1, 2])
+    gk = kg.galois_keys(elts)
+
+    want_rk = np.stack([np.asarray(pk.data.data) for pk in rk.key(2)])
+    np.testing.assert_array_equal(rk.stacked(2), want_rk)
+
+    want_gk = np.stack([
+        np.stack([np.asarray(pk.data.data) for pk in gk.key(e)]) for e in elts
+    ])
+    np.testing.assert_array_equal(gk.stacked(*elts), want_gk)
