@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import cmath
 import math
-from typing import List, Optional, Sequence, Union
+from typing import List, Sequence, Union
 
 import numpy as np
 
@@ -24,7 +24,7 @@ from .ciphertext import Plaintext
 from .context import SealContext
 from .ops import modops
 from .ops.ntt import ntt_forward, ntt_inverse
-from .params import PARMS_ID_ZERO, SchemeType
+from .params import SchemeType
 from .utils import mplimb, numth
 
 __all__ = ["BatchEncoder", "CKKSEncoder", "IntegerEncoder", "ComplexRoots"]

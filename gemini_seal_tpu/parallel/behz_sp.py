@@ -40,8 +40,7 @@ from ..ops import modops
 from ..ops.keyswitch import KeySwitchPlan
 from ..ops.ntt import ntt_forward_lazy, ntt_inverse
 from .keyswitch_sp import (_data_spec, _jit_cached, _plan_consts, _sp_consts,
-                           _switch_local, _tables_from, _tables_rows,
-                           _TAB_FIELDS)
+                           _switch_local, _tables_from, _TAB_FIELDS)
 from .ntt_sp import shard_map
 
 __all__ = ["bfv_mul_relin_limb_sharded"]

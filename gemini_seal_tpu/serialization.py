@@ -17,7 +17,6 @@ from __future__ import annotations
 import io
 import struct
 import zlib
-from typing import Optional
 
 import numpy as np
 

@@ -14,7 +14,7 @@ host-API surfaces and must not trigger eager device dispatches
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List
 
 import numpy as np
 
