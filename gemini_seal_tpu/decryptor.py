@@ -85,6 +85,62 @@ class Decryptor:
             )
         raise ValueError("unsupported scheme")
 
+    def decrypt_batch(self, data, parms_id, is_ntt_form: bool,
+                      scale: float = 1.0):
+        """Decrypt a BATCH of ciphertexts held as one raw tensor — the
+        serving egress path (pipelines emit u64[B, size, L, N]; decrypting
+        them one Ciphertext at a time repeats the s-power dot product B
+        times in Python).  All batch elements share metadata.  Returns a
+        list of Plaintexts, identical to per-ciphertext decrypt() (no
+        reference analogue: its API is strictly one ciphertext per call).
+        """
+        cd = self.context.get_context_data(parms_id)
+        if cd is None:
+            raise ValueError("parms_id is not valid for encryption parameters")
+        data = np.asarray(data, dtype=np.uint64)
+        if data.ndim != 4:
+            raise ValueError("decrypt_batch expects u64[B, size, L, N]")
+        scheme = cd.parms.scheme
+        limbs = cd.limb_constants
+        tables = cd.ntt_tables
+        B, size, L, _ = data.shape
+        self._compute_sk_powers(size - 1)
+
+        cs = data[:, 1:, :, :]
+        if not is_ntt_form:
+            cs = ntt_forward(cs, tables)
+        acc = None
+        for i in range(size - 1):
+            term = dyadic_product(cs[:, i], self._sk_powers[i][:L, :], limbs)
+            acc = term if acc is None else add_poly(acc, term, limbs)
+        if not is_ntt_form:
+            acc = ntt_inverse(acc, tables)
+        acc = add_poly(acc, data[:, 0], limbs)        # [B, L, N]
+
+        if scheme == SchemeType.BFV:
+            if is_ntt_form:
+                raise ValueError("encrypted cannot be in NTT form")
+            plains = np.asarray(
+                decrypt_scale_and_round(acc, cd.device_rns_tool),
+                dtype=np.uint64,
+            )
+            out = []
+            for b in range(B):
+                coeffs = plains[b]
+                nz = np.nonzero(coeffs)[0]
+                count = int(nz[-1]) + 1 if nz.size else 1
+                out.append(Plaintext(data=coeffs[:count], parms_id=PARMS_ID_ZERO))
+            return out
+        if scheme == SchemeType.CKKS:
+            if not is_ntt_form:
+                raise ValueError("encrypted must be in NTT form")
+            return [
+                Plaintext(data=np.asarray(acc[b], dtype=np.uint64),
+                          parms_id=parms_id, scale=scale)
+                for b in range(B)
+            ]
+        raise ValueError("unsupported scheme")
+
     def invariant_noise_budget(self, encrypted: Ciphertext) -> int:
         """Bits of noise budget remaining (decryptor.cpp:269-325)."""
         cd = self.context.get_context_data(encrypted.parms_id)

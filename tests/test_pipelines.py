@@ -718,3 +718,33 @@ def test_stacked_key_helper():
         np.stack([np.asarray(pk.data.data) for pk in gk.key(e)]) for e in elts
     ])
     np.testing.assert_array_equal(gk.stacked(*elts), want_gk)
+
+
+def test_decrypt_batch_matches_per_ct():
+    """Decryptor.decrypt_batch over a [B, size, L, N] tensor equals
+    per-ciphertext decrypt for both schemes."""
+    # CKKS
+    ctx, kg = ckks_setup()
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    dec = Decryptor(ctx, kg.secret_key)
+    scale = 2.0 ** 30
+    cts = [enc.encrypt(encoder.encode([float(i), -0.5 * i], scale))
+           for i in range(3)]
+    batch = np.stack([np.asarray(ct.data) for ct in cts])
+    outs = dec.decrypt_batch(batch, cts[0].parms_id, True, scale)
+    for ct, pt in zip(cts, outs):
+        want = dec.decrypt(ct)
+        np.testing.assert_array_equal(np.asarray(pt.data), np.asarray(want.data))
+        assert encoder.decode(pt) == encoder.decode(want)
+
+    # BFV
+    bctx, bkg = bfv_setup(n=64, t=257)
+    benc = Encryptor(bctx, public_key=bkg.public_key())
+    bdec = Decryptor(bctx, bkg.secret_key)
+    from gemini_seal_tpu import Plaintext
+    bcts = [benc.encrypt(Plaintext.from_hex(h)) for h in ("3x^2 + 2", "5x^1 + 7", "1")]
+    bbatch = np.stack([np.asarray(ct.data) for ct in bcts])
+    bouts = bdec.decrypt_batch(bbatch, bcts[0].parms_id, False)
+    for ct, pt in zip(bcts, bouts):
+        assert pt.to_hex() == bdec.decrypt(ct).to_hex()
