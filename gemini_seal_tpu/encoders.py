@@ -193,34 +193,37 @@ class CKKSEncoder:
     def slot_count(self) -> int:
         return self.slots
 
-    # -- embedding FFTs (vectorized versions of ckks.h:458-482, 723-744) --
+    # -- embedding FFTs (vectorized versions of ckks.h:458-482, 723-744;
+    #    batch-polymorphic over leading axes) --
     def _embedding_inverse(self, a: np.ndarray) -> np.ndarray:
         n = self._n
         logn = self._logn
+        batch = a.shape[:-1]
         tt = 1
         for i in range(logn):
             mm = 1 << (logn - i)
             h = mm >> 1
             s = self._inv_roots[h : 2 * h][:, None]       # [h, 1]
-            a = a.reshape(h, 2, tt)
-            u = a[:, 0, :]
-            v = a[:, 1, :]
-            a = np.stack([u + v, (u - v) * s], axis=1).reshape(n)
+            a = a.reshape(batch + (h, 2, tt))
+            u = a[..., 0, :]
+            v = a[..., 1, :]
+            a = np.stack([u + v, (u - v) * s], axis=-2).reshape(batch + (n,))
             tt <<= 1
         return a
 
     def _embedding_forward(self, a: np.ndarray) -> np.ndarray:
         n = self._n
         logn = self._logn
+        batch = a.shape[:-1]
         tt = n
         for i in range(logn):
             mm = 1 << i
             tt >>= 1
             s = self._roots[mm : 2 * mm][:, None]
-            a = a.reshape(mm, 2, tt)
-            u = a[:, 0, :]
-            v = a[:, 1, :] * s
-            a = np.stack([u + v, u - v], axis=1).reshape(n)
+            a = a.reshape(batch + (mm, 2, tt))
+            u = a[..., 0, :]
+            v = a[..., 1, :] * s
+            a = np.stack([u + v, u - v], axis=-2).reshape(batch + (n,))
         return a
 
     # -- encode ----------------------------------------------------------
@@ -452,9 +455,22 @@ class CKKSEncoder:
             ntt_inverse(np.asarray(plain.data, dtype=np.uint64), cd.ntt_tables),
             dtype=np.uint64,
         )  # [L, N]
-        # CRT-compose to limb planes and center around 0 — vectorized
-        # replacement for the per-coefficient big-int walk
-        # (reference: ckks.h:668-744): v >= (q+1)/2 decodes as -(q - v).
+        res_real = self._centered_ladder(data, cd, inv_scale)
+        res = self._embedding_forward(res_real.astype(np.complex128))
+        out_arr = res[self._index_map[: self.slots]]
+        if as_complex:
+            return out_arr.tolist()
+        return out_arr.real.tolist()
+
+    @staticmethod
+    def _centered_ladder(data: np.ndarray, cd, inv_scale: float) -> np.ndarray:
+        """CRT-compose [L, M] residue planes to centered doubles [M] —
+        vectorized replacement for the per-coefficient big-int walk
+        (reference: ckks.h:668-744): v >= (q+1)/2 decodes as -(q - v).
+        The LSB-first double ladder keeps the reference's op order
+        (exact); negating the positive-ladder result is bit-exact to the
+        reference's subtract-each-term order (IEEE rounding is
+        sign-symmetric)."""
         q = cd.total_coeff_modulus
         v_limbs = mplimb.compose_limbs(data, cd.rns_base)
         K = v_limbs.shape[0]
@@ -463,18 +479,38 @@ class CKKSEncoder:
         is_neg = mplimb.geq_limbs(v_limbs, upper)
         neg_mag = mplimb.sub_from_limbs(q_limbs, v_limbs)
         mag = np.where(is_neg[None, :], neg_mag, v_limbs)
-        # LSB-first double ladder, same op order as the reference (exact);
-        # negating the positive-ladder result is bit-exact to the
-        # reference's subtract-each-term order (IEEE rounding is
-        # sign-symmetric).
         res_real = mplimb.ladder_to_double(mag, inv_scale)
-        res_real = np.where(is_neg, -res_real, res_real)
+        return np.where(is_neg, -res_real, res_real)
 
+    def decode_batch(self, plains, as_complex: bool = False):
+        """Decode MANY plaintexts (homogeneous parms_id/scale) in one set
+        of vectorized passes — the serving egress twin of
+        Decryptor.decrypt_batch (no reference analogue).  Returns a list
+        of slot-value lists, identical to per-plaintext decode()."""
+        ps = list(plains)
+        if not ps:
+            return []
+        cd = self.context.get_context_data(ps[0].parms_id)
+        scale = ps[0].scale
+        for p in ps:
+            if not p.is_ntt_form:
+                raise ValueError("plain is not in NTT form")
+            if p.parms_id != ps[0].parms_id or p.scale != scale:
+                raise ValueError("decode_batch needs homogeneous plaintexts")
+        if scale <= 0 or int(math.log2(scale)) >= cd.total_coeff_modulus_bit_count:
+            raise ValueError("scale out of bounds")
+        n = self._n
+        B = len(ps)
+        L = len(cd.parms.coeff_modulus)
+        data = np.stack([np.asarray(p.data, dtype=np.uint64) for p in ps])
+        data = np.asarray(ntt_inverse(data, cd.ntt_tables), dtype=np.uint64)
+        flat = np.ascontiguousarray(np.moveaxis(data, 0, 1)).reshape(L, B * n)
+        res_real = self._centered_ladder(flat, cd, 1.0 / scale).reshape(B, n)
         res = self._embedding_forward(res_real.astype(np.complex128))
-        out_arr = res[self._index_map[: self.slots]]
+        out = res[:, self._index_map[: self.slots]]
         if as_complex:
-            return out_arr.tolist()
-        return out_arr.real.tolist()
+            return [row.tolist() for row in out]
+        return [row.real.tolist() for row in out]
 
 
 class IntegerEncoder:

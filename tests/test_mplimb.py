@@ -235,3 +235,20 @@ def test_encode_at_base_high_scale_matches_ct_base(ckks):
             v -= q
         for j, m in enumerate(ext_mods):
             assert int(ext_power[j, i]) == v % m.value, (i, j)
+
+
+def test_decode_batch_matches_per_plain(ckks):
+    """CKKSEncoder.decode_batch == per-plaintext decode (incl. the
+    batched embedding FFT and the flattened compose)."""
+    ctx, encoder = ckks
+    rng = np.random.default_rng(23)
+    scale = 2.0 ** 80
+    pts = [
+        encoder.encode(list(rng.standard_normal(encoder.slot_count)), scale)
+        for _ in range(3)
+    ]
+    batched = encoder.decode_batch(pts)
+    batched_c = encoder.decode_batch(pts, as_complex=True)
+    for pt, row, row_c in zip(pts, batched, batched_c):
+        assert row == encoder.decode(pt)
+        assert row_c == encoder.decode(pt, as_complex=True)
