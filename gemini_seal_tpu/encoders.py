@@ -482,6 +482,55 @@ class CKKSEncoder:
         res_real = mplimb.ladder_to_double(mag, inv_scale)
         return np.where(is_neg, -res_real, res_real)
 
+    def encode_batch(self, values_list, scale: float, parms_id=None):
+        """Encode MANY slot-value vectors in one set of vectorized passes
+        (batched embedding FFT, one decompose, one forward NTT over the
+        [B, L, N] stack) — the serving-ingestion twin of decode_batch.
+        Returns a list of Plaintexts identical to per-vector encode()."""
+        if parms_id is None:
+            parms_id = self.context.first_parms_id
+        cd = self.context.get_context_data(parms_id)
+        if cd is None:
+            raise ValueError("parms_id is not valid for encryption parameters")
+        if scale <= 0 or int(math.log2(scale)) + 1 >= cd.total_coeff_modulus_bit_count:
+            raise ValueError("scale out of bounds")
+        n = self._n
+        rows = []
+        for values in values_list:
+            values = list(values)
+            if len(values) > self.slots:
+                raise ValueError("values_size is too large")
+            row = np.zeros(self.slots, dtype=np.complex128)
+            row[: len(values)] = np.asarray(values, dtype=np.complex128)
+            rows.append(row)
+        if not rows:
+            return []
+        vals = np.stack(rows)                              # [B, slots]
+        B = vals.shape[0]
+        conj = np.zeros((B, n), dtype=np.complex128)
+        conj[:, self._index_map[: self.slots]] = vals
+        conj[:, self._index_map[self.slots :]] = np.conj(vals)
+        conj = self._embedding_inverse(conj) * ((1.0 / n) * scale)
+        reals = conj.real
+        d = np.maximum(np.abs(reals), 1.0)
+        if int(np.max(np.floor(np.log2(d)))) + 2 >= cd.total_coeff_modulus_bit_count:
+            raise ValueError("encoded values are too large")
+        rounded = np.sign(reals) * np.floor(np.abs(reals) + 0.5)
+        pow2 = self._pow2_mod_table(cd)
+        dest = self._decompose_exact(
+            rounded.reshape(B * n), cd.parms.coeff_modulus, pow2
+        )                                                  # [L, B*n]
+        L = len(cd.parms.coeff_modulus)
+        planes = np.moveaxis(dest.reshape(L, B, n), 1, 0)  # [B, L, n]
+        out = np.asarray(
+            ntt_forward(np.ascontiguousarray(planes), cd.ntt_tables),
+            dtype=np.uint64,
+        )
+        return [
+            Plaintext(data=out[b], parms_id=cd.parms_id, scale=scale)
+            for b in range(B)
+        ]
+
     def decode_batch(self, plains, as_complex: bool = False):
         """Decode MANY plaintexts (homogeneous parms_id/scale) in one set
         of vectorized passes — the serving egress twin of

@@ -252,3 +252,21 @@ def test_decode_batch_matches_per_plain(ckks):
     for pt, row, row_c in zip(pts, batched, batched_c):
         assert row == encoder.decode(pt)
         assert row_c == encoder.decode(pt, as_complex=True)
+
+
+def test_encode_batch_matches_per_vector(ckks):
+    """CKKSEncoder.encode_batch == per-vector encode bit for bit (incl.
+    the >52-bit regime), for real and complex inputs."""
+    ctx, encoder = ckks
+    rng = np.random.default_rng(29)
+    scale = 2.0 ** 80
+    vecs = [
+        list(rng.standard_normal(encoder.slot_count)),
+        [1.5, -2.5, 3.0],
+        [complex(0.5, -1.0), complex(-2.0, 0.25)],
+    ]
+    batch = encoder.encode_batch(vecs, scale)
+    for vec, pt in zip(vecs, batch):
+        want = encoder.encode(vec, scale)
+        np.testing.assert_array_equal(np.asarray(pt.data), np.asarray(want.data))
+        assert pt.scale == want.scale and pt.parms_id == want.parms_id
