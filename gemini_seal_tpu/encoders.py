@@ -132,6 +132,54 @@ class BatchEncoder:
         )
         return Plaintext(data=np.asarray(out[0], dtype=np.uint64))
 
+    def encode_batch(self, values_list) -> List[Plaintext]:
+        """Encode MANY slot-value vectors with ONE inverse-NTT pass over
+        the [B, N] stack (serving ingestion; identical Plaintexts to
+        per-vector encode)."""
+        cd = self.context.first_context_data()
+        t = cd.parms.plain_modulus.value
+        rows = []
+        for values in values_list:
+            vals = np.asarray(list(values), dtype=np.int64)
+            if vals.size > self.slots:
+                raise ValueError("values_matrix size is too large")
+            if vals.size and (int(vals.min()) < -t or int(vals.max()) >= t):
+                raise ValueError("input value is larger than plain_modulus")
+            vals = np.where(vals < 0, vals + t, vals).astype(np.uint64)
+            dest = np.zeros(self.slots, dtype=np.uint64)
+            dest[self._index_map[: vals.size]] = vals
+            rows.append(dest)
+        if not rows:
+            return []
+        out = np.asarray(
+            ntt_inverse(np.stack(rows)[:, None, :], cd.plain_ntt_tables),
+            dtype=np.uint64,
+        )
+        return [Plaintext(data=out[b, 0]) for b in range(len(rows))]
+
+    def decode_batch(self, plains, signed: bool = False) -> List[List[int]]:
+        """Decode MANY plaintexts with ONE forward-NTT pass (serving
+        egress; identical values to per-plaintext decode)."""
+        ps = list(plains)
+        if not ps:
+            return []
+        cd = self.context.first_context_data()
+        t = cd.parms.plain_modulus.value
+        temp = np.zeros((len(ps), self.slots), dtype=np.uint64)
+        for b, p_ in enumerate(ps):
+            if p_.is_ntt_form:
+                raise ValueError("plain cannot be in NTT form")
+            pdata = np.asarray(p_.data)
+            temp[b, : min(pdata.shape[0], self.slots)] = pdata[: self.slots]
+        vals = np.asarray(
+            ntt_forward(temp[:, None, :], cd.plain_ntt_tables)
+        )[:, 0, :]
+        out = vals[:, self._index_map].astype(np.int64)
+        if signed:
+            half = t >> 1
+            out = np.where(out > half, out - t, out)
+        return [[int(v) for v in row] for row in out]
+
     def decode(self, plain: Plaintext, signed: bool = False) -> List[int]:
         """plaintext poly -> slot values (batchencoder.cpp:339-420)."""
         if plain.is_ntt_form:

@@ -155,3 +155,16 @@ def test_encode_out_of_int64_range_raises_value_error(setup):
     *_, be = setup
     with pytest.raises(ValueError, match="larger than plain_modulus"):
         be.encode([1 << 80])
+
+
+def test_batch_encode_decode_batched(setup):
+    """BatchEncoder.encode_batch/decode_batch == per-item paths."""
+    *_, be = setup
+    vecs = [list(range(10)), [5] * be.slot_count, [-3, 7, 0]]
+    pts = be.encode_batch(vecs)
+    for vec, pt in zip(vecs, pts):
+        want = be.encode(vec)
+        np.testing.assert_array_equal(np.asarray(pt.data), np.asarray(want.data))
+    rows = be.decode_batch(pts, signed=True)
+    for pt, row in zip(pts, rows):
+        assert row == be.decode(pt, signed=True)
