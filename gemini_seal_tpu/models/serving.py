@@ -1,0 +1,97 @@
+"""Serving runtime: wire-format ingress -> jitted pipeline -> egress.
+
+The reference is a library — callers write their own server loop around
+eager C++ ops.  Here the serving unit is a compiled XLA program over
+batched ciphertext tensors, so the runtime's job is the glue around it:
+
+- INGRESS: SEAL-wire ciphertext blobs (from any SEAL client, any
+  language — the byte-compatible format is the foreign-host boundary,
+  COMPONENTS.md §2.3) are validated, deserialized, and stacked into the
+  [B, size, L, N] batch tensor the pipelines consume;
+- EXECUTE: a caller-supplied jittable step (anything from
+  models.pipelines — matvec, dense layer, MLP, mul+relin+rescale chains)
+  runs once over the whole batch, keys passed as device-resident
+  operands;
+- EGRESS: results come back as wire blobs (optionally deflated), sized
+  up front via serialization.save_size.
+
+Padding: batches are padded (by repeating the last element) up to the
+compiled batch size so ONE executable serves any request size <= max
+without recompilation; only the real results are returned.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+from .. import serialization as ser
+from ..ciphertext import Ciphertext
+from ..context import SealContext
+
+__all__ = ["EncryptedComputeServer"]
+
+
+class EncryptedComputeServer:
+    """Batched encrypted-compute endpoint around one jitted pipeline.
+
+    step: fn(ct_batch, *key_args) -> u64[B, 2, L_out, N]
+    key_args: key tensors (galois stacks, relin keys, ...) uploaded once.
+    out_parms_id / out_is_ntt / out_scale: metadata of the step's output
+    ciphertexts (from the pipeline builder).
+    batch_size: the compiled batch; requests are padded up to it.
+    """
+
+    def __init__(self, context: SealContext, step: Callable, key_args,
+                 out_parms_id, out_is_ntt: bool, out_scale: float,
+                 batch_size: int, validate: bool = True,
+                 compr_mode: int = ser.COMPR_NONE):
+        import jax
+
+        self.context = context
+        self.batch_size = int(batch_size)
+        self.out_parms_id = out_parms_id
+        self.out_is_ntt = bool(out_is_ntt)
+        self.out_scale = float(out_scale)
+        self.validate = validate
+        self.compr_mode = compr_mode
+        self._keys = [jax.device_put(np.asarray(k)) for k in key_args]
+        self._step = jax.jit(step)
+
+    def warm(self, example_blob: bytes) -> None:
+        """Compile the pipeline ahead of traffic with one example request."""
+        self.submit([example_blob])
+
+    def submit(self, ct_blobs: Sequence[bytes]) -> List[bytes]:
+        """Run the pipeline over a batch of wire-format ciphertexts and
+        return the results as wire-format blobs (same order)."""
+        n_real = len(ct_blobs)
+        if n_real == 0:
+            return []
+        if n_real > self.batch_size:
+            raise ValueError(
+                f"batch of {n_real} exceeds compiled batch_size "
+                f"{self.batch_size}; split the request"
+            )
+        cts = [
+            ser.load_ciphertext(b, self.context, validate=self.validate)
+            for b in ct_blobs
+        ]
+        p0 = cts[0].parms_id
+        for ct in cts:
+            if ct.parms_id != p0:
+                raise ValueError("batch ciphertexts must share a level")
+        rows = [np.asarray(ct.data) for ct in cts]
+        rows += [rows[-1]] * (self.batch_size - n_real)   # pad to the program
+        batch = np.stack(rows)
+
+        out = np.asarray(self._step(batch, *self._keys))
+        return [
+            ser.save(
+                Ciphertext(out[i], self.out_parms_id, self.out_is_ntt,
+                           self.out_scale),
+                self.compr_mode,
+            )
+            for i in range(n_real)
+        ]
