@@ -49,7 +49,8 @@ from ..ops.ntt import (NTTTables, ntt_forward, ntt_forward_lazy, ntt_inverse,
                        ntt_inverse_lazy)
 from .ntt_sp import shard_map
 
-__all__ = ["switch_key_limb_sharded", "ckks_mul_relin_rescale_limb_sharded"]
+__all__ = ["switch_key_limb_sharded", "ckks_mul_relin_rescale_limb_sharded",
+           "rotate_many_limb_sharded"]
 
 _TAB_FIELDS = (
     "roots", "root_powers", "scaled_root_powers", "inv_root_powers",
@@ -119,6 +120,10 @@ def _plan_consts(plan: KeySwitchPlan, mesh: Mesh, key_vector_data):
 
     norm_tab = _tables_rows(plan.ext_tables, 0, n_ct)
     key_host = np.asarray(key_vector_data)
+    # key sets may be stacked ([nb, 2, L, N] for one switch key, or
+    # [k, nb, 2, L, N] for a hoisted rotation bundle) — the limb axis is
+    # always at -2, so slice/shard with an ellipsis-shaped spec
+    key_lead = key_host.ndim - 2
     # rescale constants come from the level's RNSTool precompute
     # (utils/rns.py, rns.cpp:719-729 parity) — single source of truth with
     # the in-core divide_and_round_q_last_ntt; padded to n_ct rows (the
@@ -136,8 +141,8 @@ def _plan_consts(plan: KeySwitchPlan, mesh: Mesh, key_vector_data):
         "r1": plan.ct_limbs.ratio1,
         "neg": plan.neg_hat_pj_qi,             # [n_ct, nsp]
         "invP": plan.inv_P_qi,                 # [n_ct, 1]
-        "key": key_host[:, :, :n_ct, :],
-        "key_sp": key_host[:, :, n_ct_all : n_ct_all + nsp, :],
+        "key": key_host[..., :n_ct, :],
+        "key_sp": key_host[..., n_ct_all : n_ct_all + nsp, :],
         "inv_q_last": inv_q,                   # [n_ct, 1] (last row dummy)
     }
     norm_specs = {
@@ -148,7 +153,7 @@ def _plan_consts(plan: KeySwitchPlan, mesh: Mesh, key_vector_data):
         "p": P("limb", None), "r0": P("limb", None), "r1": P("limb", None),
         "neg": P("limb", None),
         "invP": P("limb", None),
-        "key": P(None, None, "limb", None),
+        "key": P(*([None] * key_lead), "limb", None),
         "key_sp": P(),
         "inv_q_last": P("limb", None),
     }
@@ -176,14 +181,12 @@ def _sp_consts(plan: KeySwitchPlan):
     return sp_rows, sp_tables
 
 
-def _switch_local(tgt_local, c, tab_own, plan, sp_rows, sp_tables,
+def _hoist_digits(tgt_local, c, tab_own, plan, sp_rows, sp_tables,
                   is_ntt_form: bool):
-    """The per-device switch body: one all_gather, everything else local.
-    Returns (d0_local, d1_local) for this device's rows."""
-    nb = plan.bundle_sel.shape[0]
-    nsp = plan.n_sp_rns
+    """Mod-up decomposition of the device's rows: one all_gather of the
+    power-basis target, then local digit rows (own + redundant special).
+    Returns (dig_own, dig_sp) — the hoistable half of a key switch."""
     lax_axis = tgt_local.ndim - 2
-
     if is_ntt_form:
         pt_local = ntt_inverse_lazy(tgt_local, tab_own)
         diag_src = tgt_local
@@ -199,15 +202,25 @@ def _switch_local(tgt_local, c, tab_own, plan, sp_rows, sp_tables,
 
     dig_own = _modup_rows(power_target, diag_src, plan, c, tab_own)
     dig_sp = _modup_rows(power_target, None, plan, sp_rows, sp_tables)
+    return dig_own, dig_sp
+
+
+def _inner_rescale(dig_own, dig_sp, key_own, key_sp, c, tab_own, plan,
+                   sp_rows, sp_tables, is_ntt_form: bool):
+    """Key inner product + special-prime rescale on the device's rows
+    (all local; sp rows computed redundantly).  key_own/key_sp:
+    [nb, 2, rows, N] for one key set.  Returns (d0_local, d1_local)."""
+    nb = plan.bundle_sel.shape[0]
+    nsp = plan.n_sp_rns
 
     outs = []
     for l in range(2):
         acc_own = _accum_terms_128(
-            [(dig_own[..., b, :, :], c["key"][b, l]) for b in range(nb)],
+            [(dig_own[..., b, :, :], key_own[b, l]) for b in range(nb)],
             c["p"], c["r0"], c["r1"],
         )
         acc_sp = _accum_terms_128(
-            [(dig_sp[..., b, :, :], c["key_sp"][b, l]) for b in range(nb)],
+            [(dig_sp[..., b, :, :], key_sp[b, l]) for b in range(nb)],
             sp_rows["p"], sp_rows["r0"], sp_rows["r1"],
         )
         # special-prime rescale, own rows only (sp data replicated)
@@ -229,6 +242,16 @@ def _switch_local(tgt_local, c, tab_own, plan, sp_rows, sp_tables,
             s = modops.add_mod(normal_power, temp, c["p"])
         outs.append(modops.mul_mod(s, c["invP"], c["p"], c["r0"], c["r1"]))
     return outs[0], outs[1]
+
+
+def _switch_local(tgt_local, c, tab_own, plan, sp_rows, sp_tables,
+                  is_ntt_form: bool):
+    """The per-device switch body: one all_gather, everything else local.
+    Returns (d0_local, d1_local) for this device's rows."""
+    dig_own, dig_sp = _hoist_digits(tgt_local, c, tab_own, plan, sp_rows,
+                                    sp_tables, is_ntt_form)
+    return _inner_rescale(dig_own, dig_sp, c["key"], c["key_sp"], c, tab_own,
+                          plan, sp_rows, sp_tables, is_ntt_form)
 
 
 def _data_spec(nd: int, mesh: Mesh, n_trailing: int) -> P:
@@ -293,6 +316,82 @@ def switch_key_limb_sharded(target, key_vector_data, plan: KeySwitchPlan,
 
     fn = _jit_cached(plan, mesh, ("switch", is_ntt_form), nd, build)
     return fn(target, norm)
+
+
+def rotate_many_limb_sharded(ct, keys_stack, elts, galois_tool,
+                             plan: KeySwitchPlan, mesh: Mesh,
+                             is_ntt_form: bool = True):
+    """Hoisted k-rotation bundle on the one-gather schedule.
+
+    The in-core hoisting (Evaluator.apply_galois_many) computes the mod-up
+    digit decomposition of c1 ONCE and reuses it for every Galois element;
+    here the same hoist shares the schedule's ONE all_gather across all k
+    rotations — k switches for the ICI cost of one (the per-step Galois
+    permutation acts along the unsharded N axis, so it is device-local).
+
+    ct: GLOBAL u64[.., 2, n_ct, N] ciphertext data (NTT iff is_ntt_form),
+    sharded P(..., None, 'limb', None); keys_stack: u64[k, nb, 2, L_key, N]
+    stacked Galois-key tensors, one per element (KSwitchKeys.stacked order
+    matching `elts`); elts: static Galois elements; galois_tool: the
+    level's GaloisTool (permutation tables are baked into the program).
+
+    Returns u64[.., k, 2, n_ct, N] — the k rotated ciphertexts, sharded on
+    the limb axis like the input.  Rows bit-exact vs apply_galois_many.
+    """
+    C = mesh.shape["limb"]
+    if plan.n_ct_rns % C != 0:
+        raise ValueError(f"n_ct={plan.n_ct_rns} not divisible by limb={C}")
+    elts = tuple(int(e) for e in elts)
+    if np.asarray(keys_stack).shape[0] != len(elts):
+        raise ValueError("keys_stack leading axis must match elts")
+    cc_power = plan.ct_tables.coeff_count_power
+    cc = plan.ct_tables.coeff_count
+    norm, norm_specs = _plan_consts(plan, mesh, keys_stack)
+    sp_rows, sp_tables = _sp_consts(plan)
+    # permutation tables: NTT-domain take-index per element, plus the
+    # power-basis (gather, sign) pair for the BFV c0 path
+    ntt_perms = [galois_tool._ntt_table(e) for e in elts]
+    coeff_perms = [galois_tool._coeff_table(e) for e in elts]
+
+    def f(ct_local, c):
+        tab_own = _tables_from(c["tab"], cc_power, cc)
+        c0 = ct_local[..., 0, :, :]
+        c1 = ct_local[..., 1, :, :]
+        dig_own, dig_sp = _hoist_digits(c1, c, tab_own, plan, sp_rows,
+                                        sp_tables, is_ntt_form)
+        outs = []
+        for i in range(len(elts)):
+            perm = ntt_perms[i]
+            dgo = jnp.take(dig_own, perm, axis=-1)
+            dgs = jnp.take(dig_sp, perm, axis=-1)
+            d0, d1 = _inner_rescale(dgo, dgs, c["key"][i], c["key_sp"][i],
+                                    c, tab_own, plan, sp_rows, sp_tables,
+                                    is_ntt_form)
+            if is_ntt_form:
+                p0 = jnp.take(c0, perm, axis=-1)
+            else:
+                src, negm = coeff_perms[i]
+                g = jnp.take(c0, src, axis=-1)
+                p0 = jnp.where(negm, modops.neg_mod(g, c["p"]), g)
+            nc0 = modops.add_mod(p0, d0, c["p"])
+            outs.append(jnp.stack([nc0, d1], axis=-3))
+        return jnp.stack(outs, axis=-4)   # [.., k, 2, rpn, N]
+
+    nd = ct.ndim
+    in_spec = _data_spec(nd, mesh, 3)
+    # output [batch..., k, 2, rpn, N]: dp stays on the input's leading
+    # BATCH axis only — never on the new k (rotation-step) axis
+    out_lead = [None] * (nd - 2)
+    if "dp" in mesh.axis_names and nd > 3:
+        out_lead[0] = "dp"
+    out_spec = P(*(out_lead + [None, "limb", None]))
+
+    def build():
+        return shard_map(f, mesh, in_specs=(in_spec, norm_specs),
+                         out_specs=out_spec)
+
+    fn = _jit_cached(plan, mesh, ("rotmany", is_ntt_form, elts), nd, build)
+    return fn(ct, norm)
 
 
 def ckks_mul_relin_rescale_limb_sharded(a, b, key_vector_data,

@@ -222,6 +222,89 @@ def test_full_pipeline_realistic_shape():
     assert np.all(out[..., n_ct - 1, :] == 0)
 
 
+@needs4
+def test_rotate_many_hoisted_bit_exact_and_profile():
+    """Hoisted k-rotation bundle on the explicit schedule: bit-exact vs
+    Evaluator.apply_galois_many, and the compiled program contains exactly
+    ONE all-gather for ALL k rotations (the hoisted mod-up digits are
+    shared; per-step Galois permutations act on the unsharded N axis)."""
+    from gemini_seal_tpu.parallel.keyswitch_sp import rotate_many_limb_sharded
+
+    ctx, kg = setup(64, [30] * 5, nsp=1)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    tool = ctx.first_context_data().galois_tool
+    steps = [1, 2, -1]
+    elts = tool.get_elts_from_steps(steps)
+    gk = kg.galois_keys(elts)
+    ev = Evaluator(ctx)
+    plan = KeySwitchPlan(ctx, ctx.first_parms_id)
+
+    ct = enc.encrypt(encoder.encode([0.5, -1.25, 2.0, 0.125], 2.0 ** 25))
+    want = ev.apply_galois_many(ct, elts, gk)
+
+    keys_stack = gk.stacked(*elts)
+    mesh = _mesh_limb(4)
+    sh = NamedSharding(mesh, P(None, "limb", None))
+    data = jax.device_put(np.asarray(ct.data), sh)
+    out = np.asarray(
+        rotate_many_limb_sharded(data, keys_stack, elts, tool, plan, mesh)
+    )  # [k, 2, n_ct, N]
+    for i in range(len(elts)):
+        np.testing.assert_array_equal(out[i], np.asarray(want[i].data))
+
+    fn = jax.jit(
+        lambda t: rotate_many_limb_sharded(t, keys_stack, elts, tool, plan,
+                                           mesh),
+        in_shardings=(sh,),
+    )
+    stats = collective_stats(fn.lower(data).compile().as_text())
+    assert stats.count.get("all-gather", 0) == 1, stats
+    assert "all-reduce" not in stats.count, stats
+    assert "collective-permute" not in stats.count, stats
+    assert "all-to-all" not in stats.count, stats
+    # gather volume == ONE power-basis target for the whole bundle
+    assert stats.bytes["all-gather"] <= np.asarray(ct.data)[1].nbytes, stats
+
+
+@needs4
+def test_rotate_many_hoisted_bfv_power_basis():
+    """BFV hoisted rotation bundle (power-basis c0 permutation with sign
+    fold) on the explicit schedule, bit-exact vs apply_galois_many."""
+    from gemini_seal_tpu import PlainModulus, Plaintext
+    from gemini_seal_tpu.parallel.keyswitch_sp import rotate_many_limb_sharded
+
+    parms = EncryptionParameters(SchemeType.BFV)
+    n = 64
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.create(n, [30] * 5))
+    parms.set_plain_modulus(PlainModulus.batching(n, 17))
+    parms.set_random_seed(SEED)
+    ctx = SealContext(parms, sec_level=SecLevelType.none)
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    tool = ctx.first_context_data().galois_tool
+    steps = [1, -2]
+    elts = tool.get_elts_from_steps(steps)
+    gk = kg.galois_keys(elts)
+    ev = Evaluator(ctx)
+    plan = KeySwitchPlan(ctx, ctx.first_parms_id)
+
+    ct = enc.encrypt(Plaintext.from_hex("5x^3 + 3x^2 + 2"))
+    want = ev.apply_galois_many(ct, elts, gk)
+
+    keys_stack = gk.stacked(*elts)
+    mesh = _mesh_limb(4)
+    sh = NamedSharding(mesh, P(None, "limb", None))
+    data = jax.device_put(np.asarray(ct.data), sh)
+    out = np.asarray(
+        rotate_many_limb_sharded(data, keys_stack, elts, tool, plan, mesh,
+                                 is_ntt_form=False)
+    )
+    for i in range(len(elts)):
+        np.testing.assert_array_equal(out[i], np.asarray(want[i].data))
+
+
 needs8 = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 
 
