@@ -333,13 +333,15 @@ class CKKSEncoder:
         if abs(coeffd) >= 2.0 ** cd.total_coeff_modulus_bit_count:
             raise ValueError("encoded value is too large")
         n = self._n
-        coeffs = np.full(n, coeffd, dtype=np.float64)
-        bitcount = int(math.log2(max(abs(coeffd), 1.0))) + 2
-        dest = self._round_and_decompose(coeffs, cd, bitcount)
-        # constant poly: no embedding, no NTT needed except representation
-        out = np.asarray(ntt_forward(dest, cd.ntt_tables), dtype=np.uint64)
-        # NTT of a constant is the constant itself in every slot, but we keep
-        # the uniform path for clarity.
+        # A constant polynomial evaluates to the constant at every NTT
+        # point, so the NTT-form data IS the residue broadcast across all
+        # n positions — fill directly, NO forward NTT (reference
+        # ckks.cpp:128-214 fill_n's the residues with no transform).
+        rounded = math.copysign(math.floor(abs(coeffd) + 0.5), coeffd)
+        res = self._decompose_exact(
+            np.array([rounded], dtype=np.float64), cd.parms.coeff_modulus
+        )  # [L, 1]
+        out = np.broadcast_to(res, (res.shape[0], n)).copy()
         return Plaintext(data=out, parms_id=cd.parms_id, scale=scale)
 
     def encode_int(self, value: int, parms_id=None) -> Plaintext:
@@ -350,11 +352,12 @@ class CKKSEncoder:
         coeff_modulus = cd.parms.coeff_modulus
         n = self._n
         L = len(coeff_modulus)
+        # Constant poly: the broadcast residues ARE the NTT form (see
+        # _encode_scalar; reference ckks.cpp:252-271 fill_n, no transform).
         dest = np.zeros((L, n), dtype=np.uint64)
         for j, mod in enumerate(coeff_modulus):
             dest[j, :] = value % mod.value
-        out = np.asarray(ntt_forward(dest, cd.ntt_tables), dtype=np.uint64)
-        return Plaintext(data=out, parms_id=cd.parms_id, scale=1.0)
+        return Plaintext(data=dest, parms_id=cd.parms_id, scale=1.0)
 
     def _round_and_decompose(self, reals: np.ndarray, cd, bitcount: int) -> np.ndarray:
         """Round half away from zero; decompose into RNS exactly.

@@ -165,9 +165,28 @@ def test_square_rescale_square(setup):
 def test_encode_scalar_double(setup):
     ctx, kg, enc, dec, ev, encoder = setup
     pt = encoder.encode(3.14159, 2.0 ** 30)
-    got = encoder.decode(pt)
-    # scalar encodes broadcast to every slot (ckks.cpp:80-173)
+    got = encoder.decode(pt, as_complex=True)
+    # scalar encodes broadcast to every slot (ckks.cpp:80-173) — check the
+    # IMAGINARY parts too: the r3 regression (extra forward NTT on the
+    # broadcast residues) kept every real part exact while hiding huge
+    # imaginary slot junk (Re[2/(1-zeta)] == 1 identically).
     assert all(abs(g - 3.14159) < 1e-5 for g in got[:8])
+
+
+def test_scalar_plain_then_square(setup):
+    """(x + c)^2 through add_plain(scalar encode) + square — the exact
+    failure mode of a mis-formed constant plaintext (imaginary junk makes
+    the REAL part of the square wrong: (a+bi)^2 = a^2 - b^2 + ...)."""
+    ctx, kg, enc, dec, ev, encoder = setup
+    rk = kg.relin_keys()
+    scale = 2.0 ** 30
+    ct = enc.encrypt(encoder.encode([0.5, -1.25], scale))
+    pt = encoder.encode(0.3, scale)
+    s = ev.add_plain(ct, pt)
+    sq = ev.rescale_to_next(ev.relinearize(ev.square(s), rk))
+    got = encoder.decode(dec.decrypt(sq))
+    for g, x in zip(got[:2], [0.5, -1.25]):
+        assert abs(g - (x + 0.3) ** 2) < 1e-3, (g, (x + 0.3) ** 2)
 
 
 def test_encode_int64(setup):
