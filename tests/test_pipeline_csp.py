@@ -136,6 +136,87 @@ def test_switch_key_coeff_sharded_batched():
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(want1))
 
 
+@needs4
+def test_rotate_coeff_sharded_bit_exact_and_profile():
+    """One rotation under coefficient sharding: the Galois automorphism
+    is block-local (one collective-permute + local gather — see
+    _galois_block_plan), so the profile is the switch's all_to_alls plus
+    AT MOST one collective-permute, and rows are bit-exact vs
+    Evaluator.apply_galois."""
+    from gemini_seal_tpu import Evaluator
+    from gemini_seal_tpu.parallel.pipeline_csp import (
+        ckks_rotate_coeff_sharded,
+    )
+
+    ctx, kg = setup(1024, [30] * 6, nsp=1)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    tool = ctx.first_context_data().galois_tool
+    ev = Evaluator(ctx)
+    elt = tool.get_elt_from_step(2)
+    gk = kg.galois_keys([elt])
+    plan = KeySwitchPlan(ctx, ctx.first_parms_id)
+
+    ct = enc.encrypt(encoder.encode([0.5, -1.25, 2.0], 2.0 ** 25))
+    want = np.asarray(ev.apply_galois(ct, elt, gk).data)
+    kdata = gk.stacked(elt)
+
+    mesh = _mesh_coeff(4)
+    sh = NamedSharding(mesh, P(None, None, "coeff"))
+    ksh = NamedSharding(mesh, P(None, None, None, "coeff"))
+    data = jax.device_put(np.asarray(ct.data), sh)
+    dk = jax.device_put(kdata, ksh)
+    out = np.asarray(
+        ckks_rotate_coeff_sharded(data, dk, elt, tool, plan, mesh)
+    )
+    np.testing.assert_array_equal(out, want)
+
+    fn = jax.jit(
+        lambda x, k: ckks_rotate_coeff_sharded(x, k, elt, tool, plan, mesh),
+        in_shardings=(sh, ksh),
+    )
+    stats = collective_stats(fn.lower(data, dk).compile().as_text())
+    assert "all-gather" not in stats.count, stats
+    assert "all-reduce" not in stats.count, stats
+    assert stats.count.get("collective-permute", 0) <= 1, stats
+    assert stats.count.get("all-to-all", 0) > 0, stats
+
+
+@needs4
+def test_rotate_many_coeff_sharded_hoisted_bit_exact():
+    """Hoisted k-rotation bundle under coefficient sharding, bit-exact vs
+    Evaluator.apply_galois_many."""
+    from gemini_seal_tpu import Ciphertext, Evaluator
+    from gemini_seal_tpu.parallel.pipeline_csp import (
+        ckks_rotate_many_coeff_sharded,
+    )
+
+    ctx, kg = setup(1024, [30] * 6, nsp=1)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    tool = ctx.first_context_data().galois_tool
+    ev = Evaluator(ctx)
+    steps = [1, -1, 4]
+    elts = tool.get_elts_from_steps(steps)
+    gk = kg.galois_keys(elts)
+    plan = KeySwitchPlan(ctx, ctx.first_parms_id)
+
+    ct = enc.encrypt(encoder.encode([0.5, -1.25, 2.0, 3.5], 2.0 ** 25))
+    want = ev.apply_galois_many(ct, elts, gk)
+    keys_stack = gk.stacked(*elts)
+
+    mesh = _mesh_coeff(4)
+    sh = NamedSharding(mesh, P(None, None, "coeff"))
+    ksh = NamedSharding(mesh, P(None, None, None, None, "coeff"))
+    data = jax.device_put(np.asarray(ct.data), sh)
+    dk = jax.device_put(keys_stack, ksh)
+    out = np.asarray(
+        ckks_rotate_many_coeff_sharded(data, dk, elts, tool, plan, mesh)
+    )
+    for i in range(len(elts)):
+        np.testing.assert_array_equal(out[i], np.asarray(want[i].data))
+
+
 @needs8
 def test_dp_coeff_mixed_mesh():
     """(dp=2, coeff=4): batch axis data-parallel, coefficients sharded —
