@@ -673,6 +673,174 @@ def build_ckks_dense_layer(context: SealContext, diagonals, bias, scale: float,
     return step, out_parms_id, out_scale
 
 
+def build_ckks_conv2d(context: SealContext, kernel, height: int, width: int,
+                      scale: float, encoder, bias=None, parms_id=None,
+                      activation: str = None):
+    """Encrypted single-channel SAME-padding 2D convolution (+ bias +
+    optional square activation) over a row-major image packed in the CKKS
+    slots — the CNN building block of the encrypted-inference model zoo
+    (no reference analogue; the reference stops at the op layer).
+
+    A conv IS a matvec whose generalized diagonals are constant-per-tap:
+    out[r,c] = sum_{dy,dx} K[dy,dx] * img[r+dy, c+dx], so tap (dy, dx)
+    contributes diagonal step dy*width+dx holding K[dy,dx] MASKED to zero
+    wherever the source pixel falls outside the image (this turns the
+    slot-rotation's cyclic wrap into proper zero padding).  The whole
+    layer therefore rides the fused hoisted-matvec machinery: ONE mod-up,
+    ONE special-prime mod-down for all taps.
+
+    kernel: [kh, kw] floats (odd dims); image: height*width slots,
+    row-major, remaining slots zero.  Returns
+    (fn, out_parms_id, out_scale, rot_steps):
+    fn(ct_data, galois_keys_stack, relin_key) -> u64[..., 2, L_out, N];
+    make Galois keys for `rot_steps` (stack in that order).
+    """
+    import numpy as np
+
+    k = np.asarray(kernel, dtype=np.float64)
+    if k.ndim != 2 or k.shape[0] % 2 == 0 or k.shape[1] % 2 == 0:
+        raise ValueError("kernel must be 2-D with odd dimensions")
+    kh, kw = k.shape
+    if parms_id is None:
+        parms_id = context.first_parms_id
+    cd = context.get_context_data(parms_id)
+    slots = cd.parms.poly_modulus_degree // 2
+    if height * width > slots:
+        raise ValueError("image does not fit in the slot count")
+    if abs(kw // 2) >= width or abs(kh // 2) >= height:
+        raise ValueError("kernel larger than the image")
+
+    rr, cc = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
+    diagonals = {}
+    for dy in range(-(kh // 2), kh // 2 + 1):
+        for dx in range(-(kw // 2), kw // 2 + 1):
+            wt = float(k[dy + kh // 2, dx + kw // 2])
+            if wt == 0.0:
+                continue
+            valid = ((rr + dy >= 0) & (rr + dy < height)
+                     & (cc + dx >= 0) & (cc + dx < width))
+            mask = np.where(valid, wt, 0.0).reshape(-1)
+            diagonals[dy * width + dx] = mask.tolist()
+
+    if bias is None:
+        bias = [0.0] * (height * width)
+    fn, out_pid, out_scale = build_ckks_dense_layer(
+        context, diagonals, bias, scale, encoder,
+        parms_id=parms_id, activation=activation,
+    )
+    rot_steps = [s for s in sorted(diagonals.keys()) if s != 0]
+    return fn, out_pid, out_scale, rot_steps
+
+
+def build_ckks_logreg(context: SealContext, weights, intercept: float,
+                      scale: float, encoder, parms_id=None):
+    """Encrypted logistic-regression inference: p = sigmoid(w . x + b)
+    with the degree-3 least-squares sigmoid approximation
+    sigma(z) ~= 0.5 + 0.197 z - 0.004 z^3 (the standard HE logreg head).
+
+    Dataflow (4 modulus levels): w (*) x plain product -> rescale ->
+    log2 rotation doubling tree summing the feature slots (w . x lands in
+    slot 0, replicated each 2^m block) -> + b -> z^2 (dedicated square +
+    relin + rescale) -> u = a3 z^2 + a1 (plain) -> z * u (mul + relin +
+    rescale) -> + 0.5.
+
+    weights: F feature weights (F padded up to a power of two in-slot).
+    Returns (fn, out_parms_id, out_scale, rot_steps):
+    fn(x_data, galois_keys_stack, relin_key) -> u64[..., 2, L_out, N]
+    whose slot 0 decrypts to sigma(w . x + b); x_data packs the features
+    in slots [0, F) with the rest of each 2^m block zero.  Galois keys:
+    power-of-two steps `rot_steps`, stacked in that order.
+    """
+    import numpy as np
+
+    if parms_id is None:
+        parms_id = context.first_parms_id
+    cd0 = context.get_context_data(parms_id)
+    F = len(list(weights))
+    m = max(1, int(np.ceil(np.log2(max(F, 2)))))
+    slots = cd0.parms.poly_modulus_degree // 2
+    if (1 << m) > slots:
+        raise ValueError("feature count does not fit in the slot count")
+
+    # level chain: z at cd1, z^2 at cd2, u at cd3, output at cd4
+    cds = [cd0]
+    for _ in range(4):
+        nxt = cds[-1].next_context_data
+        if nxt is None:
+            raise ValueError("modulus chain too short for logreg (needs 5)")
+        cds.append(nxt)
+    cd1, cd2, cd3, cd4 = cds[1:]
+    q = [c.parms.coeff_modulus[-1].value for c in cds[:4]]
+
+    w_full = np.zeros(slots, dtype=np.float64)
+    w_full[:F] = np.asarray(list(weights), dtype=np.float64)
+    w_pt = np.asarray(encoder.encode(w_full.tolist(), scale, parms_id).data)
+
+    s1 = float(scale) * float(scale) / q[0]          # z scale at cd1
+    b_pt = np.asarray(encoder.encode(float(intercept), s1, cd1.parms_id).data)
+    s2 = s1 * s1 / q[1]                              # z^2 scale at cd2
+    A1, A3 = 0.197, -0.004
+    a3_pt = np.asarray(encoder.encode(A3, float(q[2]), cd2.parms_id).data)
+    su = s2 * float(q[2]) / q[2]                     # = s2, u scale at cd3
+    a1_pt = np.asarray(encoder.encode(A1, su, cd3.parms_id).data)
+    out_scale = s1 * su / q[3]
+    half_pt = np.asarray(encoder.encode(0.5, out_scale, cd4.parms_id).data)
+
+    limbs1 = cd1.limb_constants
+    limbs2 = cd2.limb_constants
+    limbs3 = cd3.limb_constants
+    limbs4 = cd4.limb_constants
+    L1 = len(cd1.parms.coeff_modulus)
+    L3 = len(cd3.parms.coeff_modulus)
+    plan1 = KeySwitchPlan(context, cd1.parms_id)
+    tool1 = cd1.galois_tool
+    rot_steps = [1 << i for i in range(m)]
+
+    sq = build_ckks_mul_relin_rescale(context, cd1.parms_id, square=True)
+    mul3 = build_ckks_mul_relin_rescale(context, cd3.parms_id)
+
+    def step(x, galois_keys_stack, relin_key):
+        # w (*) x, rescale -> z0 at cd1
+        t = jnp.stack([
+            dyadic_product(x[..., 0, :, :], w_pt, cds[0].limb_constants),
+            dyadic_product(x[..., 1, :, :], w_pt, cds[0].limb_constants),
+        ], axis=-3)
+        t = divide_and_round_q_last_ntt(
+            t, cds[0].device_rns_tool, cds[0].ntt_tables
+        )
+        # rotation doubling tree: z[i] = sum_j t[i+j] over each 2^m block
+        for i in range(m):
+            elt = tool1.get_elt_from_step(1 << i)
+            rc0 = tool1.apply_galois_ntt(t[..., 0, :, :], elt)
+            rc1 = tool1.apply_galois_ntt(t[..., 1, :, :], elt)
+            d0, d1 = switch_key(rc1, galois_keys_stack[i], plan1, True)
+            rot = jnp.stack([add_poly(rc0, d0, limbs1), d1], axis=-3)
+            t = add_poly(t, rot, limbs1)
+        # + b
+        zc0 = add_poly(t[..., 0, :, :], b_pt, limbs1)
+        z = jnp.concatenate([zc0[..., None, :, :], t[..., 1:, :, :]], axis=-3)
+        # z^2 at cd2
+        z2 = sq(z, relin_key)
+        # u = a3 * z^2 (+ a1), rescale -> cd3
+        u = jnp.stack([
+            dyadic_product(z2[..., 0, :, :], a3_pt, limbs2),
+            dyadic_product(z2[..., 1, :, :], a3_pt, limbs2),
+        ], axis=-3)
+        u = divide_and_round_q_last_ntt(
+            u, cd2.device_rns_tool, cd2.ntt_tables
+        )
+        uc0 = add_poly(u[..., 0, :, :], a1_pt, limbs3)
+        u = jnp.concatenate([uc0[..., None, :, :], u[..., 1:, :, :]], axis=-3)
+        # y = z * u (z mod-switch-dropped to cd3) -> cd4
+        y = mul3(z[..., :L3, :], u, relin_key)
+        # + 0.5
+        yc0 = add_poly(y[..., 0, :, :], half_pt, limbs4)
+        return jnp.concatenate([yc0[..., None, :, :], y[..., 1:, :, :]],
+                               axis=-3)
+
+    return step, cd4.parms_id, out_scale, rot_steps
+
+
 def build_bfv_matvec(context: SealContext, diagonals, batch_encoder,
                      parms_id=None) -> Callable:
     """Encrypted BFV matrix-vector product by the diagonal method with

@@ -748,3 +748,104 @@ def test_decrypt_batch_matches_per_ct():
     bouts = bdec.decrypt_batch(bbatch, bcts[0].parms_id, False)
     for ct, pt in zip(bcts, bouts):
         assert pt.to_hex() == bdec.decrypt(ct).to_hex()
+
+
+def test_ckks_conv2d():
+    """build_ckks_conv2d: SAME-padding conv over a slot-packed image ==
+    numpy direct convolution (masked diagonals turn the cyclic slot
+    rotation into true zero padding)."""
+    import jax
+    from gemini_seal_tpu.ciphertext import Ciphertext
+    from gemini_seal_tpu.models.pipelines import build_ckks_conv2d
+
+    ctx, kg = ckks_setup(n=256, bits=(50, 40, 40, 50))
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    dec = Decryptor(ctx, kg.secret_key)
+    tool = ctx.first_context_data().galois_tool
+    rk = kg.relin_keys()
+    scale = 2.0 ** 40
+    h, w = 5, 6
+
+    rng = np.random.default_rng(3)
+    img = rng.uniform(-1, 1, size=(h, w))
+    k = rng.uniform(-0.5, 0.5, size=(3, 3))
+    b = rng.uniform(-0.2, 0.2, size=h * w)
+
+    want = np.zeros((h, w))
+    for r in range(h):
+        for c in range(w):
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if 0 <= r + dy < h and 0 <= c + dx < w:
+                        want[r, c] += k[dy + 1, dx + 1] * img[r + dy, c + dx]
+    want = want.reshape(-1) + b
+
+    slots = encoder.slot_count
+    x_slots = np.zeros(slots)
+    x_slots[: h * w] = img.reshape(-1)
+    ct = enc.encrypt(encoder.encode(x_slots.tolist(), scale))
+
+    fn, out_id, out_scale, rot_steps = build_ckks_conv2d(
+        ctx, k, h, w, scale, encoder, bias=b.tolist(), activation=None
+    )
+    elts = [tool.get_elt_from_step(s) for s in rot_steps]
+    gk = kg.galois_keys(elts)
+    gk_stack = gk.stacked(*elts)
+    rk_data = rk.stacked(2)
+
+    out = np.asarray(jax.jit(fn)(np.asarray(ct.data), gk_stack, rk_data))
+    got = encoder.decode(dec.decrypt(Ciphertext(out, out_id, True, out_scale)))
+    for g, t in zip(got[: h * w], want):
+        assert abs(g - t) < 1e-3, (got[: h * w], want)
+
+    # square activation variant
+    fns, out_ids, out_scales, _ = build_ckks_conv2d(
+        ctx, k, h, w, scale, encoder, bias=b.tolist(), activation="square"
+    )
+    outs = np.asarray(jax.jit(fns)(np.asarray(ct.data), gk_stack, rk_data))
+    gots = encoder.decode(
+        dec.decrypt(Ciphertext(outs, out_ids, True, out_scales))
+    )
+    for g, t in zip(gots[: h * w], want ** 2):
+        assert abs(g - t) < 1e-3, (gots[: h * w], want ** 2)
+
+
+def test_ckks_logreg():
+    """build_ckks_logreg: encrypted sigmoid(w . x + b) head matches the
+    plain degree-3 approximation 0.5 + 0.197 z - 0.004 z^3."""
+    import jax
+    from gemini_seal_tpu.ciphertext import Ciphertext
+    from gemini_seal_tpu.models.pipelines import build_ckks_logreg
+
+    ctx, kg = ckks_setup(n=256, bits=(50, 40, 40, 40, 40, 50))
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    dec = Decryptor(ctx, kg.secret_key)
+    tool = ctx.first_context_data().galois_tool
+    rk = kg.relin_keys()
+    scale = 2.0 ** 40
+
+    rng = np.random.default_rng(11)
+    F = 4
+    wts = rng.uniform(-0.5, 0.5, size=F)
+    x = rng.uniform(-1, 1, size=F)
+    intercept = 0.3
+    z = float(wts @ x + intercept)
+    want = 0.5 + 0.197 * z - 0.004 * z ** 3
+
+    fn, out_id, out_scale, rot_steps = build_ckks_logreg(
+        ctx, wts.tolist(), intercept, scale, encoder
+    )
+    elts = [tool.get_elt_from_step(s) for s in rot_steps]
+    gk = kg.galois_keys(elts)
+    gk_stack = gk.stacked(*elts)
+    rk_data = rk.stacked(2)
+
+    slots = encoder.slot_count
+    x_slots = np.zeros(slots)
+    x_slots[:F] = x
+    ct = enc.encrypt(encoder.encode(x_slots.tolist(), scale))
+    out = np.asarray(jax.jit(fn)(np.asarray(ct.data), gk_stack, rk_data))
+    got = encoder.decode(dec.decrypt(Ciphertext(out, out_id, True, out_scale)))
+    assert abs(got[0] - want) < 1e-2, (got[0], want, z)
