@@ -40,6 +40,7 @@ __all__ = [
     "build_ckks_rotate_many",
     "build_ckks_poly_eval",
     "build_ckks_matvec",
+    "build_ckks_matvec_bsgs",
     "build_ckks_dense_layer",
     "build_bfv_mul_relin",
     "build_bfv_mul_relin_modswitch",
@@ -606,6 +607,152 @@ def build_ckks_matvec(context: SealContext, diagonals, scale: float,
         return acc
 
     return step
+
+
+def build_ckks_matvec_bsgs(context: SealContext, diagonals, scale: float,
+                           encoder, parms_id=None, baby: int = None):
+    """Baby-step/giant-step encrypted matvec (Halevi-Shoup): k generalized
+    diagonals cost B-1 baby + G-1 giant key-switch inner products instead
+    of k-1, with B*G >= k and B ~ sqrt(k) — the standard rotation-count
+    reduction for LARGE encrypted linear layers (no reference analogue;
+    the reference stops at per-op rotations, evaluator.cpp:1945-2000).
+
+    Identity: diag_d (*) rot(x, d) = rot(rot(diag_d, -gB) (*) rot(x, b), gB)
+    for d = gB + b, so the matvec regroups as
+        y = sum_g rot_{gB}( S_g ),   S_g = sum_b diag'_{g,b} (*) rot_b(x).
+    Schedule: ONE hoisted mod-up feeds every baby rotation's raw
+    inner-product accumulator; each S_g (g>=1) is materialized with its
+    own special-prime mod-down, giant-rotated, and its key-switch raws are
+    summed with S_0's raws for ONE final mod-down (same bounded
+    interpolation-rounding argument as ops.keyswitch.fused_moddown — the
+    result decrypts equal to, but is not bit-identical with, the
+    rotation-by-rotation path).
+
+    diagonals: {step d >= 0: slot values}; baby: B (default ~sqrt(max d)).
+    Returns (fn, rot_steps): fn(ct, galois_keys_stack) -> u64[..., 2, L, N]
+    at the SAME level with scale*scale; galois_keys_stack stacked in
+    `rot_steps` order (baby steps then giant steps).
+    """
+    import numpy as np
+
+    from ..modulus import Modulus
+    from ..ops.keyswitch import rescale_special
+
+    if parms_id is None:
+        parms_id = context.first_parms_id
+    cd = context.get_context_data(parms_id)
+    limbs = cd.limb_constants
+    tool = cd.galois_tool
+    plan = KeySwitchPlan(context, parms_id)
+    slots = cd.parms.poly_modulus_degree // 2
+
+    steps = sorted(int(s) for s in diagonals.keys())
+    if any(s < 0 for s in steps):
+        raise ValueError("bsgs matvec expects non-negative diagonal steps")
+    if baby is None:
+        baby = max(1, int(np.ceil(np.sqrt(len(steps)))))
+    B = int(baby)
+    groups = {}                       # giant g -> {baby b: slot vector}
+    for s in steps:
+        g, b = divmod(s, B)
+        groups.setdefault(g, {})[b] = np.asarray(
+            list(diagonals[s]), dtype=np.complex128
+        )
+    giants = sorted(groups.keys())
+    babies = sorted({b for gd in groups.values() for b in gd})
+    baby_rot = [b for b in babies if b != 0]
+    giant_rot = [g * B for g in giants if g != 0]
+    rot_steps = baby_rot + giant_rot
+    baby_elts = {b: tool.get_elt_from_step(b) for b in baby_rot}
+    giant_elts = {g: tool.get_elt_from_step(g * B) for g in giants if g != 0}
+
+    ext_mods = [Modulus(p) for p in plan.ext_moduli]
+    ext_limbs = plan.ext_limbs
+
+    def enc_pair(vec, pre_rot: int):
+        """(ct-base, ext-base) NTT encodings of rot(vec, -pre_rot)."""
+        v = np.roll(vec, pre_rot)[:slots].tolist()
+        pt = np.asarray(encoder.encode(v, scale, parms_id).data)
+        pt_ext = encoder.encode_at_base(v, scale, parms_id, ext_mods,
+                                        plan.ext_tables)
+        return pt, pt_ext
+
+    plains = {
+        (g, b): enc_pair(vec, g * B)
+        for g, gd in groups.items() for b, vec in gd.items()
+    }
+
+    def step(ct, galois_keys_stack):
+        c0 = ct[..., 0, :, :]
+        c1 = ct[..., 1, :, :]
+        ct_k = compute_modup_digits(c1, plan, True)     # hoisted once
+        # baby plane: raw key-switch accumulators per baby step
+        raws = {}                                       # b -> (a0, a1) ext
+        rot_c0 = {0: c0}
+        for i, b in enumerate(baby_rot):
+            elt = baby_elts[b]
+            a0, a1 = keyswitch_inner_product(
+                tool.apply_galois_ntt(ct_k, elt), galois_keys_stack[i],
+                plan, True, raw=True,
+            )
+            raws[b] = (a0, a1)
+            rot_c0[b] = tool.apply_galois_ntt(c0, elt)
+
+        fin0_ct = None          # ct-base c0 accumulator
+        fin0_raw = None         # ext-base raw accumulators (final mod-down)
+        fin1_raw = None
+        fin1_ct = None          # d=0 diagonal's c1 term
+        for gi, g in enumerate(giants):
+            s0_raw = s1_raw = None
+            s0_ct = s1_ct = None
+            for b, _ in sorted(groups[g].items()):
+                pt, pt_ext = plains[(g, b)]
+                p0 = dyadic_product(rot_c0[b], pt, limbs)
+                s0_ct = p0 if s0_ct is None else add_poly(s0_ct, p0, limbs)
+                if b == 0:
+                    p1 = dyadic_product(c1, pt, limbs)
+                    s1_ct = p1 if s1_ct is None else add_poly(s1_ct, p1, limbs)
+                else:
+                    a0, a1 = raws[b]
+                    t0 = dyadic_product(a0, pt_ext, ext_limbs)
+                    t1 = dyadic_product(a1, pt_ext, ext_limbs)
+                    s0_raw = t0 if s0_raw is None else add_poly(t0, s0_raw, ext_limbs)
+                    s1_raw = t1 if s1_raw is None else add_poly(t1, s1_raw, ext_limbs)
+            if g == 0:
+                # fold S_0 straight into the final accumulators
+                fin0_ct = s0_ct if fin0_ct is None else add_poly(fin0_ct, s0_ct, limbs)
+                fin1_ct = s1_ct
+                fin0_raw, fin1_raw = s0_raw, s1_raw
+                continue
+            # materialize S_g, then giant-rotate it
+            sg0, sg1 = s0_ct, s1_ct
+            if s0_raw is not None:
+                d0 = rescale_special(s0_raw, plan, is_ntt_output=True)
+                d1 = rescale_special(s1_raw, plan, is_ntt_output=True)
+                sg0 = d0 if sg0 is None else add_poly(sg0, d0, limbs)
+                sg1 = d1 if sg1 is None else add_poly(sg1, d1, limbs)
+            elt = giant_elts[g]
+            key = galois_keys_stack[len(baby_rot) + giant_rot.index(g * B)]
+            gk_digits = compute_modup_digits(
+                tool.apply_galois_ntt(sg1, elt), plan, True
+            )
+            a0, a1 = keyswitch_inner_product(gk_digits, key, plan, True,
+                                             raw=True)
+            fin0_raw = a0 if fin0_raw is None else add_poly(fin0_raw, a0, ext_limbs)
+            fin1_raw = a1 if fin1_raw is None else add_poly(fin1_raw, a1, ext_limbs)
+            g0 = tool.apply_galois_ntt(sg0, elt)
+            fin0_ct = g0 if fin0_ct is None else add_poly(fin0_ct, g0, limbs)
+
+        out0 = fin0_ct
+        out1 = fin1_ct
+        if fin0_raw is not None:
+            d0 = rescale_special(fin0_raw, plan, is_ntt_output=True)
+            d1 = rescale_special(fin1_raw, plan, is_ntt_output=True)
+            out0 = d0 if out0 is None else add_poly(out0, d0, limbs)
+            out1 = d1 if out1 is None else add_poly(out1, d1, limbs)
+        return jnp.stack([out0, out1], axis=-3)
+
+    return step, rot_steps
 
 
 def build_ckks_dense_layer(context: SealContext, diagonals, bias, scale: float,

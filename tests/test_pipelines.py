@@ -849,3 +849,106 @@ def test_ckks_logreg():
     out = np.asarray(jax.jit(fn)(np.asarray(ct.data), gk_stack, rk_data))
     got = encoder.decode(dec.decrypt(Ciphertext(out, out_id, True, out_scale)))
     assert abs(got[0] - want) < 1e-2, (got[0], want, z)
+
+
+def test_bsgs_matvec():
+    """Baby-step/giant-step matvec == flat hoisted matvec == M @ x (the
+    BSGS regrouping rot_{gB}(rot(diag,-gB) (*) rot(x,b)) must reproduce
+    the diagonal method exactly up to the fused mod-down's sub-noise
+    interpolation rounding)."""
+    import jax
+    from gemini_seal_tpu.ciphertext import Ciphertext
+    from gemini_seal_tpu.models.pipelines import (build_ckks_matvec,
+                                                  build_ckks_matvec_bsgs)
+
+    ctx, kg = ckks_setup(n=512, bits=(50, 40, 50))
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    dec = Decryptor(ctx, kg.secret_key)
+    tool = ctx.first_context_data().galois_tool
+    scale = 2.0 ** 40
+    k = 16
+
+    rng = np.random.default_rng(7)
+    M = rng.uniform(-1, 1, size=(k, k))
+    x = rng.uniform(-1, 1, size=k)
+    slots = encoder.slot_count
+    x_slots = [x[i % k] for i in range(slots)]
+    diagonals = {
+        d: [M[i % k, (i + d) % k] for i in range(slots)] for d in range(k)
+    }
+    want = M @ x
+
+    ct = enc.encrypt(encoder.encode(x_slots, scale))
+
+    fn, rot_steps = build_ckks_matvec_bsgs(ctx, diagonals, scale, encoder)
+    # B = ceil(sqrt(16)) = 4: 3 baby + 3 giant rotations vs 15 flat
+    assert rot_steps == [1, 2, 3, 4, 8, 12], rot_steps
+    elts = [tool.get_elt_from_step(s) for s in rot_steps]
+    gk = kg.galois_keys(elts)
+    out = np.asarray(
+        jax.jit(fn)(np.asarray(ct.data), gk.stacked(*elts))
+    )
+    got = encoder.decode(
+        dec.decrypt(Ciphertext(out, ct.parms_id, True, scale * scale))
+    )
+    for i in range(k):
+        assert abs(got[i] - want[i]) < 1e-3, (i, got[i], want[i])
+
+    # flat hoisted path on the same inputs agrees closely (both decrypt
+    # to M @ x; they differ only by mod-down rounding placement)
+    flat_steps = sorted(s for s in diagonals if s != 0)
+    flat_elts = [tool.get_elt_from_step(s) for s in flat_steps]
+    gk_flat = kg.galois_keys(flat_elts)
+    flat = jax.jit(build_ckks_matvec(ctx, diagonals, scale, encoder))
+    out_f = np.asarray(
+        flat(np.asarray(ct.data), gk_flat.stacked(*flat_elts))
+    )
+    got_f = encoder.decode(
+        dec.decrypt(Ciphertext(out_f, ct.parms_id, True, scale * scale))
+    )
+    for a, b in zip(got[:k], got_f[:k]):
+        assert abs(a - b) < 1e-4
+
+
+def test_bsgs_matvec_sparse_groups():
+    """BSGS with a sparse diagonal set (missing baby/giant combinations,
+    no step-0 diagonal) still computes the right linear map."""
+    import jax
+    from gemini_seal_tpu.ciphertext import Ciphertext
+    from gemini_seal_tpu.models.pipelines import build_ckks_matvec_bsgs
+
+    ctx, kg = ckks_setup(n=512, bits=(50, 40, 50))
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    dec = Decryptor(ctx, kg.secret_key)
+    tool = ctx.first_context_data().galois_tool
+    scale = 2.0 ** 40
+    n_block = 16
+
+    rng = np.random.default_rng(17)
+    keep = [1, 2, 5, 7, 11, 14]          # no 0, giant group 2 sparse
+    M = np.zeros((n_block, n_block))
+    for d in keep:
+        for i in range(n_block):
+            M[i, (i + d) % n_block] = rng.uniform(-1, 1)
+    x = rng.uniform(-1, 1, size=n_block)
+    slots = encoder.slot_count
+    x_slots = [x[i % n_block] for i in range(slots)]
+    diagonals = {
+        d: [M[i % n_block, (i + d) % n_block] for i in range(slots)]
+        for d in keep
+    }
+    want = M @ x
+
+    ct = enc.encrypt(encoder.encode(x_slots, scale))
+    fn, rot_steps = build_ckks_matvec_bsgs(ctx, diagonals, scale, encoder,
+                                           baby=4)
+    elts = [tool.get_elt_from_step(s) for s in rot_steps]
+    gk = kg.galois_keys(elts)
+    out = np.asarray(jax.jit(fn)(np.asarray(ct.data), gk.stacked(*elts)))
+    got = encoder.decode(
+        dec.decrypt(Ciphertext(out, ct.parms_id, True, scale * scale))
+    )
+    for i in range(n_block):
+        assert abs(got[i] - want[i]) < 1e-3, (i, got[i], want[i])
