@@ -42,6 +42,9 @@ __all__ = [
     "build_ckks_matvec",
     "build_ckks_matvec_bsgs",
     "build_ckks_dense_layer",
+    "build_ckks_conv2d",
+    "build_ckks_logreg",
+    "build_ckks_cnn",
     "build_bfv_mul_relin",
     "build_bfv_mul_relin_modswitch",
     "build_bfv_rotate_many",
@@ -756,7 +759,8 @@ def build_ckks_matvec_bsgs(context: SealContext, diagonals, scale: float,
 
 
 def build_ckks_dense_layer(context: SealContext, diagonals, bias, scale: float,
-                           encoder, parms_id=None, activation: str = "square"):
+                           encoder, parms_id=None, activation: str = "square",
+                           bsgs: bool = False):
     """One ENTIRE encrypted dense layer y = act(M @ x + b) as a single
     jitted program (the ex9 flow fused end to end; no reference analogue —
     the reference composes per-op C++ calls):
@@ -767,6 +771,10 @@ def build_ckks_dense_layer(context: SealContext, diagonals, bias, scale: float,
 
     diagonals: {step: slot values} of M (diagonal method); bias: slot
     values of b.  activation: "square" or None (linear layer).
+    bsgs=True routes the matvec through build_ckks_matvec_bsgs
+    (~2*sqrt(k) key switches; requires non-negative steps) — the
+    rotation-key steps then differ from sorted(diagonals), so read them
+    from the returned fn's `rot_steps` attribute (set for both paths).
 
     Returns (fn, out_parms_id, out_scale):
     fn(ct_data, galois_keys_stack, relin_key) -> u64[..., 2, L_out, N]
@@ -780,7 +788,13 @@ def build_ckks_dense_layer(context: SealContext, diagonals, bias, scale: float,
     cd1 = cd0.next_context_data
     if cd1 is None or (activation == "square" and cd1.next_context_data is None):
         raise ValueError("modulus chain too short for a dense layer")
-    mv_step = build_ckks_matvec(context, diagonals, scale, encoder, parms_id)
+    if bsgs:
+        mv_step, rot_steps = build_ckks_matvec_bsgs(
+            context, diagonals, scale, encoder, parms_id)
+    else:
+        mv_step = build_ckks_matvec(context, diagonals, scale, encoder,
+                                    parms_id)
+        rot_steps = [s for s in sorted(diagonals) if s != 0]
     q0 = cd0.parms.coeff_modulus[-1].value
     scale_r = scale * scale / q0
     limbs1 = cd1.limb_constants
@@ -817,12 +831,13 @@ def build_ckks_dense_layer(context: SealContext, diagonals, bias, scale: float,
             y = divide_and_round_q_last_ntt(y, tool1, tables1)
         return y
 
+    step.rot_steps = rot_steps
     return step, out_parms_id, out_scale
 
 
 def build_ckks_conv2d(context: SealContext, kernel, height: int, width: int,
                       scale: float, encoder, bias=None, parms_id=None,
-                      activation: str = None):
+                      activation: str = None, periodic: bool = False):
     """Encrypted single-channel SAME-padding 2D convolution (+ bias +
     optional square activation) over a row-major image packed in the CKKS
     slots — the CNN building block of the encrypted-inference model zoo
@@ -837,7 +852,11 @@ def build_ckks_conv2d(context: SealContext, kernel, height: int, width: int,
     ONE special-prime mod-down for all taps.
 
     kernel: [kh, kw] floats (odd dims); image: height*width slots,
-    row-major, remaining slots zero.  Returns
+    row-major, remaining slots zero.  periodic=True tiles the masked
+    diagonals across the whole slot vector (requires slots % (h*w) == 0):
+    with a block-periodic input the output is block-periodic too — the
+    contract downstream dense layers need for their cyclic wraps (see
+    build_ckks_cnn).  Returns
     (fn, out_parms_id, out_scale, rot_steps):
     fn(ct_data, galois_keys_stack, relin_key) -> u64[..., 2, L_out, N];
     make Galois keys for `rot_steps` (stack in that order).
@@ -856,6 +875,8 @@ def build_ckks_conv2d(context: SealContext, kernel, height: int, width: int,
         raise ValueError("image does not fit in the slot count")
     if abs(kw // 2) >= width or abs(kh // 2) >= height:
         raise ValueError("kernel larger than the image")
+    if periodic and slots % (height * width) != 0:
+        raise ValueError("periodic conv needs slot_count % (h*w) == 0")
 
     rr, cc = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
     diagonals = {}
@@ -867,6 +888,8 @@ def build_ckks_conv2d(context: SealContext, kernel, height: int, width: int,
             valid = ((rr + dy >= 0) & (rr + dy < height)
                      & (cc + dx >= 0) & (cc + dx < width))
             mask = np.where(valid, wt, 0.0).reshape(-1)
+            if periodic:
+                mask = np.tile(mask, slots // (height * width))
             diagonals[dy * width + dx] = mask.tolist()
 
     if bias is None:
@@ -988,6 +1011,60 @@ def build_ckks_logreg(context: SealContext, weights, intercept: float,
     return step, cd4.parms_id, out_scale, rot_steps
 
 
+def build_ckks_cnn(context: SealContext, convs, dense, height: int,
+                   width: int, scale: float, encoder, bsgs: bool = True):
+    """Encrypted CNN inference: convolution layers over a slot-packed
+    row-major image followed by dense layers, chained down the modulus
+    chain as ONE jittable program (the CryptoNets-style flagship of the
+    model zoo; no reference analogue — the reference stops at the op
+    layer).
+
+    The input image must be packed BLOCK-PERIODICALLY: slot i holds pixel
+    (i mod h*w) of the row-major image, repeated across the whole slot
+    vector (slots % (h*w) == 0) — conv layers run in periodic mode so
+    every layer's output keeps the periodic contract the dense layers'
+    cyclic rotations rely on.
+
+    convs: [(kernel [kh, kw], bias_slot_values_or_None, activation), ...]
+    (stride-1 SAME convs via build_ckks_conv2d's masked diagonals);
+    dense: [(diagonals, bias, activation), ...] (diagonal method;
+    bsgs=True routes them through the baby-step/giant-step schedule).
+    Each linear layer consumes one modulus level, each squared layer two.
+
+    Returns (fn, out_parms_id, out_scale):
+    fn(ct_data, [gk_stack_per_layer], relin_key) -> u64[..., 2, L_out, N];
+    per-layer rotation-key steps on fn.rot_steps (list of lists, conv
+    layers first).
+    """
+    fns = []
+    steps_all = []
+    pid = context.first_parms_id
+    cur = float(scale)
+    for kernel, bias, act in convs:
+        fn, pid, cur, rsteps = build_ckks_conv2d(
+            context, kernel, height, width, cur, encoder,
+            bias=bias, parms_id=pid, activation=act, periodic=True,
+        )
+        fns.append(fn)
+        steps_all.append(rsteps)
+    for diagonals, bias, act in dense:
+        fn, pid, cur = build_ckks_dense_layer(
+            context, diagonals, bias, cur, encoder,
+            parms_id=pid, activation=act, bsgs=bsgs,
+        )
+        fns.append(fn)
+        steps_all.append(fn.rot_steps)
+
+    def step(ct, gk_stacks, relin_key):
+        y = ct
+        for fn, g in zip(fns, gk_stacks):
+            y = fn(y, g, relin_key)
+        return y
+
+    step.rot_steps = steps_all
+    return step, pid, cur
+
+
 def build_bfv_matvec(context: SealContext, diagonals, batch_encoder,
                      parms_id=None) -> Callable:
     """Encrypted BFV matrix-vector product by the diagonal method with
@@ -1095,13 +1172,18 @@ def build_bfv_matvec(context: SealContext, diagonals, batch_encoder,
     return step
 
 
-def build_ckks_mlp(context: SealContext, layers, scale: float, encoder):
+def build_ckks_mlp(context: SealContext, layers, scale: float, encoder,
+                   bsgs: bool = False):
     """Multi-layer encrypted MLP: chain of build_ckks_dense_layer programs
     walking down the modulus chain (each linear layer consumes one level,
     each square-activated layer two).
 
     layers: [(diagonals, bias, activation), ...] with activation "square"
-    or None.  Returns (fn, out_parms_id, out_scale):
+    or None.  bsgs routes every matvec through the baby-step/giant-step
+    schedule; per-layer rotation-key steps are on the returned fn's
+    `rot_steps` attribute (a list of lists, one per layer).
+
+    Returns (fn, out_parms_id, out_scale):
     fn(ct_data, [gk_stack_per_layer], relin_key) -> u64[..., 2, L_out, N].
     """
     fns = []
@@ -1110,7 +1192,7 @@ def build_ckks_mlp(context: SealContext, layers, scale: float, encoder):
     for diagonals, bias, act in layers:
         fn, pid, cur_scale = build_ckks_dense_layer(
             context, diagonals, bias, cur_scale, encoder,
-            parms_id=pid, activation=act,
+            parms_id=pid, activation=act, bsgs=bsgs,
         )
         fns.append(fn)
 
@@ -1120,4 +1202,5 @@ def build_ckks_mlp(context: SealContext, layers, scale: float, encoder):
             y = fn(y, g, relin_key)
         return y
 
+    step.rot_steps = [fn.rot_steps for fn in fns]
     return step, pid, cur_scale

@@ -952,3 +952,97 @@ def test_bsgs_matvec_sparse_groups():
     )
     for i in range(n_block):
         assert abs(got[i] - want[i]) < 1e-3, (i, got[i], want[i])
+
+
+def test_ckks_cnn():
+    """build_ckks_cnn: conv(3x3)+square then BSGS dense+square then linear
+    readout — the whole encrypted CNN as one program matches the numpy
+    forward pass."""
+    import jax
+    from gemini_seal_tpu.ciphertext import Ciphertext
+    from gemini_seal_tpu.models.pipelines import build_ckks_cnn
+
+    ctx, kg = ckks_setup(
+        n=1024, bits=(50, 40, 40, 40, 40, 40, 40, 50)
+    )
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    dec = Decryptor(ctx, kg.secret_key)
+    tool = ctx.first_context_data().galois_tool
+    rk = kg.relin_keys()
+    scale = 2.0 ** 40
+    h, w = 8, 8
+    hw = h * w
+
+    rng = np.random.default_rng(5)
+    img = rng.uniform(-0.5, 0.5, size=(h, w))
+    k1 = rng.uniform(-0.5, 0.5, size=(3, 3))
+    cb = rng.uniform(-0.1, 0.1, size=hw)
+    dense_steps = [0, 1, 2, 3, 5, 9, 17]      # sparse 64x64 over the block
+    M = np.zeros((hw, hw))
+    for d in dense_steps:
+        for i in range(hw):
+            M[i, (i + d) % hw] = rng.uniform(-0.2, 0.2)
+    db = rng.uniform(-0.1, 0.1, size=hw)
+    R = np.zeros((hw, hw))               # linear readout, 3 diagonals
+    for d in (0, 1, 2):
+        for i in range(hw):
+            R[i, (i + d) % hw] = rng.uniform(-0.3, 0.3)
+
+    # numpy forward pass (wrap-around semantics within the hw block for
+    # the dense layers; zero-padded SAME conv for the conv layer)
+    conv = np.zeros((h, w))
+    for r in range(h):
+        for c in range(w):
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if 0 <= r + dy < h and 0 <= c + dx < w:
+                        conv[r, c] += k1[dy + 1, dx + 1] * img[r + dy, c + dx]
+    a1 = (conv.reshape(-1) + cb) ** 2
+    a2 = (M @ a1 + db) ** 2
+    want = R @ a2
+
+    slots = encoder.slot_count
+    x = np.zeros(slots)
+    x[:hw] = img.reshape(-1)
+    # dense layers wrap cyclically over the FULL slot vector, so extend
+    # the block periodically (pipelines' diagonal-method contract)
+    diagonals = {
+        d: [M[i % hw, (i + d) % hw] for i in range(slots)]
+        for d in dense_steps
+    }
+    readout = {
+        d: [R[i % hw, (i + d) % hw] for i in range(slots)] for d in (0, 1, 2)
+    }
+    # block-periodic input so slot-vector rotations match block wraps:
+    x_per = np.zeros(slots)
+    x_per[:] = [img.reshape(-1)[i % hw] for i in range(slots)]
+    db_per = [db[i % hw] for i in range(slots)]
+    cb_per = [cb[i % hw] for i in range(slots)]
+
+    fn, out_pid, out_scale = build_ckks_cnn(
+        ctx,
+        convs=[(k1, cb_per, "square")],
+        dense=[(diagonals, db_per, "square"),
+               (readout, [0.0] * slots, None)],
+        height=h, width=w, scale=scale, encoder=encoder, bsgs=True,
+    )
+    # conv flat steps; dense layers on the BSGS schedule
+    # B=3: babies {1,2}, giant groups {3,9,15}
+    assert fn.rot_steps[1] == [1, 2, 3, 9, 15], fn.rot_steps[1]
+
+    gk_stacks = []
+    for layer_steps in fn.rot_steps:
+        elts = [tool.get_elt_from_step(s) for s in layer_steps]
+        gk = kg.galois_keys(elts)
+        gk_stacks.append(gk.stacked(*elts))
+
+    ct = enc.encrypt(encoder.encode(x_per.tolist(), scale))
+    out = np.asarray(
+        jax.jit(lambda c, g0, g1, g2, r: fn(c, (g0, g1, g2), r))(
+            np.asarray(ct.data), *gk_stacks, rk.stacked(2)
+        )
+    )
+    got = encoder.decode(dec.decrypt(Ciphertext(out, out_pid, True, out_scale)))
+    for i in range(hw):
+        assert abs(got[i] - want[i]) < 2e-2, (i, got[i], want[i])
