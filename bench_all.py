@@ -318,6 +318,103 @@ def main():
         ops = _sync_time(lambda s, c, k: step(s, c, k), (da, dk), mb, cfg.iters)
         emit(f"ckks_dense8x8_hoisted_n{n}_layers_per_s", ops, "encrypted_layers/s")
 
+    # ---- cnn: whole encrypted CNN inference (ex11 network) --------------
+    if _want("cnn"):
+        n = 1024 if small else 4096
+        bits = ([50, 40, 40, 40, 40, 50] if small
+                else [50, 40, 40, 40, 40, 40, 40, 50])
+        parms = EncryptionParameters(SchemeType.CKKS)
+        parms.set_poly_modulus_degree(n)
+        parms.set_coeff_modulus(CoeffModulus.create(n, bits))
+        parms.set_random_seed(tuple(range(8)))
+        ctx = SealContext(parms, sec_level=SecLevelType.none)
+        kg = KeyGenerator(ctx)
+        enc = Encryptor(ctx, public_key=kg.public_key())
+        encoder = CKKSEncoder(ctx)
+        tool = ctx.first_context_data().galois_tool
+        rk = kg.relin_keys()
+        from gemini_seal_tpu.models.pipelines import build_ckks_cnn
+        h = w = 8 if small else 16
+        hw = h * w
+        rng = np.random.default_rng(2)
+        slots = encoder.slot_count
+        kern = rng.uniform(-0.4, 0.4, size=(3, 3))
+        M = np.zeros((hw, hw))
+        for d in range(16):
+            for i in range(hw):
+                M[i, (i + d) % hw] = rng.uniform(-0.15, 0.15)
+        R = np.zeros((hw, hw))
+        for d in range(10):
+            for i in range(hw):
+                R[i, (i + d) % hw] = rng.uniform(-0.3, 0.3)
+        diagonals = {d: [M[i % hw, (i + d) % hw] for i in range(slots)]
+                     for d in range(16)}
+        readout = {d: [R[i % hw, (i + d) % hw] for i in range(slots)]
+                   for d in range(10)}
+        if small:
+            cnn_dense = [(readout, [0.0] * slots, None)]
+        else:
+            cnn_dense = [(diagonals, [0.0] * slots, "square"),
+                         (readout, [0.0] * slots, None)]
+        fn, _pid, _osc = build_ckks_cnn(
+            ctx, convs=[(kern, None, "square")], dense=cnn_dense,
+            height=h, width=w, scale=2.0 ** 40, encoder=encoder, bsgs=True,
+        )
+        gk_stacks = []
+        for layer_steps in fn.rot_steps:
+            elts = [tool.get_elt_from_step(s) for s in layer_steps]
+            gk = kg.galois_keys(elts)
+            gk_stacks.append(jax.device_put(gk.stacked(*elts)))
+        img = [rng.uniform(0, 1) for _ in range(hw)]
+        x = enc.encrypt(encoder.encode(
+            [img[i % hw] for i in range(slots)], 2.0 ** 40))
+        cb = max(B // 8, 2)
+        a = np.broadcast_to(np.asarray(x.data), (cb,) + x.data.shape)
+        nst = len(gk_stacks)
+        step = checksum_jit(lambda c, r, *gs: fn(c, gs, r))
+        da, dr = jax.device_put(a), jax.device_put(rk.stacked(2))
+        ops = _sync_time(lambda s, c, r, *gs: step(s, c, r, *gs),
+                         (da, dr) + tuple(gk_stacks), cb, cfg.iters)
+        emit(f"ckks_cnn{h}x{h}_n{n}_images_per_s", ops,
+             "encrypted_images/s")
+
+    # ---- logreg: encrypted logistic-regression head ---------------------
+    if _want("logreg"):
+        n = 1024 if small else 8192
+        bits = [50, 40, 40, 40, 40, 50]
+        parms = EncryptionParameters(SchemeType.CKKS)
+        parms.set_poly_modulus_degree(n)
+        parms.set_coeff_modulus(CoeffModulus.create(n, bits))
+        parms.set_random_seed(tuple(range(8)))
+        ctx = SealContext(parms, sec_level=SecLevelType.none)
+        kg = KeyGenerator(ctx)
+        enc = Encryptor(ctx, public_key=kg.public_key())
+        encoder = CKKSEncoder(ctx)
+        tool = ctx.first_context_data().galois_tool
+        rk = kg.relin_keys()
+        from gemini_seal_tpu.models.pipelines import build_ckks_logreg
+        F = 16
+        rng = np.random.default_rng(3)
+        wts = rng.uniform(-0.4, 0.4, size=F)
+        fn, _pid, _osc, rsteps = build_ckks_logreg(
+            ctx, wts.tolist(), 0.25, 2.0 ** 40, encoder)
+        elts = [tool.get_elt_from_step(s) for s in rsteps]
+        gk = kg.galois_keys(elts)
+        slots = encoder.slot_count
+        xs = [0.0] * slots
+        xs[:F] = rng.uniform(-1, 1, size=F).tolist()
+        x = enc.encrypt(encoder.encode(xs, 2.0 ** 40))
+        lb = max(B // 8, 2)
+        a = np.broadcast_to(np.asarray(x.data), (lb,) + x.data.shape)
+        step = checksum_jit(fn)
+        da = jax.device_put(a)
+        dg = jax.device_put(gk.stacked(*elts))
+        dr = jax.device_put(rk.stacked(2))
+        ops = _sync_time(lambda s, c, g, r: step(s, c, g, r), (da, dg, dr),
+                         lb, cfg.iters)
+        emit(f"ckks_logreg_f{F}_n{n}_inferences_per_s", ops,
+             "encrypted_inferences/s")
+
 
 if __name__ == "__main__":
     main()
