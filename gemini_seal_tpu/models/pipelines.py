@@ -43,6 +43,7 @@ __all__ = [
     "build_ckks_matvec_bsgs",
     "build_ckks_dense_layer",
     "build_ckks_conv2d",
+    "build_ckks_conv2d_mc",
     "build_ckks_logreg",
     "build_ckks_cnn",
     "build_bfv_mul_relin",
@@ -902,6 +903,80 @@ def build_ckks_conv2d(context: SealContext, kernel, height: int, width: int,
     return fn, out_pid, out_scale, rot_steps
 
 
+def build_ckks_conv2d_mc(context: SealContext, kernel, height: int,
+                         width: int, scale: float, encoder, bias=None,
+                         parms_id=None, activation: str = None,
+                         periodic: bool = False):
+    """Multi-channel encrypted 2D convolution: kernel [oc, ic, kh, kw]
+    over a CHANNELS-BLOCKED slot packing (slot ch*h*w + r*w + c holds
+    pixel (r, c) of channel ch).  Every (oc, ic, tap) contributes the
+    generalized diagonal step (ic-oc)*h*w + dy*w + dx with the tap weight
+    masked to valid (zero-padded) source pixels, so the whole multi-
+    channel conv is ONE hoisted fused matvec — one mod-up, one mod-down,
+    regardless of channel count (single-channel case:
+    build_ckks_conv2d; no reference analogue).
+
+    periodic=True tiles the masks with period oc*h*w for layer chaining
+    (requires slots % (oc*h*w) == 0 and oc % ic == 0 so a block-periodic
+    input stays block-periodic).  bias: oc*h*w slot values (or None).
+
+    Returns (fn, out_parms_id, out_scale, rot_steps):
+    fn(ct_data, galois_keys_stack, relin_key) -> u64[..., 2, L_out, N].
+    """
+    import numpy as np
+
+    k = np.asarray(kernel, dtype=np.float64)
+    if k.ndim != 4 or k.shape[2] % 2 == 0 or k.shape[3] % 2 == 0:
+        raise ValueError("kernel must be [oc, ic, kh, kw] with odd kh/kw")
+    OC, IC, kh, kw = k.shape
+    if parms_id is None:
+        parms_id = context.first_parms_id
+    cd = context.get_context_data(parms_id)
+    slots = cd.parms.poly_modulus_degree // 2
+    hw = height * width
+    if max(OC, IC) * hw > slots:
+        raise ValueError("channel blocks do not fit in the slot count")
+    if kh // 2 >= height or kw // 2 >= width:
+        raise ValueError("kernel larger than the image")
+    if periodic:
+        if slots % (OC * hw) != 0:
+            raise ValueError("periodic conv needs slots % (oc*h*w) == 0")
+        if OC % IC != 0:
+            raise ValueError("periodic chaining needs oc % ic == 0")
+
+    rr, cc = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
+    out_len = OC * hw
+    masks = {}
+    for oc in range(OC):
+        for ic in range(IC):
+            for dy in range(-(kh // 2), kh // 2 + 1):
+                for dx in range(-(kw // 2), kw // 2 + 1):
+                    wt = float(k[oc, ic, dy + kh // 2, dx + kw // 2])
+                    if wt == 0.0:
+                        continue
+                    step = (ic - oc) * hw + dy * width + dx
+                    m = masks.setdefault(step, np.zeros(out_len))
+                    valid = ((rr + dy >= 0) & (rr + dy < height)
+                             & (cc + dx >= 0) & (cc + dx < width))
+                    m[oc * hw:(oc + 1) * hw] += np.where(
+                        valid, wt, 0.0).reshape(-1)
+
+    diagonals = {}
+    for step, m in masks.items():
+        if periodic:
+            m = np.tile(m, slots // out_len)
+        diagonals[step] = m.tolist()
+
+    if bias is None:
+        bias = [0.0] * out_len
+    fn, out_pid, out_scale = build_ckks_dense_layer(
+        context, diagonals, list(bias), scale, encoder,
+        parms_id=parms_id, activation=activation,
+    )
+    rot_steps = [s for s in sorted(diagonals.keys()) if s != 0]
+    return fn, out_pid, out_scale, rot_steps
+
+
 def build_ckks_logreg(context: SealContext, weights, intercept: float,
                       scale: float, encoder, parms_id=None):
     """Encrypted logistic-regression inference: p = sigmoid(w . x + b)
@@ -1025,8 +1100,10 @@ def build_ckks_cnn(context: SealContext, convs, dense, height: int,
     every layer's output keeps the periodic contract the dense layers'
     cyclic rotations rely on.
 
-    convs: [(kernel [kh, kw], bias_slot_values_or_None, activation), ...]
-    (stride-1 SAME convs via build_ckks_conv2d's masked diagonals);
+    convs: [(kernel, bias_slot_values_or_None, activation), ...] where
+    kernel is [kh, kw] (single-channel, build_ckks_conv2d) or
+    [oc, ic, kh, kw] (channels-blocked multi-channel,
+    build_ckks_conv2d_mc) — stride-1 SAME convs via masked diagonals;
     dense: [(diagonals, bias, activation), ...] (diagonal method;
     bsgs=True routes them through the baby-step/giant-step schedule).
     Each linear layer consumes one modulus level, each squared layer two.
@@ -1040,8 +1117,12 @@ def build_ckks_cnn(context: SealContext, convs, dense, height: int,
     steps_all = []
     pid = context.first_parms_id
     cur = float(scale)
+    import numpy as np
+
     for kernel, bias, act in convs:
-        fn, pid, cur, rsteps = build_ckks_conv2d(
+        builder = (build_ckks_conv2d_mc
+                   if np.asarray(kernel).ndim == 4 else build_ckks_conv2d)
+        fn, pid, cur, rsteps = builder(
             context, kernel, height, width, cur, encoder,
             bias=bias, parms_id=pid, activation=act, periodic=True,
         )

@@ -1046,3 +1046,124 @@ def test_ckks_cnn():
     got = encoder.decode(dec.decrypt(Ciphertext(out, out_pid, True, out_scale)))
     for i in range(hw):
         assert abs(got[i] - want[i]) < 2e-2, (i, got[i], want[i])
+
+
+def test_ckks_conv2d_multichannel():
+    """Multi-channel conv [oc=2, ic=2, 3, 3] over channels-blocked slots
+    == numpy conv per (oc, ic) pair summed, with zero padding."""
+    import jax
+    from gemini_seal_tpu.ciphertext import Ciphertext
+    from gemini_seal_tpu.models.pipelines import build_ckks_conv2d_mc
+
+    ctx, kg = ckks_setup(n=512, bits=(50, 40, 50))
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    dec = Decryptor(ctx, kg.secret_key)
+    tool = ctx.first_context_data().galois_tool
+    rk = kg.relin_keys()
+    scale = 2.0 ** 40
+    h, w, IC, OC = 6, 6, 2, 2
+    hw = h * w
+
+    rng = np.random.default_rng(9)
+    img = rng.uniform(-1, 1, size=(IC, h, w))
+    K = rng.uniform(-0.4, 0.4, size=(OC, IC, 3, 3))
+    b = rng.uniform(-0.1, 0.1, size=OC * hw)
+
+    want = np.zeros((OC, h, w))
+    for oc in range(OC):
+        for ic in range(IC):
+            for r in range(h):
+                for c in range(w):
+                    for dy in (-1, 0, 1):
+                        for dx in (-1, 0, 1):
+                            if 0 <= r + dy < h and 0 <= c + dx < w:
+                                want[oc, r, c] += (K[oc, ic, dy + 1, dx + 1]
+                                                   * img[ic, r + dy, c + dx])
+    want = want.reshape(-1) + b
+
+    slots = encoder.slot_count
+    x = np.zeros(slots)
+    x[:IC * hw] = img.reshape(-1)
+    ct = enc.encrypt(encoder.encode(x.tolist(), scale))
+
+    fn, out_id, out_scale, rot_steps = build_ckks_conv2d_mc(
+        ctx, K, h, w, scale, encoder, bias=b.tolist()
+    )
+    elts = [tool.get_elt_from_step(s) for s in rot_steps]
+    gk = kg.galois_keys(elts)
+    out = np.asarray(
+        jax.jit(fn)(np.asarray(ct.data), gk.stacked(*elts), rk.stacked(2))
+    )
+    got = encoder.decode(dec.decrypt(Ciphertext(out, out_id, True, out_scale)))
+    for i in range(OC * hw):
+        assert abs(got[i] - want[i]) < 1e-3, (i, got[i], want[i])
+
+
+def test_ckks_cnn_multichannel():
+    """CNN with a 1->2 channel conv then a dense readout over the blocked
+    output matches numpy (periodic chaining with oc > ic)."""
+    import jax
+    from gemini_seal_tpu.ciphertext import Ciphertext
+    from gemini_seal_tpu.models.pipelines import build_ckks_cnn
+
+    ctx, kg = ckks_setup(n=1024, bits=(50, 40, 40, 40, 50))
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    dec = Decryptor(ctx, kg.secret_key)
+    tool = ctx.first_context_data().galois_tool
+    rk = kg.relin_keys()
+    scale = 2.0 ** 40
+    h = w = 4
+    hw = h * w
+    OC = 2
+    blk = OC * hw
+
+    rng = np.random.default_rng(13)
+    img = rng.uniform(-0.5, 0.5, size=(h, w))
+    K = rng.uniform(-0.4, 0.4, size=(OC, 1, 3, 3))
+    # readout over the blocked conv output (blk x blk band)
+    R = np.zeros((blk, blk))
+    for d in (0, 1, 5):
+        for i in range(blk):
+            R[i, (i + d) % blk] = rng.uniform(-0.3, 0.3)
+
+    conv = np.zeros((OC, h, w))
+    for oc in range(OC):
+        for r in range(h):
+            for c in range(w):
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        if 0 <= r + dy < h and 0 <= c + dx < w:
+                            conv[oc, r, c] += (K[oc, 0, dy + 1, dx + 1]
+                                               * img[r + dy, c + dx])
+    a1 = conv.reshape(-1) ** 2
+    want = R @ a1
+
+    slots = encoder.slot_count
+    readout = {
+        d: [R[i % blk, (i + d) % blk] for i in range(slots)] for d in (0, 1, 5)
+    }
+    fn, out_pid, out_scale = build_ckks_cnn(
+        ctx,
+        convs=[(K, None, "square")],
+        dense=[(readout, [0.0] * slots, None)],
+        height=h, width=w, scale=scale, encoder=encoder, bsgs=True,
+    )
+    gk_stacks = []
+    for layer_steps in fn.rot_steps:
+        elts = [tool.get_elt_from_step(s) for s in layer_steps]
+        gk = kg.galois_keys(elts)
+        gk_stacks.append(gk.stacked(*elts))
+
+    # ic=1 input: periodic over hw (oc % ic == 0 chaining contract)
+    x_per = [img.reshape(-1)[i % hw] for i in range(slots)]
+    ct = enc.encrypt(encoder.encode(x_per, scale))
+    out = np.asarray(
+        jax.jit(lambda c, g0, g1, r: fn(c, (g0, g1), r))(
+            np.asarray(ct.data), *gk_stacks, rk.stacked(2)
+        )
+    )
+    got = encoder.decode(dec.decrypt(Ciphertext(out, out_pid, True, out_scale)))
+    for i in range(blk):
+        assert abs(got[i] - want[i]) < 2e-2, (i, got[i], want[i])
