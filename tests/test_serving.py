@@ -85,3 +85,76 @@ def test_wire_to_wire_dense_layer():
     bad[40] ^= 0xFF
     with pytest.raises(Exception):
         server.submit([bytes(bad)])
+
+
+def test_wire_to_wire_cnn():
+    """A full encrypted CNN (conv + square + BSGS dense readout) behind
+    the serving endpoint: SEAL blobs in, class scores out."""
+    from gemini_seal_tpu.models.pipelines import build_ckks_cnn
+
+    parms = EncryptionParameters(SchemeType.CKKS)
+    n = 1024
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.create(n, [50, 40, 40, 40, 50]))
+    parms.set_random_seed(SEED)
+    ctx = SealContext(parms, sec_level=SecLevelType.none)
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    dec = Decryptor(ctx, kg.secret_key)
+    tool = ctx.first_context_data().galois_tool
+    rk = kg.relin_keys()
+    scale = 2.0 ** 40
+    h = w = 8
+    hw = h * w
+
+    rng = np.random.default_rng(21)
+    kern = rng.uniform(-0.4, 0.4, size=(3, 3))
+    R = np.zeros((hw, hw))
+    for d in (0, 1, 2, 3, 7):
+        for i in range(hw):
+            R[i, (i + d) % hw] = rng.uniform(-0.3, 0.3)
+    slots = encoder.slot_count
+    readout = {
+        d: [R[i % hw, (i + d) % hw] for i in range(slots)]
+        for d in (0, 1, 2, 3, 7)
+    }
+
+    fn, out_pid, out_scale = build_ckks_cnn(
+        ctx, convs=[(kern, None, "square")],
+        dense=[(readout, [0.0] * slots, None)],
+        height=h, width=w, scale=scale, encoder=encoder, bsgs=True,
+    )
+    gk_stacks = []
+    for layer_steps in fn.rot_steps:
+        elts = [tool.get_elt_from_step(s) for s in layer_steps]
+        gk = kg.galois_keys(elts)
+        gk_stacks.append(gk.stacked(*elts))
+
+    nst = len(gk_stacks)
+    server = EncryptedComputeServer(
+        ctx, lambda c, *ka: fn(c, ka[:nst], ka[nst]),
+        gk_stacks + [rk.stacked(2)],
+        out_parms_id=out_pid, out_is_ntt=True, out_scale=out_scale,
+        batch_size=2,
+    )
+
+    imgs = [rng.uniform(0, 1, size=(h, w)) for _ in range(2)]
+    blobs = [
+        ser.save(enc.encrypt(encoder.encode(
+            [im.reshape(-1)[i % hw] for i in range(slots)], scale)))
+        for im in imgs
+    ]
+    outs = server.submit(blobs)
+    for im, blob in zip(imgs, outs):
+        conv = np.zeros((h, w))
+        for r in range(h):
+            for c in range(w):
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        if 0 <= r + dy < h and 0 <= c + dx < w:
+                            conv[r, c] += kern[dy + 1, dx + 1] * im[r + dy, c + dx]
+        want = R @ (conv.reshape(-1) ** 2)
+        got = encoder.decode(dec.decrypt(ser.load_ciphertext(blob, ctx)))
+        for g, t in zip(got[:hw], want):
+            assert abs(g - t) < 1e-2, (g, t)
