@@ -44,6 +44,7 @@ __all__ = [
     "build_ckks_dense_layer",
     "build_ckks_conv2d",
     "build_ckks_conv2d_mc",
+    "strided_dense_diagonals",
     "build_ckks_logreg",
     "build_ckks_cnn",
     "build_bfv_mul_relin",
@@ -632,7 +633,9 @@ def build_ckks_matvec_bsgs(context: SealContext, diagonals, scale: float,
     result decrypts equal to, but is not bit-identical with, the
     rotation-by-rotation path).
 
-    diagonals: {step d >= 0: slot values}; baby: B (default ~sqrt(max d)).
+    diagonals: {step d: slot values} (negative steps normalize to
+    slots + d — the same cyclic rotation; groups are presence-based, so
+    clustered step sets stay cheap); baby: B (default ~sqrt(#steps)).
     Returns (fn, rot_steps): fn(ct, galois_keys_stack) -> u64[..., 2, L, N]
     at the SAME level with scale*scale; galois_keys_stack stacked in
     `rot_steps` order (baby steps then giant steps).
@@ -650,9 +653,16 @@ def build_ckks_matvec_bsgs(context: SealContext, diagonals, scale: float,
     plan = KeySwitchPlan(context, parms_id)
     slots = cd.parms.poly_modulus_degree // 2
 
-    steps = sorted(int(s) for s in diagonals.keys())
-    if any(s < 0 for s in steps):
-        raise ValueError("bsgs matvec expects non-negative diagonal steps")
+    # slot rotations are cyclic of order `slots`, so negative steps
+    # normalize to slots + s (same group element, same key)
+    norm = {}
+    for s, v in diagonals.items():
+        ns = int(s) % slots
+        if ns in norm:
+            raise ValueError("diagonal steps collide modulo the slot count")
+        norm[ns] = v
+    diagonals = norm
+    steps = sorted(diagonals.keys())
     if baby is None:
         baby = max(1, int(np.ceil(np.sqrt(len(steps)))))
     B = int(baby)
@@ -901,6 +911,51 @@ def build_ckks_conv2d(context: SealContext, kernel, height: int, width: int,
     )
     rot_steps = [s for s in sorted(diagonals.keys()) if s != 0]
     return fn, out_pid, out_scale, rot_steps
+
+
+def strided_dense_diagonals(M, height: int, width: int, stride: int,
+                            slots: int):
+    """Fold average-pool-free striding into a dense layer: generalized
+    diagonals of the slot-linear map that reads a stride-subsampled grid
+    of an h*w image block and writes compact outputs at slots
+    [0, ph*pw) (ph = ceil(h/stride), pw = ceil(w/stride)).
+
+    Composing this after a conv layer gives stride-s CNN downsampling
+    with NO extra ciphertext ops — the dense matvec's diagonals simply
+    read the strided positions (the CryptoNets trick: absorb pooling
+    into the next linear layer).  Scaled-mean pooling itself can be
+    absorbed into M by the caller (each pooled pixel = mean of a window
+    = rows of an enlarged M).
+
+    M: [n_out, ph*pw] dense matrix over the POOLED pixels (n_out <=
+    slots).  Returns {step: slot-values list} for build_ckks_matvec_bsgs
+    / build_ckks_dense_layer(bsgs=True) — steps cluster near 0 and near
+    `slots`, which the presence-based BSGS grouping keeps cheap.
+    """
+    import numpy as np
+
+    M = np.asarray(M, dtype=np.float64)
+    ph = (height + stride - 1) // stride
+    pw = (width + stride - 1) // stride
+    if M.shape[1] != ph * pw:
+        raise ValueError("M columns must equal the pooled pixel count")
+    n_out = M.shape[0]
+    if n_out > slots or height * width > slots:
+        raise ValueError("map does not fit in the slot count")
+    src = np.array([
+        (r * stride) * width + (c * stride)
+        for r in range(ph) for c in range(pw)
+    ])
+    diagonals = {}
+    for j in range(n_out):
+        for jp in range(ph * pw):
+            wt = float(M[j, jp])
+            if wt == 0.0:
+                continue
+            step = (int(src[jp]) - j) % slots
+            m = diagonals.setdefault(step, np.zeros(slots))
+            m[j] += wt
+    return {s: m.tolist() for s, m in diagonals.items()}
 
 
 def build_ckks_conv2d_mc(context: SealContext, kernel, height: int,

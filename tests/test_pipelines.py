@@ -1167,3 +1167,66 @@ def test_ckks_cnn_multichannel():
     got = encoder.decode(dec.decrypt(Ciphertext(out, out_pid, True, out_scale)))
     for i in range(blk):
         assert abs(got[i] - want[i]) < 2e-2, (i, got[i], want[i])
+
+
+def test_strided_dense_readout():
+    """conv + square then a stride-2 dense readout built by
+    strided_dense_diagonals (pooling absorbed into the readout's
+    diagonals, negative-equivalent steps normalized for BSGS)."""
+    import jax
+    from gemini_seal_tpu.ciphertext import Ciphertext
+    from gemini_seal_tpu.models.pipelines import (build_ckks_cnn,
+                                                  strided_dense_diagonals)
+
+    ctx, kg = ckks_setup(n=1024, bits=(50, 40, 40, 40, 50))
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    dec = Decryptor(ctx, kg.secret_key)
+    tool = ctx.first_context_data().galois_tool
+    rk = kg.relin_keys()
+    scale = 2.0 ** 40
+    h = w = 8
+    hw = h * w
+    stride = 2
+    ph = pw = h // stride
+    n_out = 10
+
+    rng = np.random.default_rng(31)
+    img = rng.uniform(-0.5, 0.5, size=(h, w))
+    kern = rng.uniform(-0.4, 0.4, size=(3, 3))
+    D = rng.uniform(-0.3, 0.3, size=(n_out, ph * pw))
+
+    conv = np.zeros((h, w))
+    for r in range(h):
+        for c in range(w):
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if 0 <= r + dy < h and 0 <= c + dx < w:
+                        conv[r, c] += kern[dy + 1, dx + 1] * img[r + dy, c + dx]
+    a1 = conv ** 2
+    pooled = a1[::stride, ::stride].reshape(-1)     # strided subsample
+    want = D @ pooled
+
+    slots = encoder.slot_count
+    readout = strided_dense_diagonals(D, h, w, stride, slots)
+    fn, out_pid, out_scale = build_ckks_cnn(
+        ctx, convs=[(kern, None, "square")],
+        dense=[(readout, [0.0] * slots, None)],
+        height=h, width=w, scale=scale, encoder=encoder, bsgs=True,
+    )
+    gk_stacks = []
+    for layer_steps in fn.rot_steps:
+        elts = [tool.get_elt_from_step(s) for s in layer_steps]
+        gk = kg.galois_keys(elts)
+        gk_stacks.append(gk.stacked(*elts))
+
+    x_per = [img.reshape(-1)[i % hw] for i in range(slots)]
+    ct = enc.encrypt(encoder.encode(x_per, scale))
+    out = np.asarray(
+        jax.jit(lambda c, g0, g1, r: fn(c, (g0, g1), r))(
+            np.asarray(ct.data), *gk_stacks, rk.stacked(2)
+        )
+    )
+    got = encoder.decode(dec.decrypt(Ciphertext(out, out_pid, True, out_scale)))
+    for i in range(n_out):
+        assert abs(got[i] - want[i]) < 1e-2, (i, got[i], want[i])
