@@ -137,3 +137,64 @@ def test_realistic_shape_dp_limb_sharded_bit_exact():
             ev.rescale_to_next(ev.relinearize(ev.multiply(cts[i], cts[i]), rk)).data
         )
         np.testing.assert_array_equal(out[i], want)
+
+
+def test_cnn_dp_sharded_zero_collectives_and_bit_exact():
+    """The whole encrypted CNN under pure ciphertext-batch DP: zero ICI
+    bytes in the compiled program, rows identical to the unsharded step
+    (encrypted inference scale-out is a free axis)."""
+    from gemini_seal_tpu.models.pipelines import build_ckks_cnn
+
+    ctx, kg = make_ctx(256, [50, 40, 40, 40, 50])
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    tool = ctx.first_context_data().galois_tool
+    rk = kg.relin_keys()
+    scale = 2.0 ** 40
+    h = w = 4
+    hw = h * w
+    rng = np.random.default_rng(3)
+    kern = rng.uniform(-0.4, 0.4, size=(3, 3))
+    slots = encoder.slot_count
+    readout = {
+        d: [rng.uniform(-0.3, 0.3) for _ in range(slots)] for d in (0, 1, 3)
+    }
+    fn, out_pid, out_scale = build_ckks_cnn(
+        ctx, convs=[(kern, None, "square")],
+        dense=[(readout, [0.0] * slots, None)],
+        height=h, width=w, scale=scale, encoder=encoder, bsgs=True,
+    )
+    gk_stacks = []
+    for layer_steps in fn.rot_steps:
+        elts = [tool.get_elt_from_step(s) for s in layer_steps]
+        gk = kg.galois_keys(elts)
+        gk_stacks.append(gk.stacked(*elts))
+    rk_data = rk.stacked(2)
+
+    imgs = [rng.uniform(0, 1, size=hw) for _ in range(8)]
+    cts = [
+        enc.encrypt(encoder.encode(
+            [im[i % hw] for i in range(slots)], scale))
+        for im in imgs
+    ]
+    a = np.stack([np.asarray(ct.data) for ct in cts])
+
+    mesh = make_he_mesh(dp=8, limb=1)
+    ct_sh = NamedSharding(mesh, P("dp", None, None, None))
+    key_sh = NamedSharding(mesh, P())
+    nst = len(gk_stacks)
+    step = jax.jit(
+        lambda c, r, *gs: fn(c, gs, r),
+        in_shardings=(ct_sh, key_sh) + (key_sh,) * nst,
+    )
+    da = jax.device_put(a, ct_sh)
+    dks = [jax.device_put(g, key_sh) for g in gk_stacks]
+    dr = jax.device_put(rk_data, key_sh)
+    compiled = step.lower(da, dr, *dks).compile()
+    stats = collective_stats(compiled.as_text())
+    assert stats.total_bytes == 0, f"unexpected ICI traffic: {stats}"
+
+    out = np.asarray(compiled(da, dr, *dks))
+    want = np.asarray(jax.jit(lambda c, r, *gs: fn(c, gs, r))(a, rk_data,
+                                                              *gk_stacks))
+    np.testing.assert_array_equal(out, want)
