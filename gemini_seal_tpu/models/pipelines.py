@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 from ..context import SealContext
 from ..ops import modops
-from ..ops.dyadic import add_poly, dyadic_product, multiply_poly_scalar
+from ..ops.dyadic import (add_poly, dyadic_product,
+                          multiply_poly_scalar, sub_poly)
 from ..ops.keyswitch import (KeySwitchPlan, compute_modup_digits,
                              fused_moddown, keyswitch_inner_product,
                              switch_key)
@@ -46,6 +47,7 @@ __all__ = [
     "build_ckks_conv2d_mc",
     "strided_dense_diagonals",
     "build_ckks_logreg",
+    "build_ckks_logreg_train_step",
     "build_ckks_cnn",
     "build_bfv_mul_relin",
     "build_bfv_mul_relin_modswitch",
@@ -1139,6 +1141,148 @@ def build_ckks_logreg(context: SealContext, weights, intercept: float,
                                axis=-3)
 
     return step, cd4.parms_id, out_scale, rot_steps
+
+
+def build_ckks_logreg_train_step(context: SealContext, m: int, F: int,
+                                 labels, alpha: float, scale: float,
+                                 encoder, parms_id=None):
+    """ONE encrypted gradient-descent iteration of logistic regression —
+    both the data X and the model w stay encrypted end to end (the
+    iDASH-style HE training workload; no reference analogue).
+
+        w' = w - alpha * X^T (sigma3(X w) - y),
+        sigma3(z) = 0.5 + 0.197 z - 0.004 z^3.
+
+    Packing: sample i occupies slot block [i*Bf, (i+1)*Bf) with its F
+    features first (Bf = next power of two >= F); w is replicated in
+    every block.  The iteration is 4 ciphertext x ciphertext products +
+    2 masked rotation trees (in-block sum for z = x_i . w, cross-block
+    sum for the gradient), consuming 7 modulus levels; the output w' is
+    replicated per block at the INPUT scale (self-similar: feed it and a
+    7-level-dropped X straight into the next iteration's program).
+
+    labels: m values in [0, 1] (baked in as the plaintext 0.5 - y term;
+    pass an encrypted-label variant through sub() externally if labels
+    are private too).  alpha is absorbed into the gradient mask — no
+    extra level.
+
+    Returns (fn, out_parms_id, out_scale, rot_steps):
+    fn(X_data, w_data, galois_keys_stack, relin_key) -> u64[..., 2, L-7, N]
+    with galois keys for the signed `rot_steps`, stacked in that order.
+    """
+    import numpy as np
+
+    if parms_id is None:
+        parms_id = context.first_parms_id
+    cd0 = context.get_context_data(parms_id)
+    slots = cd0.parms.poly_modulus_degree // 2
+    b = max(1, int(np.ceil(np.log2(max(F, 2)))))
+    Bf = 1 << b
+    lm = max(1, int(np.ceil(np.log2(max(m, 2)))))
+    mp = 1 << lm
+    if mp * Bf > slots:
+        raise ValueError("m x F packing does not fit in the slot count")
+    labels = list(labels)
+    if len(labels) != m:
+        raise ValueError("labels must have m entries")
+
+    cds = [cd0]
+    for _ in range(7):
+        nxt = cds[-1].next_context_data
+        if nxt is None:
+            raise ValueError("modulus chain too short (needs 8 levels)")
+        cds.append(nxt)
+    q = [c.parms.coeff_modulus[-1].value for c in cds[:7]]
+    L = [len(c.parms.coeff_modulus) for c in cds]
+    limbs = [c.limb_constants for c in cds]
+    tools = {i: cds[i].galois_tool for i in (1, 2, 6, 7)}
+    plans = {i: KeySwitchPlan(context, cds[i].parms_id) for i in (1, 2, 6, 7)}
+
+    # scale ladder (see docstring derivation): self-similar output scale
+    sc = float(scale)
+    s1 = sc * sc / q[0]                      # u = X (*) w at L1
+    sz2 = s1 * s1 / q[2]                     # z^2 at L3 (mask keeps s1)
+    sv = s1 * sz2 / q[4]                     # v = z*(c3 z^2 + c1) at L5
+    sp = sv * sc / q[5]                      # p = d (*) X at L6
+    alpha_scale = q[6] * sc / sp             # makes alpha*g land at sc
+
+    A1, A3 = 0.197, -0.004
+    mask1 = np.zeros(slots)
+    mask1[::Bf] = 1.0
+    mask1_pt = np.asarray(
+        encoder.encode(mask1.tolist(), float(q[1]), cds[1].parms_id).data)
+    c3_pt = np.asarray(
+        encoder.encode(A3, float(q[3]), cds[3].parms_id).data)
+    c1_pt = np.asarray(encoder.encode(A1, sz2, cds[4].parms_id).data)
+    # 0.5 - y replicated per block; unused blocks get 0 (their v is 0 too)
+    c0y = np.zeros(slots)
+    for i in range(slots // Bf):
+        c0y[i * Bf:(i + 1) * Bf] = (0.5 - labels[i]) if i < m else 0.0
+    c0y_pt = np.asarray(encoder.encode(c0y.tolist(), sv, cds[5].parms_id).data)
+    mask2 = np.zeros(slots)
+    mask2[:Bf] = float(alpha)
+    mask2_pt = np.asarray(
+        encoder.encode(mask2.tolist(), alpha_scale, cds[6].parms_id).data)
+
+    mul0 = build_ckks_mul_relin_rescale(context, cds[0].parms_id)
+    sq2 = build_ckks_mul_relin_rescale(context, cds[2].parms_id, square=True)
+    mul4 = build_ckks_mul_relin_rescale(context, cds[4].parms_id)
+    mul5 = build_ckks_mul_relin_rescale(context, cds[5].parms_id)
+
+    tree_steps = [1 << j for j in range(b)]
+    spread_steps = [-(1 << j) for j in range(b)]
+    xtree_steps = [Bf << j for j in range(lm)]
+    xspread_steps = [-(Bf << j) for j in range(lm)]
+    rot_steps = tree_steps + spread_steps + xtree_steps + xspread_steps
+    key_idx = {s: i for i, s in enumerate(rot_steps)}
+
+    def rotate(x, step, lvl, keys):
+        tool, plan, lb = tools[lvl], plans[lvl], limbs[lvl]
+        elt = tool.get_elt_from_step(step)
+        rc0 = tool.apply_galois_ntt(x[..., 0, :, :], elt)
+        rc1 = tool.apply_galois_ntt(x[..., 1, :, :], elt)
+        d0, d1 = switch_key(rc1, keys[key_idx[step]], plan, True)
+        return jnp.stack([add_poly(rc0, d0, lb), d1], axis=-3)
+
+    def plain_mul_rescale(x, pt, lvl):
+        t = jnp.stack([
+            dyadic_product(x[..., 0, :, :], pt, limbs[lvl]),
+            dyadic_product(x[..., 1, :, :], pt, limbs[lvl]),
+        ], axis=-3)
+        return divide_and_round_q_last_ntt(
+            t, cds[lvl].device_rns_tool, cds[lvl].ntt_tables)
+
+    def plain_add(x, pt, lvl):
+        c0 = add_poly(x[..., 0, :, :], pt, limbs[lvl])
+        return jnp.concatenate([c0[..., None, :, :], x[..., 1:, :, :]],
+                               axis=-3)
+
+    def step(X, w, galois_keys_stack, relin_key):
+        gk = galois_keys_stack
+        u = mul0(X, w, relin_key)                          # L1, s1
+        for s in tree_steps:                               # in-block sum
+            u = add_poly(u, rotate(u, s, 1, gk), limbs[1])
+        z = plain_mul_rescale(u, mask1_pt, 1)              # L2, s1
+        for s in spread_steps:                             # replicate z_i
+            z = add_poly(z, rotate(z, s, 2, gk), limbs[2])
+        z2 = sq2(z, relin_key)                             # L3, sz2
+        up = plain_mul_rescale(z2, c3_pt, 3)               # L4, sz2
+        up = plain_add(up, c1_pt, 4)
+        v = mul4(z[..., :L[4], :], up, relin_key)          # L5, sv
+        d = plain_add(v, c0y_pt, 5)                        # sigma(z) - y
+        p = mul5(d, X[..., :L[5], :], relin_key)           # L6, sp
+        for s in xtree_steps:                              # cross-block sum
+            p = add_poly(p, rotate(p, s, 6, gk), limbs[6])
+        ga = plain_mul_rescale(p, mask2_pt, 6)             # L7, alpha*g @ sc
+        for s in xspread_steps:                            # replicate grad
+            ga = add_poly(ga, rotate(ga, s, 7, gk), limbs[7])
+        wd = w[..., :L[7], :]                              # mod-drop w
+        return jnp.stack([
+            sub_poly(wd[..., 0, :, :], ga[..., 0, :, :], limbs[7]),
+            sub_poly(wd[..., 1, :, :], ga[..., 1, :, :], limbs[7]),
+        ], axis=-3)
+
+    return step, cds[7].parms_id, sc, rot_steps
 
 
 def build_ckks_cnn(context: SealContext, convs, dense, height: int,

@@ -1230,3 +1230,58 @@ def test_strided_dense_readout():
     got = encoder.decode(dec.decrypt(Ciphertext(out, out_pid, True, out_scale)))
     for i in range(n_out):
         assert abs(got[i] - want[i]) < 1e-2, (i, got[i], want[i])
+
+
+def test_ckks_logreg_train_step():
+    """One encrypted logistic-regression GD iteration (X and w both
+    encrypted) == the numpy update with the degree-3 sigmoid, and the
+    output w' is replicated per block at the input scale (self-similar)."""
+    import jax
+    from gemini_seal_tpu.ciphertext import Ciphertext
+    from gemini_seal_tpu.models.pipelines import build_ckks_logreg_train_step
+
+    ctx, kg = ckks_setup(n=512, bits=(50,) + (40,) * 7 + (50,))
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    dec = Decryptor(ctx, kg.secret_key)
+    tool = ctx.first_context_data().galois_tool
+    rk = kg.relin_keys()
+    scale = 2.0 ** 40
+    m, F = 8, 4
+    Bf = 4
+
+    rng = np.random.default_rng(19)
+    X = rng.uniform(-1, 1, size=(m, F))
+    y = rng.integers(0, 2, size=m).astype(float)
+    w = rng.uniform(-0.5, 0.5, size=F)
+    alpha = 0.1
+
+    z = X @ w
+    sig = 0.5 + 0.197 * z - 0.004 * z ** 3
+    want = w - alpha * (X.T @ (sig - y))
+
+    slots = encoder.slot_count
+    x_slots = np.zeros(slots)
+    for i in range(m):
+        x_slots[i * Bf:i * Bf + F] = X[i]
+    w_slots = np.zeros(slots)
+    for i in range(slots // Bf):
+        w_slots[i * Bf:i * Bf + F] = w
+
+    fn, out_pid, out_scale, rot_steps = build_ckks_logreg_train_step(
+        ctx, m, F, y.tolist(), alpha, scale, encoder)
+    assert out_scale == scale          # self-similar
+    elts = [tool.get_elt_from_step(s) for s in rot_steps]
+    gk = kg.galois_keys(elts)
+
+    ct_x = enc.encrypt(encoder.encode(x_slots.tolist(), scale))
+    ct_w = enc.encrypt(encoder.encode(w_slots.tolist(), scale))
+    out = np.asarray(jax.jit(fn)(
+        np.asarray(ct_x.data), np.asarray(ct_w.data),
+        gk.stacked(*elts), rk.stacked(2)))
+    got = encoder.decode(dec.decrypt(Ciphertext(out, out_pid, True, out_scale)))
+
+    for blk in (0, 1, m - 1):          # replicated across the m' blocks
+        for j in range(F):
+            g = got[blk * Bf + j]
+            assert abs(g - want[j]) < 1e-2, (blk, j, g, want[j])
