@@ -76,6 +76,11 @@ def main():
         return not _sel or key in _sel
 
     import jax
+
+    if cfg.small:
+        # --small is the CPU smoke: the axon TPU plugin ignores
+        # JAX_PLATFORMS, so pin the platform before backend init.
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
@@ -377,6 +382,50 @@ def main():
                          (da, dr) + tuple(gk_stacks), cb, cfg.iters)
         emit(f"ckks_cnn{h}x{h}_n{n}_images_per_s", ops,
              "encrypted_images/s")
+
+    # ---- train: encrypted logreg gradient-descent iteration -------------
+    if _want("train"):
+        n = 1024 if small else 8192
+        bits = [50] + [40] * 7 + [50]
+        parms = EncryptionParameters(SchemeType.CKKS)
+        parms.set_poly_modulus_degree(n)
+        parms.set_coeff_modulus(CoeffModulus.create(n, bits))
+        parms.set_random_seed(tuple(range(8)))
+        ctx = SealContext(parms, sec_level=SecLevelType.none)
+        kg = KeyGenerator(ctx)
+        enc = Encryptor(ctx, public_key=kg.public_key())
+        encoder = CKKSEncoder(ctx)
+        tool = ctx.first_context_data().galois_tool
+        rk = kg.relin_keys()
+        from gemini_seal_tpu.models.pipelines import build_ckks_logreg_train_step
+        m, F = (16, 8) if small else (64, 16)
+        rng = np.random.default_rng(4)
+        y = rng.integers(0, 2, size=m).astype(float)
+        fn, _pid, _osc, rsteps = build_ckks_logreg_train_step(
+            ctx, m, F, y.tolist(), 0.1, 2.0 ** 40, encoder)
+        elts = [tool.get_elt_from_step(s) for s in rsteps]
+        gk = kg.galois_keys(elts)
+        slots = encoder.slot_count
+        Bf = 1 << int(np.ceil(np.log2(F)))
+        xs = np.zeros(slots)
+        for i in range(m):
+            xs[i * Bf:i * Bf + F] = rng.uniform(-1, 1, size=F)
+        ws = np.zeros(slots)
+        for i in range(slots // Bf):
+            ws[i * Bf:i * Bf + F] = rng.uniform(-0.5, 0.5, size=F)
+        ct_x = enc.encrypt(encoder.encode(xs.tolist(), 2.0 ** 40))
+        ct_w = enc.encrypt(encoder.encode(ws.tolist(), 2.0 ** 40))
+        tb = max(B // 8, 2)
+        ax = np.broadcast_to(np.asarray(ct_x.data), (tb,) + ct_x.data.shape)
+        aw = np.broadcast_to(np.asarray(ct_w.data), (tb,) + ct_w.data.shape)
+        step = checksum_jit(fn)
+        dx, dw = jax.device_put(ax), jax.device_put(aw)
+        dg = jax.device_put(gk.stacked(*elts))
+        dr = jax.device_put(rk.stacked(2))
+        ops = _sync_time(lambda s, X, W, g, r: step(s, X, W, g, r),
+                         (dx, dw, dg, dr), tb, cfg.iters)
+        emit(f"ckks_logreg_train_m{m}_f{F}_n{n}_iters_per_s", ops,
+             "encrypted_gd_iters/s")
 
     # ---- logreg: encrypted logistic-regression head ---------------------
     if _want("logreg"):
