@@ -27,3 +27,25 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(__file__))
+
+import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "bootstrap_e2e: full CKKS bootstrap refresh — hour-scale XLA "
+        "compile on a single host core; opt in with GST_BOOTSTRAP_E2E=1 "
+        "(tools/run_bootstrap_e2e.sh)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("GST_BOOTSTRAP_E2E") == "1":
+        return
+    skip = pytest.mark.skip(
+        reason="hour-scale compile; set GST_BOOTSTRAP_E2E=1 to run"
+    )
+    for item in items:
+        if "bootstrap_e2e" in item.keywords:
+            item.add_marker(skip)

@@ -698,66 +698,127 @@ def build_ckks_matvec_bsgs(context: SealContext, diagonals, scale: float,
         for g, gd in groups.items() for b, vec in gd.items()
     }
 
+    # ---- stacked constants: the whole BSGS grid as dense tensors --------
+    # Absent (g, b) cells are zero plaintexts — they contribute exactly 0
+    # through every modular contraction, so presence masks are free.
+    babies_idx = {b: i for i, b in enumerate(babies)}
+    Bf, Br, G = len(babies), len(baby_rot), len(giants)
+    has_g0 = giants[0] == 0
+    n_ext = plan.n_ext
+    n_ct = plan.n_ct_rns
+    N = cd.parms.poly_modulus_degree
+    nb = plan.n_bundles
+    pt_ct_stack = np.zeros((G, Bf, n_ct, N), dtype=np.uint64)
+    pt_ext_stack = np.zeros((G, Bf, n_ext, N), dtype=np.uint64)
+    for gi, g in enumerate(giants):
+        for b in groups[g]:
+            pt, pt_ext = plains[(g, b)]
+            pt_ct_stack[gi, babies_idx[b]] = pt
+            pt_ext_stack[gi, babies_idx[b]] = pt_ext
+    baby_tabs = (np.stack([tool._ntt_table(baby_elts[b]) for b in baby_rot])
+                 if Br else None)                      # [Br, N]
+    rot_gi = [gi for gi, g in enumerate(giants) if g != 0]
+    giant_tabs = (np.stack([tool._ntt_table(giant_elts[giants[gi]])
+                            for gi in rot_gi])
+                  if rot_gi else None)                 # [Gr, N]
+    ext_idx = plan.ext_key_indices
+
     def step(ct, galois_keys_stack):
+        """Batched BSGS schedule: ONE gather applies every baby rotation
+        (stacked permutation tables), every inner product and diagonal
+        contraction is a single 128-bit reduction over the baby/bundle
+        axis, and the giant mod-downs + key switches run batched over the
+        giant axis.  The traced graph is O(#bundles + #babies + #giants)
+        ops instead of O(#babies * #giants) — the unbatched form XLA-
+        compiles for tens of minutes at deep L (bootstrap C2S/S2C maps).
+        Residues are bit-identical to the unbatched schedule: every
+        contraction is exact mod p and zero cells add exact zeros."""
         c0 = ct[..., 0, :, :]
         c1 = ct[..., 1, :, :]
-        ct_k = compute_modup_digits(c1, plan, True)     # hoisted once
-        # baby plane: raw key-switch accumulators per baby step
-        raws = {}                                       # b -> (a0, a1) ext
-        rot_c0 = {0: c0}
-        for i, b in enumerate(baby_rot):
-            elt = baby_elts[b]
-            a0, a1 = keyswitch_inner_product(
-                tool.apply_galois_ntt(ct_k, elt), galois_keys_stack[i],
-                plan, True, raw=True,
-            )
-            raws[b] = (a0, a1)
-            rot_c0[b] = tool.apply_galois_ntt(c0, elt)
+        q = limbs
+        ext = ext_limbs
+        ptc = jnp.asarray(pt_ct_stack)                 # [G, Bf, L, N]
+        if Br:
+            ct_k = compute_modup_digits(c1, plan, True)     # hoisted once
+            tabs = jnp.asarray(baby_tabs)
+            # [..., nb, n_ext, Br, N] -> [..., Br, nb, n_ext, N]
+            rk = jnp.moveaxis(jnp.take(ct_k, tabs, axis=-1), -2, -4)
+            bkeys = galois_keys_stack[:Br][..., ext_idx, :]
+            a0 = modops.accumulate_mulmod_128(
+                ((rk[..., b, :, :], bkeys[:, b, 0]) for b in range(nb)),
+                ext.p, ext.ratio0, ext.ratio1)         # [..., Br, n_ext, N]
+            a1 = modops.accumulate_mulmod_128(
+                ((rk[..., b, :, :], bkeys[:, b, 1]) for b in range(nb)),
+                ext.p, ext.ratio0, ext.ratio1)
+            rc = jnp.moveaxis(jnp.take(c0, tabs, axis=-1), -2, -3)
 
-        fin0_ct = None          # ct-base c0 accumulator
-        fin0_raw = None         # ext-base raw accumulators (final mod-down)
-        fin1_raw = None
-        fin1_ct = None          # d=0 diagonal's c1 term
-        for gi, g in enumerate(giants):
-            s0_raw = s1_raw = None
-            s0_ct = s1_ct = None
-            for b, _ in sorted(groups[g].items()):
-                pt, pt_ext = plains[(g, b)]
-                p0 = dyadic_product(rot_c0[b], pt, limbs)
-                s0_ct = p0 if s0_ct is None else add_poly(s0_ct, p0, limbs)
-                if b == 0:
-                    p1 = dyadic_product(c1, pt, limbs)
-                    s1_ct = p1 if s1_ct is None else add_poly(s1_ct, p1, limbs)
-                else:
-                    a0, a1 = raws[b]
-                    t0 = dyadic_product(a0, pt_ext, ext_limbs)
-                    t1 = dyadic_product(a1, pt_ext, ext_limbs)
-                    s0_raw = t0 if s0_raw is None else add_poly(t0, s0_raw, ext_limbs)
-                    s1_raw = t1 if s1_raw is None else add_poly(t1, s1_raw, ext_limbs)
-            if g == 0:
-                # fold S_0 straight into the final accumulators
-                fin0_ct = s0_ct if fin0_ct is None else add_poly(fin0_ct, s0_ct, limbs)
-                fin1_ct = s1_ct
-                fin0_raw, fin1_raw = s0_raw, s1_raw
-                continue
-            # materialize S_g, then giant-rotate it
-            sg0, sg1 = s0_ct, s1_ct
-            if s0_raw is not None:
-                d0 = rescale_special(s0_raw, plan, is_ntt_output=True)
-                d1 = rescale_special(s1_raw, plan, is_ntt_output=True)
-                sg0 = d0 if sg0 is None else add_poly(sg0, d0, limbs)
-                sg1 = d1 if sg1 is None else add_poly(sg1, d1, limbs)
-            elt = giant_elts[g]
-            key = galois_keys_stack[len(baby_rot) + giant_rot.index(g * B)]
-            gk_digits = compute_modup_digits(
-                tool.apply_galois_ntt(sg1, elt), plan, True
-            )
-            a0, a1 = keyswitch_inner_product(gk_digits, key, plan, True,
-                                             raw=True)
-            fin0_raw = a0 if fin0_raw is None else add_poly(fin0_raw, a0, ext_limbs)
-            fin1_raw = a1 if fin1_raw is None else add_poly(fin1_raw, a1, ext_limbs)
-            g0 = tool.apply_galois_ntt(sg0, elt)
-            fin0_ct = g0 if fin0_ct is None else add_poly(fin0_ct, g0, limbs)
+        def c0_row(bi):
+            b = babies[bi]
+            if b == 0:
+                return c0[..., None, :, :]
+            return rc[..., baby_rot.index(b), :, :][..., None, :, :]
+
+        # S_g c0-plane for ALL giants: contract the baby axis once
+        s0_ct = modops.accumulate_mulmod_128(
+            ((c0_row(bi), ptc[:, bi]) for bi in range(Bf)),
+            q.p, q.ratio0, q.ratio1)                   # [..., G, L, N]
+        if 0 in babies_idx:
+            s1_ct = dyadic_product(c1[..., None, :, :],
+                                   ptc[:, babies_idx[0]], q)
+        else:
+            s1_ct = jnp.zeros_like(s0_ct)
+        if Br:
+            pte = jnp.asarray(pt_ext_stack)
+            s0_raw = modops.accumulate_mulmod_128(
+                ((a0[..., j, :, :][..., None, :, :],
+                  pte[:, babies_idx[baby_rot[j]]]) for j in range(Br)),
+                ext.p, ext.ratio0, ext.ratio1)         # [..., G, n_ext, N]
+            s1_raw = modops.accumulate_mulmod_128(
+                ((a1[..., j, :, :][..., None, :, :],
+                  pte[:, babies_idx[baby_rot[j]]]) for j in range(Br)),
+                ext.p, ext.ratio0, ext.ratio1)
+
+        if has_g0:
+            # S_0 folds straight into the final accumulators
+            fin0_ct = s0_ct[..., 0, :, :]
+            fin1_ct = s1_ct[..., 0, :, :]
+            fin0_raw = s0_raw[..., 0, :, :] if Br else None
+            fin1_raw = s1_raw[..., 0, :, :] if Br else None
+        else:
+            fin0_ct = fin1_ct = fin0_raw = fin1_raw = None
+
+        if rot_gi:
+            # materialize all rotated giants with ONE batched mod-down +
+            # ONE batched key switch over the giant axis
+            gs = slice(1, None) if has_g0 else slice(None)
+            sg0 = s0_ct[..., gs, :, :]
+            sg1 = s1_ct[..., gs, :, :]
+            if Br:
+                sg0 = add_poly(sg0, rescale_special(
+                    s0_raw[..., gs, :, :], plan, is_ntt_output=True), q)
+                sg1 = add_poly(sg1, rescale_special(
+                    s1_raw[..., gs, :, :], plan, is_ntt_output=True), q)
+            gt = jnp.asarray(giant_tabs)[:, None, :]   # [Gr, 1, N]
+            gt = gt.reshape((1,) * (sg0.ndim - 3) + gt.shape)
+            g0 = jnp.take_along_axis(sg0, jnp.broadcast_to(gt, sg0.shape),
+                                     axis=-1)
+            g1 = jnp.take_along_axis(sg1, jnp.broadcast_to(gt, sg1.shape),
+                                     axis=-1)
+            digits = compute_modup_digits(g1, plan, True)
+            gkeys = galois_keys_stack[Br:][..., ext_idx, :]
+            ga0 = modops.accumulate_mulmod_128(
+                ((digits[..., b, :, :], gkeys[:, b, 0]) for b in range(nb)),
+                ext.p, ext.ratio0, ext.ratio1)         # [..., Gr, n_ext, N]
+            ga1 = modops.accumulate_mulmod_128(
+                ((digits[..., b, :, :], gkeys[:, b, 1]) for b in range(nb)),
+                ext.p, ext.ratio0, ext.ratio1)
+            for i in range(len(rot_gi)):
+                fin0_ct = (g0[..., i, :, :] if fin0_ct is None
+                           else add_poly(fin0_ct, g0[..., i, :, :], q))
+                fin0_raw = (ga0[..., i, :, :] if fin0_raw is None
+                            else add_poly(fin0_raw, ga0[..., i, :, :], ext))
+                fin1_raw = (ga1[..., i, :, :] if fin1_raw is None
+                            else add_poly(fin1_raw, ga1[..., i, :, :], ext))
 
         out0 = fin0_ct
         out1 = fin1_ct
