@@ -29,11 +29,14 @@ NUMERICALLY from the encoder's own embedding (no closed-form DFT code to
 get subtly wrong): E = embedding_forward(I_n) column-gathered through the
 generator-5 index map, inverted once on the host.
 
-Precision: the dominant error is the cubic term of sin around 0 —
-relative ~(2 pi |m|/q0)^2 / 6 — so a 60-bit q0 against a 40-bit scale
-gives ~2^-20 * (2 pi)^2/6-level accuracy; the matrices quantize at
-~2^80 encode scales (measured in tests: ~1e-5 absolute on unit-range
-messages).  The secret is SEAL's DENSE ternary key, so the mod-raise
+Precision: the floor is the squaring-chain rescale noise AMPLIFIED by
+the final q0/(2 pi scale) division that turns exp(2 pi i t) back into
+m — output error tracks q0/scale, i.e. every extra bit of working-prime
+width buys one bit of refresh accuracy (measured e2e at N=128, r=8,
+59-bit q0: 1.4e-2 max error with 40-bit primes, ~2e-4 with 45-bit).
+The sin cubic term (relative ~(2 pi |m| scale/q0)^2/6) and the deg-7
+Taylor tail (<1e-7 at arg <= 0.35 rad) sit far below that floor.
+The secret is SEAL's DENSE ternary key, so the mod-raise
 overflow bound K is ~4.5*sqrt(N/18) (empirical, tools: /tmp-level sim),
 larger than sparse-key HEAAN's; r = ceil(log2(2 pi (K+1.5)/0.15))
 double-angle squarings keep the Taylor argument below 0.15 rad.

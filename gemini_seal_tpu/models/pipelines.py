@@ -570,6 +570,18 @@ def build_ckks_matvec(context: SealContext, diagonals, scale: float,
         }
         ext_limbs = plan.ext_limbs
 
+    # Stacked constants + permutation tables: every rotation is one row of
+    # a single gather, every diagonal product one slice of a single 128-bit
+    # contraction (see build_ckks_matvec_bsgs.step for the graph-size
+    # rationale — the unbatched form compiles pathologically at deep L).
+    R = len(rot_steps)
+    rot_tabs = (np.stack([tool._ntt_table(e) for e in elts]) if R else None)
+    ptc_rot = (np.stack([plains[s] for s in rot_steps]) if R else None)
+    if fuse_moddown and rot_steps:
+        pte_rot = np.stack([plains_ext[s] for s in rot_steps])
+    ext_idx = plan.ext_key_indices
+    nb = plan.n_bundles
+
     def step(ct, galois_keys_stack):
         c0 = ct[..., 0, :, :]
         c1 = ct[..., 1, :, :]
@@ -578,38 +590,47 @@ def build_ckks_matvec(context: SealContext, diagonals, scale: float,
             t0 = dyadic_product(c0, plains[0], limbs)
             t1 = dyadic_product(c1, plains[0], limbs)
             acc = jnp.stack([t0, t1], axis=-3)
-        if rot_steps and fuse_moddown:
+        if rot_steps:
+            tabs = jnp.asarray(rot_tabs)
             ct_k = compute_modup_digits(c1, plan, True)   # hoisted once
-            raw0 = raw1 = None                            # [.., n_ext, N]
-            ct_part = None                                # rot(c0) diag sums
-            for i, (s, elt) in enumerate(zip(rot_steps, elts)):
-                ct_k_rot = tool.apply_galois_ntt(ct_k, elt)
-                a0, a1 = keyswitch_inner_product(
-                    ct_k_rot, galois_keys_stack[i], plan, True, raw=True
-                )
-                t0 = dyadic_product(a0, plains_ext[s], ext_limbs)
-                t1 = dyadic_product(a1, plains_ext[s], ext_limbs)
-                raw0 = t0 if raw0 is None else add_poly(raw0, t0, ext_limbs)
-                raw1 = t1 if raw1 is None else add_poly(raw1, t1, ext_limbs)
-                p0 = dyadic_product(
-                    tool.apply_galois_ntt(c0, elt), plains[s], limbs
-                )
-                ct_part = p0 if ct_part is None else add_poly(ct_part, p0, limbs)
+            # [..., nb, n_ext, R, N] -> [..., R, nb, n_ext, N]
+            rk = jnp.moveaxis(jnp.take(ct_k, tabs, axis=-1), -2, -4)
+            keys_ext = galois_keys_stack[..., ext_idx, :]
+            ext = plan.ext_limbs
+            a0 = modops.accumulate_mulmod_128(
+                ((rk[..., b, :, :], keys_ext[:, b, 0]) for b in range(nb)),
+                ext.p, ext.ratio0, ext.ratio1)            # [..., R, n_ext, N]
+            a1 = modops.accumulate_mulmod_128(
+                ((rk[..., b, :, :], keys_ext[:, b, 1]) for b in range(nb)),
+                ext.p, ext.ratio0, ext.ratio1)
+            rc = jnp.moveaxis(jnp.take(c0, tabs, axis=-1), -2, -3)
+        if rot_steps and fuse_moddown:
+            pte = jnp.asarray(pte_rot)
+            raw0 = modops.accumulate_mulmod_128(
+                ((a0[..., r, :, :], pte[r]) for r in range(R)),
+                ext_limbs.p, ext_limbs.ratio0, ext_limbs.ratio1)
+            raw1 = modops.accumulate_mulmod_128(
+                ((a1[..., r, :, :], pte[r]) for r in range(R)),
+                ext_limbs.p, ext_limbs.ratio0, ext_limbs.ratio1)
+            ptcj = jnp.asarray(ptc_rot)
+            ct_part = modops.accumulate_mulmod_128(
+                ((rc[..., r, :, :], ptcj[r]) for r in range(R)),
+                limbs.p, limbs.ratio0, limbs.ratio1)
             d0 = rescale_special(raw0, plan, is_ntt_output=True)
             d1 = rescale_special(raw1, plan, is_ntt_output=True)
             term = jnp.stack([add_poly(ct_part, d0, limbs), d1], axis=-3)
             acc = term if acc is None else add_poly(acc, term, limbs)
         elif rot_steps:
-            ct_k = compute_modup_digits(c1, plan, True)   # hoisted once
-            for i, (s, elt) in enumerate(zip(rot_steps, elts)):
-                ct_k_rot = tool.apply_galois_ntt(ct_k, elt)
-                d0, d1 = keyswitch_inner_product(
-                    ct_k_rot, galois_keys_stack[i], plan, True
-                )
-                r0 = add_poly(tool.apply_galois_ntt(c0, elt), d0, limbs)
-                t0 = dyadic_product(r0, plains[s], limbs)
-                t1 = dyadic_product(d1, plains[s], limbs)
-                term = jnp.stack([t0, t1], axis=-3)
+            from ..ops.keyswitch import rescale_special as _rs
+
+            d0 = _rs(a0, plan, is_ntt_output=True)        # [..., R, L, N]
+            d1 = _rs(a1, plan, is_ntt_output=True)
+            ptcj = jnp.asarray(ptc_rot)
+            t0 = dyadic_product(add_poly(rc, d0, limbs), ptcj, limbs)
+            t1 = dyadic_product(d1, ptcj, limbs)
+            for r in range(R):
+                term = jnp.stack([t0[..., r, :, :], t1[..., r, :, :]],
+                                 axis=-3)
                 acc = term if acc is None else add_poly(acc, term, limbs)
         return acc
 
@@ -1477,6 +1498,15 @@ def build_bfv_matvec(context: SealContext, diagonals, batch_encoder,
     from ..ops.keyswitch import rescale_special
     from ..ops.ntt import ntt_inverse as _ntt_inverse
 
+    # stacked rotation tables + plaintext grids (one gather / one batched
+    # contraction per plane — see build_ckks_matvec_bsgs.step)
+    R = len(rot_steps)
+    rot_tabs = (np.stack([tool._ntt_table(e) for e in elts]) if R else None)
+    ptc_rot = (np.stack([plains[s] for s in rot_steps]) if R else None)
+    pte_rot = (np.stack([plains_ext[s] for s in rot_steps]) if R else None)
+    ext_idx = plan.ext_key_indices
+    nb = plan.n_bundles
+
     def step(ct, galois_keys_stack):
         c0 = ct[..., 0, :, :]
         c1 = ct[..., 1, :, :]
@@ -1487,21 +1517,30 @@ def build_bfv_matvec(context: SealContext, diagonals, batch_encoder,
             acc0 = dyadic_product(c0_ntt, plains[0], limbs)
             acc1 = dyadic_product(c1_ntt, plains[0], limbs)
         if rot_steps:
+            tabs = jnp.asarray(rot_tabs)
             ct_k = compute_modup_digits(c1, plan, False)   # hoisted once
-            raw0 = raw1 = None
-            for i, (s, elt) in enumerate(zip(rot_steps, elts)):
-                ct_k_rot = tool.apply_galois_ntt(ct_k, elt)
-                a0, a1 = keyswitch_inner_product(
-                    ct_k_rot, galois_keys_stack[i], plan, False, raw=True
-                )
-                t0 = dyadic_product(a0, plains_ext[s], ext_limbs)
-                t1 = dyadic_product(a1, plains_ext[s], ext_limbs)
-                raw0 = t0 if raw0 is None else add_poly(raw0, t0, ext_limbs)
-                raw1 = t1 if raw1 is None else add_poly(raw1, t1, ext_limbs)
-                p0 = dyadic_product(
-                    tool.apply_galois_ntt(c0_ntt, elt), plains[s], limbs
-                )
-                acc0 = p0 if acc0 is None else add_poly(acc0, p0, limbs)
+            # [..., nb, n_ext, R, N] -> [..., R, nb, n_ext, N]
+            rk = jnp.moveaxis(jnp.take(ct_k, tabs, axis=-1), -2, -4)
+            keys_ext = galois_keys_stack[..., ext_idx, :]
+            a0 = modops.accumulate_mulmod_128(
+                ((rk[..., b, :, :], keys_ext[:, b, 0]) for b in range(nb)),
+                ext_limbs.p, ext_limbs.ratio0, ext_limbs.ratio1)
+            a1 = modops.accumulate_mulmod_128(
+                ((rk[..., b, :, :], keys_ext[:, b, 1]) for b in range(nb)),
+                ext_limbs.p, ext_limbs.ratio0, ext_limbs.ratio1)
+            pte = jnp.asarray(pte_rot)
+            raw0 = modops.accumulate_mulmod_128(
+                ((a0[..., r, :, :], pte[r]) for r in range(R)),
+                ext_limbs.p, ext_limbs.ratio0, ext_limbs.ratio1)
+            raw1 = modops.accumulate_mulmod_128(
+                ((a1[..., r, :, :], pte[r]) for r in range(R)),
+                ext_limbs.p, ext_limbs.ratio0, ext_limbs.ratio1)
+            rc = jnp.moveaxis(jnp.take(c0_ntt, tabs, axis=-1), -2, -3)
+            ptcj = jnp.asarray(ptc_rot)
+            p0 = modops.accumulate_mulmod_128(
+                ((rc[..., r, :, :], ptcj[r]) for r in range(R)),
+                limbs.p, limbs.ratio0, limbs.ratio1)
+            acc0 = p0 if acc0 is None else add_poly(acc0, p0, limbs)
             d0 = rescale_special(raw0, plan, is_ntt_output=True)
             d1 = rescale_special(raw1, plan, is_ntt_output=True)
             acc0 = add_poly(acc0, d0, limbs)

@@ -139,7 +139,10 @@ def test_bootstrap_e2e():
     n = 128
     r = 8  # explicit: deg-7 Taylor at arg <= 2pi*K'/2^r ~ 0.35 rad still
     # contributes < 1e-4; keeps the chain (8 + r + spare) compileable
-    bits = [59] + [40] * 17 + [59]
+    # 45-bit working primes: the output error floor is the squaring-chain
+    # noise amplified by q0/(2*pi*scale), so precision tracks scale/q0 —
+    # measured 1.4e-2 max at 40-bit primes, ~2e-4 at 45-bit
+    bits = [59] + [45] * 17 + [59]
     ctx = _ckks_context(n, bits)
     kg = KeyGenerator(ctx)
     enc = Encryptor(ctx, public_key=kg.public_key())
@@ -147,7 +150,7 @@ def test_bootstrap_e2e():
     dec = Decryptor(ctx, kg.secret_key)
     ev = Evaluator(ctx)
     tool = ctx.first_context_data().galois_tool
-    scale = 2.0**40
+    scale = 2.0**45
 
     fn, out_pid, out_scale, rot_steps, conj_elt = build_ckks_bootstrap(
         ctx, scale, encoder, r=r
@@ -173,7 +176,7 @@ def test_bootstrap_e2e():
             as_complex=True,
         )
     )[:s]
-    assert np.abs(got - msg).max() < 1e-2
+    assert np.abs(got - msg).max() < 2e-3
     L_out = len(ctx.get_context_data(out_pid).parms.coeff_modulus)
     assert L_out >= 2  # usable multiplicative depth restored
     assert math.isclose(out_scale, scale, rel_tol=1e-9)
