@@ -427,6 +427,50 @@ def main():
         emit(f"ckks_logreg_train_m{m}_f{F}_n{n}_iters_per_s", ops,
              "encrypted_gd_iters/s")
 
+    # ---- bootstrap: full CKKS ciphertext refresh -------------------------
+    if _want("bootstrap"):
+        # Refresh an exhausted ciphertext without decrypting (capability
+        # BEYOND the reference).  linear_mode="split" (log-depth FFT-
+        # factored slot maps) keeps the plaintext grids at O(2^radix)
+        # diagonals per level, so N=4096 fits; --small shrinks to the
+        # e2e-test shape.
+        from gemini_seal_tpu.models.bootstrap import build_ckks_bootstrap
+        if small:
+            n, r, nsp, radix = 128, 8, 1, 3
+            bits = [59] + [45] * 17 + [59]
+        else:
+            n, r, nsp, radix = 4096, 12, 3, 4
+            bits = [59] + [45] * 23 + [59] * 3
+        parms = EncryptionParameters(SchemeType.CKKS)
+        parms.set_poly_modulus_degree(n)
+        parms.set_coeff_modulus(CoeffModulus.create(n, bits))
+        parms.set_n_special_primes(nsp)
+        parms.set_random_seed(tuple(range(8)))
+        ctx = SealContext(parms, sec_level=SecLevelType.none)
+        kg = KeyGenerator(ctx)
+        enc = Encryptor(ctx, public_key=kg.public_key())
+        encoder = CKKSEncoder(ctx)
+        tool = ctx.first_context_data().galois_tool
+        scale = 2.0 ** 45
+        fn, out_pid, out_scale, rsteps, conj_elt = build_ckks_bootstrap(
+            ctx, scale, encoder, r=r, linear_mode="split", radix=radix)
+        elts = [tool.get_elt_from_step(s_) for s_ in rsteps]
+        gk = kg.galois_keys(elts + [conj_elt])
+        rot_stack = jax.device_put(gk.stacked(*elts))
+        conj_stack = jax.device_put(gk.stacked(conj_elt))
+        rks = jax.device_put(kg.relin_keys().stacked(2))
+        from gemini_seal_tpu import Evaluator
+        ev = Evaluator(ctx)
+        ct = enc.encrypt(encoder.encode([0.5] * encoder.slot_count, scale))
+        while ctx.get_context_data(ct.parms_id).next_context_data is not None:
+            ct = ev.mod_switch_to_next(ct)
+        da = jax.device_put(np.asarray(ct.data))
+        cks = jax.jit(lambda salt, y: jnp.sum(y, dtype=jnp.uint64) + salt)
+        ops = _sync_time(
+            lambda s_, x, rk_, ck_, rl_: cks(s_, fn(x, rk_, ck_, rl_)),
+            (da, rot_stack, conj_stack, rks), 1, cfg.iters)
+        emit(f"ckks_bootstrap_n{n}_refreshes_per_s", ops, "refreshes/s")
+
     # ---- logreg: encrypted logistic-regression head ---------------------
     if _want("logreg"):
         n = 1024 if small else 8192

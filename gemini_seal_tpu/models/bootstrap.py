@@ -22,12 +22,22 @@ framework's existing jitted pipelines:
       v
     fresh ct near the TOP of the chain, same message, same scale
 
-All linear maps ride build_ckks_matvec_bsgs (~2*sqrt(slots) key switches
-each, complex diagonals, hoisted mod-up); the squarings are the standard
-fused square+relin+rescale pipeline.  The slot-map matrices are derived
-NUMERICALLY from the encoder's own embedding (no closed-form DFT code to
-get subtly wrong): E = embedding_forward(I_n) column-gathered through the
-generator-5 index map, inverted once on the host.
+Two linear-map strategies (build_ckks_bootstrap(linear_mode=...)):
+"dense" rides build_ckks_matvec_bsgs (~2*sqrt(slots) key switches per
+map, O(s) plaintext diagonals, 2 levels per transform); "split" applies
+the log-depth FFT factorization — the s-point slot transform's radix-2
+butterfly stages (special_fft_stage_diagonals) collapsed into
+ceil(log2(s)/radix) sparse groups of <= 2^(radix+1)-1 diagonals, one
+level each, sharing ONE chain across both coefficient halves via the
+packing identity z = E1 (a + i b) (E = [E1 | i*E1] for power-of-2
+rings) with the bit-reversal permutation cancelling against SlotToCoeff
+because EvalMod is slot-wise.  Split mode is what makes large-slot
+bootstraps fit: O(2^radix) diagonals of plaintext per level instead of
+O(s).  Every matrix is derived NUMERICALLY from the encoder's own
+embedding (no closed-form DFT code to get subtly wrong):
+E = embedding_forward(I_n) column-gathered through the generator-5
+index map; the butterfly factorization is pinned by tests against the
+dense product.
 
 Precision: the floor is the squaring-chain rescale noise AMPLIFIED by
 the final q0/(2 pi scale) division that turns exp(2 pi i t) back into
@@ -53,7 +63,7 @@ import numpy as np
 
 from ..context import SealContext
 from ..ops.backend import xp
-from ..ops.dyadic import add_poly, dyadic_product
+from ..ops.dyadic import add_poly, dyadic_product, sub_poly
 from ..ops.keyswitch import KeySwitchPlan, switch_key
 from ..ops.ntt import ntt_forward, ntt_inverse
 from ..ops.rnsops import divide_and_round_q_last_ntt
@@ -61,6 +71,8 @@ from .pipelines import build_ckks_matvec_bsgs, build_ckks_mul_relin_rescale
 
 __all__ = [
     "derive_slot_matrices",
+    "special_fft_stage_diagonals",
+    "compose_diagonals",
     "mod_raise",
     "build_ckks_bootstrap",
 ]
@@ -88,6 +100,91 @@ def _matrix_diagonals(M):
     idx = (np.arange(s)[:, None] + np.arange(s)[None, :]) % s
     cols = M[np.arange(s)[:, None], idx]                     # [s(i), s(d)]
     return {d: cols[:, d] for d in range(s)}
+
+
+def special_fft_stage_diagonals(encoder):
+    """Butterfly factorization of the s-point slot transform, in diagonal
+    form.  E = [E1 | i*E1] for power-of-2 rings (zeta_j^s = i in the
+    generator-5 slot order), so decode is z = E1 (a + i b) over the two
+    coefficient halves, and E1 = B_m ... B_1 P with P the bit-reversal
+    permutation and each B_t a radix-2 butterfly with THREE generalized
+    diagonals at offsets {0, +2^(t-1), s - 2^(t-1)}.  P is OMITTED here:
+    EvalMod is slot-wise, so the permutation cancels between CoeffToSlot
+    (which applies the B_t^{-1} chain) and SlotToCoeff (the B_t chain).
+
+    Returns (fwd, inv): per-stage diagonal dicts {offset: complex[s]} of
+    B_t and B_t^{-1} (the 2x2 block [[1, w], [1, -w]] inverts to
+    [[1/2, 1/2], [1/(2w), -1/(2w)]] — same sparsity), t = 1..log2(s).
+    """
+    s = encoder.slots
+    M = 4 * s                                 # root-group order (= 2n)
+    psi = np.exp(2j * np.pi / M)
+    rot = [pow(5, j, M) for j in range(s)]
+    fwd, inv = [], []
+    ln = 2
+    while ln <= s:
+        lenh, lenq = ln // 2, ln * 4
+        d0f = np.zeros(s, complex)
+        dpf = np.zeros(s, complex)
+        dmf = np.zeros(s, complex)
+        d0i = np.zeros(s, complex)
+        dpi = np.zeros(s, complex)
+        dmi = np.zeros(s, complex)
+        for i in range(0, s, ln):
+            for j in range(lenh):
+                w = psi ** ((rot[j] % lenq) * (M // lenq))
+                u, l = i + j, i + j + lenh
+                d0f[u] = 1.0
+                dpf[u] = w                    # B[u, u + lenh]
+                d0f[l] = -w
+                dmf[l] = 1.0                  # B[l, l - lenh]
+                d0i[u] = 0.5
+                dpi[u] = 0.5
+                d0i[l] = -0.5 / w
+                dmi[l] = 0.5 / w
+        # at the last stage lenh == s/2, so +lenh and s-lenh are the SAME
+        # cyclic offset — merge (the two vectors live on disjoint rows)
+        def _merged(d0, dp, dm):
+            out = {0: d0}
+            for d, v in ((lenh, dp), ((s - lenh) % s, dm)):
+                out[d] = v if d not in out else out[d] + v
+            return out
+
+        fwd.append(_merged(d0f, dpf, dmf))
+        inv.append(_merged(d0i, dpi, dmi))
+        ln *= 2
+    return fwd, inv
+
+
+def compose_diagonals(A, B, s):
+    """Diagonals of the matrix product A @ B from the diagonals of each:
+    (A @ B)_{dA+dB}[i] += A_{dA}[i] * B_{dB}[(i + dA) % s].  Exact-zero
+    diagonals are dropped, so collapsed butterfly groups stay sparse
+    (a radix-2^k group has <= 2^(k+1) - 1 diagonals)."""
+    out = {}
+    for dA, va in A.items():
+        for dB, vb in B.items():
+            d = (dA + dB) % s
+            term = va * np.roll(vb, -dA)
+            out[d] = term if d not in out else out[d] + term
+    return {d: v for d, v in out.items() if np.abs(v).max() > 1e-14}
+
+
+def _collapse_chain(stages_in_application_order, s, radix):
+    """Group consecutive stages (application order) into radix-sized
+    collapsed matrices: group = last @ ... @ first of its chunk."""
+    groups = []
+    for i in range(0, len(stages_in_application_order), radix):
+        chunk = stages_in_application_order[i:i + radix]
+        G = chunk[0]
+        for B in chunk[1:]:
+            G = compose_diagonals(B, G, s)
+        groups.append(G)
+    return groups
+
+
+def _scale_diagonals(D, c):
+    return {d: c * v for d, v in D.items()}
 
 
 class ModRaisePlan:
@@ -130,31 +227,50 @@ def mod_raise(ct_data, plan: ModRaisePlan):
 def build_ckks_bootstrap(context: SealContext, scale: float, encoder,
                          msg_bound: float = 1.0, K: int = None,
                          r: int = None, baby: int = None,
-                         composed: bool = True):
+                         composed: bool = True,
+                         linear_mode: str = "dense", radix: int = 3):
     """fn(ct_data, rot_keys_stack, conj_key, relin_key) -> refreshed ct.
 
     ct_data: u64[..., 2, 1, N] at the LAST level of the chain (NTT form)
-    with the given `scale`; the output is u64[..., 2, L_out, N] at
-    `out_parms_id` — 8 + r levels below the top — encrypting the SAME
-    slot values at the SAME scale, ready for further multiplications.
+    with the given `scale`; the output encrypts the SAME slot values at
+    (approximately) the SAME scale at `out_parms_id`, ready for further
+    multiplications.
+
+    linear_mode="dense" (default): CoeffToSlot/SlotToCoeff are 4+4 dense
+    BSGS matvecs over the numerically-derived slot matrices — 2 levels
+    per transform, ~2*sqrt(s) rotation keys, O(s) plaintext diagonals.
+
+    linear_mode="split": the log-depth FFT factorization — the s-point
+    slot transform's radix-2 butterfly stages (special_fft_stage_
+    diagonals) are collapsed into ceil(log2(s)/radix) groups of
+    <= 2^(radix+1)-1 generalized diagonals each; CoeffToSlot applies the
+    inverse-stage chain to ONE ciphertext (the packing identity
+    z = E1 (a + i b) needs no front conjugation), splits the halves with
+    a single conjugation, and SlotToCoeff shares one chain across both
+    halves (the bit-reversal permutation cancels against CoeffToSlot
+    because EvalMod is slot-wise).  1 level per group, 3*ceil(m/radix)+1
+    small matvecs total, O(2^radix) diagonals of plaintext per level —
+    the memory/key footprint that makes large-slot bootstraps feasible.
 
     Returns (fn, out_parms_id, out_scale, rot_steps, conj_elt):
-    rot_keys_stack stacked for `rot_steps` (the shared BSGS baby/giant
-    set), conj_key stacked for the single conjugation element 2N-1.
+    rot_keys_stack stacked for `rot_steps`, conj_key stacked for the
+    single conjugation element 2N-1.
 
     composed=True (default): fn is an already-compiled Python callable
-    chaining per-stage jitted programs (ModRaise+conj, one C2S and one
-    S2C program per coefficient half, ONE shared EvalMod program) —
-    seconds of compile each; composed=False returns one jittable
-    function (a single very deep XLA graph: tens of minutes of one-time
-    compile — only for fusion experiments).  Outputs are bit-identical.
+    chaining per-stage jitted programs (seconds of compile each);
+    composed=False returns one jittable function (a single deep XLA
+    graph — only for fusion experiments).  Outputs are bit-identical.
 
-    Requirements: the chain's base prime q0 must be >> scale (precision
-    ~ (2 pi * scale * msg_bound / q0)^2 / 6 relative), the special-prime
-    budget must cover top-level key switches, and slot magnitudes must
-    stay within msg_bound.
+    Level cost: dense 8 + r; split 2*ceil(log2(s)/radix) + 4 + r.
+    Requirements: the chain's base prime q0 must be >> scale (the output
+    error floor tracks q0/(2 pi scale) — see the module docstring), the
+    special-prime budget must cover top-level key switches, and slot
+    magnitudes must stay within msg_bound.
     """
+    import jax
     import jax.numpy as jnp
+
+    from .pipelines import build_ckks_matvec
 
     n = encoder._n
     s = encoder.slots
@@ -162,16 +278,28 @@ def build_ckks_bootstrap(context: SealContext, scale: float, encoder,
         K = max(12, int(math.ceil(4.5 * math.sqrt(n / 18.0))))
     if r is None:
         r = int(math.ceil(math.log2(2 * math.pi * (K + 1.5) / 0.15)))
+    if linear_mode not in ("dense", "split"):
+        raise ValueError(f"unknown linear_mode {linear_mode!r}")
+    if linear_mode == "split":
+        m_st = int(math.log2(s))
+        if 2 ** m_st != s or s < 2:
+            raise ValueError("split mode needs a power-of-two slot count")
+        Gn = (m_st + radix - 1) // radix
+        base = Gn
+        n_levels = 2 * Gn + 4 + r
+    else:
+        base = 2
+        n_levels = 8 + r
 
     # ---- chain walk: top -> levels used by each stage -------------------
     cds = [context.get_context_data(context.first_parms_id)]
-    n_levels = 8 + r
     for _ in range(n_levels):
         nxt = cds[-1].next_context_data
         if nxt is None:
             raise ValueError(
                 f"modulus chain too short: bootstrap needs {n_levels} "
-                f"levels below the top (r={r} squarings)")
+                f"levels below the top (r={r} squarings, "
+                f"linear_mode={linear_mode!r})")
         cds.append(nxt)
     last_cd = cds[-1]
     while last_cd.next_context_data is not None:
@@ -183,104 +311,16 @@ def build_ckks_bootstrap(context: SealContext, scale: float, encoder,
     q0 = last_cd.parms.coeff_modulus[0].value
 
     raise_plan = ModRaisePlan(context, last_cd.parms_id, top_cd.parms_id)
-
-    # ---- slot matrices --------------------------------------------------
-    E, Minv = derive_slot_matrices(encoder)
     Dl = float(scale)
     gamma = 2j * math.pi * Dl / (float(q0) * float(2 ** r))
-    # C2S diagonal scale: exactly the two primes its product rescales by
-    delta_c2s = float(q[0]) * float(q[1])
-    # u_h = W_h @ [z; conj z], W_h = gamma * Minv rows of half h
-    Wz = [gamma * Minv[:s, :s], gamma * Minv[s:, :s]]        # act on z
-    Wc = [gamma * Minv[:s, s:], gamma * Minv[s:, s:]]        # act on conj z
+    lvl_s2c = base + 4 + r
 
-    top_id = top_cd.parms_id
-    c2s = []
-    rot_steps = None
-    for h in range(2):
-        fz, steps_z = build_ckks_matvec_bsgs(
-            context, _matrix_diagonals(Wz[h]), delta_c2s, encoder,
-            parms_id=top_id, baby=baby)
-        fc, steps_c = build_ckks_matvec_bsgs(
-            context, _matrix_diagonals(Wc[h]), delta_c2s, encoder,
-            parms_id=top_id, baby=baby)
-        if rot_steps is None:
-            rot_steps = steps_z
-        if steps_z != rot_steps or steps_c != rot_steps:
-            raise AssertionError("BSGS step sets must agree across maps")
-        c2s.append((fz, fc))
-
-    # ---- scale ladder ---------------------------------------------------
-    # after C2S + two rescales: sigma_u = Dl * delta_c2s / (q0*q1) = Dl
-    sigma_u = Dl * delta_c2s / (float(q[0]) * float(q[1]))
-    sq = {}
-    for lvl in (2, 3):                                        # u2 = u^2, u4 = u2^2
-        sq[lvl] = build_ckks_mul_relin_rescale(
-            context, cds[lvl].parms_id, square=True)
-    mul3 = build_ckks_mul_relin_rescale(context, cds[3].parms_id)
-    mul_hi = build_ckks_mul_relin_rescale(context, cds[4].parms_id)
-    sigma_u2 = sigma_u * sigma_u / float(q[2])                # level 3
-    sigma_u3 = sigma_u2 * sigma_u / float(q[3])               # level 4
-    sigma_u4 = sigma_u2 * sigma_u2 / float(q[3])              # level 4
-    # sigma_hi = Dl^2 keeps every alignment constant's encode scale near
-    # Dl (sigma_hi = Dl would push them to ~1, rounding a_k to garbage);
-    # the resulting ~Dl^2-scaled w gets one closing rescale to ~Dl.
-    sigma_hi = Dl * Dl
-    sigma_w = sigma_u4 * sigma_hi / float(q[4])               # level 5
-
-    # Taylor coefficients of exp: a_k = 1/k!
-    a = [1.0 / math.factorial(k) for k in range(8)]
-
-    def _enc(val, sc, lvl):
-        return np.asarray(encoder.encode(val, sc, cds[lvl].parms_id).data)
-
-    # hi = a4 + a5 u + a6 u2 + a7 u3, all aligned at level 4, scale sigma_hi
-    hi_u = _enc(a[5], sigma_hi / sigma_u, 4)
-    hi_u2 = _enc(a[6], sigma_hi / sigma_u2, 4)
-    hi_u3 = _enc(a[7], sigma_hi / sigma_u3, 4)
-    hi_c = _enc(a[4], sigma_hi, 4)
-    # low = a0 + a1 u + a2 u2 + a3 u3, aligned at level 5, scale sigma_w
-    lo_u = _enc(a[1], sigma_w / sigma_u, 5)
-    lo_u2 = _enc(a[2], sigma_w / sigma_u2, 5)
-    lo_u3 = _enc(a[3], sigma_w / sigma_u3, 5)
-    lo_c = _enc(a[0], sigma_w, 5)
-
-    sigma_w6 = sigma_w / float(q[5])                          # level 6
-
-    # squarings: level 6 -> 6 + r
-    sq_r = [build_ckks_mul_relin_rescale(context, cds[6 + i].parms_id,
-                                         square=True) for i in range(r)]
-    sigma_z = sigma_w6
-    for i in range(r):
-        sigma_z = sigma_z * sigma_z / float(q[6 + i])
-
-    # ---- S2C at level 6 + r --------------------------------------------
-    lvl_s2c = 6 + r
-    s2c_id = cds[lvl_s2c].parms_id
-    delta_s2c = float(q[lvl_s2c]) * float(q[lvl_s2c + 1]) * Dl / sigma_z
-    kap = float(q0) / (2 * math.pi * Dl) / 2j
-    Cz = [kap * E[:, :s], kap * E[:, s:]]                     # act on w_h
-    Cc = [-kap * E[:, :s], -kap * E[:, s:]]                   # act on conj w_h
-    s2c = []
-    for h in range(2):
-        fz, steps_z = build_ckks_matvec_bsgs(
-            context, _matrix_diagonals(Cz[h]), delta_s2c, encoder,
-            parms_id=s2c_id, baby=baby)
-        fc, steps_c = build_ckks_matvec_bsgs(
-            context, _matrix_diagonals(Cc[h]), delta_s2c, encoder,
-            parms_id=s2c_id, baby=baby)
-        if steps_z != rot_steps or steps_c != rot_steps:
-            raise AssertionError("BSGS step sets must agree across maps")
-        s2c.append((fz, fc))
-    out_cd = cds[lvl_s2c + 2]
-    out_scale = sigma_z * delta_s2c / (float(q[lvl_s2c]) *
-                                       float(q[lvl_s2c + 1]))
-
-    # ---- conjugation (galois element 2n - 1) ---------------------------
+    # ---- shared primitive helpers ---------------------------------------
     conj_elt = 2 * n - 1
+    conj_levels = (0, lvl_s2c) if linear_mode == "dense" else (base, lvl_s2c)
     conj_plans = {lvl: KeySwitchPlan(context, cds[lvl].parms_id)
-                  for lvl in (0, lvl_s2c)}
-    galois_tools = {lvl: cds[lvl].galois_tool for lvl in (0, lvl_s2c)}
+                  for lvl in conj_levels}
+    galois_tools = {lvl: cds[lvl].galois_tool for lvl in conj_levels}
 
     def conjugate(ct, lvl, conj_key):
         tool = galois_tools[lvl]
@@ -306,6 +346,266 @@ def build_ckks_bootstrap(context: SealContext, scale: float, encoder,
         return jnp.concatenate([c0[..., None, :, :], ct[..., 1:, :, :]],
                                axis=-3)
 
+    def ct_add(x, y, lvl):
+        return add_poly(x, y, limbs[lvl])
+
+    def ct_sub(x, y, lvl):
+        return sub_poly(x, y, limbs[lvl])
+
+    def _enc(val, sc, lvl):
+        if isinstance(val, complex):
+            pt = encoder.encode([val] * s, sc, cds[lvl].parms_id)
+        else:
+            pt = encoder.encode(val, sc, cds[lvl].parms_id)
+        return np.asarray(pt.data)
+
+    # Taylor coefficients of exp: a_k = 1/k!
+    a = [1.0 / math.factorial(k) for k in range(8)]
+
+    def make_evalmod(b, sigma_u, c=1.0):
+        """Degree-7 Taylor of exp(c * x) + r double-angle squarings,
+        starting at level b with input scale sigma_u.  The per-half
+        constant c (split mode: 1 and -i for the two conjugation-
+        extracted halves; |c| must stay O(1) — see the C2S folding note)
+        folds into the Taylor coefficients as a_k * c^k — the squarings
+        then amplify exp(c x / ...) exactly as in the plain flow.
+        Returns (stage_fn, sigma_z)."""
+        sq_b = build_ckks_mul_relin_rescale(context, cds[b].parms_id,
+                                            square=True)
+        sq_b1 = build_ckks_mul_relin_rescale(context, cds[b + 1].parms_id,
+                                             square=True)
+        mul3 = build_ckks_mul_relin_rescale(context, cds[b + 1].parms_id)
+        mul_hi = build_ckks_mul_relin_rescale(context, cds[b + 2].parms_id)
+        sigma_u2 = sigma_u * sigma_u / float(q[b])            # level b+1
+        sigma_u3 = sigma_u2 * sigma_u / float(q[b + 1])       # level b+2
+        sigma_u4 = sigma_u2 * sigma_u2 / float(q[b + 1])      # level b+2
+        # sigma_hi = Dl^2 keeps every alignment constant's encode scale
+        # near Dl (sigma_hi = Dl would push them to ~1, rounding a_k to
+        # garbage); the resulting ~Dl^2-scaled w gets one closing rescale.
+        sigma_hi = Dl * Dl
+        sigma_w = sigma_u4 * sigma_hi / float(q[b + 2])       # level b+3
+        ck = [c ** k for k in range(8)]
+        # hi = a4 + a5 u + a6 u2 + a7 u3, aligned at level b+2, scale hi
+        hi_u = _enc(a[5] * ck[5], sigma_hi / sigma_u, b + 2)
+        hi_u2 = _enc(a[6] * ck[6], sigma_hi / sigma_u2, b + 2)
+        hi_u3 = _enc(a[7] * ck[7], sigma_hi / sigma_u3, b + 2)
+        hi_c = _enc(a[4] * ck[4], sigma_hi, b + 2)
+        # low = a0 + a1 u + a2 u2 + a3 u3, aligned at level b+3
+        lo_u = _enc(a[1] * ck[1], sigma_w / sigma_u, b + 3)
+        lo_u2 = _enc(a[2] * ck[2], sigma_w / sigma_u2, b + 3)
+        lo_u3 = _enc(a[3] * ck[3], sigma_w / sigma_u3, b + 3)
+        lo_c = _enc(a[0] * ck[0], sigma_w, b + 3)
+        sigma_w6 = sigma_w / float(q[b + 3])                  # level b+4
+        sq_r = [build_ckks_mul_relin_rescale(context, cds[b + 4 + i].parms_id,
+                                             square=True) for i in range(r)]
+        sigma_z = sigma_w6
+        for i in range(r):
+            sigma_z = sigma_z * sigma_z / float(q[b + 4 + i])
+
+        def stage(u, relin_key):
+            u2 = sq_b(u, relin_key)                           # level b+1
+            u3 = mul3(u2, u[..., :L[b + 1], :], relin_key)    # level b+2
+            u4 = sq_b1(u2, relin_key)                         # level b+2
+            hi = plain_mul(u[..., :L[b + 2], :], hi_u, b + 2)
+            hi = add_poly(hi, plain_mul(u2[..., :L[b + 2], :], hi_u2, b + 2),
+                          limbs[b + 2])
+            hi = add_poly(hi, plain_mul(u3, hi_u3, b + 2), limbs[b + 2])
+            hi = plain_add(hi, hi_c, b + 2)
+            w = mul_hi(u4, hi, relin_key)                     # level b+3
+            lo = plain_mul(u[..., :L[b + 3], :], lo_u, b + 3)
+            lo = add_poly(lo, plain_mul(u2[..., :L[b + 3], :], lo_u2, b + 3),
+                          limbs[b + 3])
+            lo = add_poly(lo, plain_mul(u3[..., :L[b + 3], :], lo_u3, b + 3),
+                          limbs[b + 3])
+            lo = plain_add(lo, lo_c, b + 3)
+            w = add_poly(w, lo, limbs[b + 3])
+            w = rescale(w, b + 3)                             # level b+4
+            for i in range(r):
+                w = sq_r[i](w, relin_key)                     # level b+5+i
+            return w
+
+        return stage, sigma_z
+
+    # =====================================================================
+    if linear_mode == "split":
+        fwd_st, inv_st = special_fft_stage_diagonals(encoder)
+        inv_app = list(reversed(inv_st))          # B_m^{-1} applied first
+        c2s_groups = _collapse_chain(inv_app, s, radix)
+        s2c_groups = _collapse_chain(fwd_st, s, radix)
+        assert len(c2s_groups) == len(s2c_groups) == Gn
+
+        step_set = set()
+        for g in c2s_groups + s2c_groups:
+            step_set |= {d for d in g if d != 0}
+        rot_steps = sorted(step_set)
+        sidx = {d: i for i, d in enumerate(rot_steps)}
+
+        def make_group(diag, lvl, delta):
+            fn = build_ckks_matvec(context, diag, delta, encoder,
+                                   parms_id=cds[lvl].parms_id)
+            st = [d for d in sorted(diag) if d != 0]
+            idx = np.asarray([sidx[d] for d in st], dtype=np.int64)
+            return fn, idx
+
+        # CoeffToSlot: Gn groups, scale-preserving (delta = dropped prime),
+        # with gamma/2 FOLDED INTO THE DIAGONALS — spread as
+        # |gamma/2|^(1/Gn) per group (phase on the first) so each group's
+        # plaintext values stay well above the encode quantum.  Folding
+        # the constant into the Taylor coefficients instead (a_k (c)^k
+        # down to ~1e-47) quantizes them to garbage at any fixed encode
+        # scale while the un-shrunk EvalMod input grows as (q0 K/Dl)^k —
+        # encode rounding alone then contributes ~2^-46 * |x|^4 ~ 1e9.
+        gmag = abs(gamma / 2.0) ** (1.0 / Gn)
+        gphase = (gamma / 2.0) / abs(gamma / 2.0)
+        cfac = [gphase * gmag] + [gmag] * (Gn - 1)
+        c2s_fns = [make_group(_scale_diagonals(g, cfac[gi]), gi, float(q[gi]))
+                   for gi, g in enumerate(c2s_groups)]
+
+        # EvalMod per half.  The chain output holds (gamma/2)(a + i b);
+        # gamma is purely imaginary, so conjugation flips its sign and
+        # the usual sum/difference extraction SWAPS:
+        #   t - conj(t) = gamma * a        -> em_a constant 1
+        #   t + conj(t) = i * gamma * b    -> em_b constant -i
+        em_a, sigma_z = make_evalmod(base, Dl, 1.0)
+        em_b, _ = make_evalmod(base, Dl, -1j)
+
+        # SlotToCoeff: first group carries kappa (the sin -> frac constant)
+        # for the a-half and i*kappa for the b-half, plus the Dl/sigma_z
+        # realignment in its encode scale; later groups are scale-neutral.
+        kap = complex(q0) / (4j * math.pi * Dl)
+        delta1 = float(q[lvl_s2c]) * Dl / sigma_z
+        s2c_a = make_group(_scale_diagonals(s2c_groups[0], kap),
+                           lvl_s2c, delta1)
+        s2c_b = make_group(_scale_diagonals(s2c_groups[0], 1j * kap),
+                           lvl_s2c, delta1)
+        s2c_rest = [make_group(g, lvl_s2c + gi, float(q[lvl_s2c + gi]))
+                    for gi, g in enumerate(s2c_groups[1:], start=1)]
+        sigma_out = (sigma_z * delta1) / float(q[lvl_s2c])
+        out_cd = cds[lvl_s2c + Gn]
+        out_scale = sigma_out
+
+        def stage_raise(ct_data):
+            return mod_raise(ct_data, raise_plan)
+
+        def make_c2s_stage(gi):
+            fn, idx = c2s_fns[gi]
+
+            def run_g(t, rot_keys_stack):
+                return rescale(fn(t, rot_keys_stack[idx]), gi)
+            return run_g
+
+        def stage_split(t, conj_key):
+            tc = conjugate(t, base, conj_key)
+            return ct_sub(t, tc, base), ct_add(t, tc, base)
+
+        def stage_s2c_first(wa, wb, conj_key, rot_keys_stack):
+            wac = conjugate(wa, lvl_s2c, conj_key)
+            wbc = conjugate(wb, lvl_s2c, conj_key)
+            xa = ct_sub(wa, wac, lvl_s2c)
+            xb = ct_sub(wb, wbc, lvl_s2c)
+            fa, ia = s2c_a
+            fb, ib = s2c_b
+            y = ct_add(fa(xa, rot_keys_stack[ia]),
+                       fb(xb, rot_keys_stack[ib]), lvl_s2c)
+            return rescale(y, lvl_s2c)
+
+        def make_s2c_stage(gi):
+            fn, idx = s2c_rest[gi - 1]
+            lvl = lvl_s2c + gi
+
+            def run_g(y, rot_keys_stack):
+                return rescale(fn(y, rot_keys_stack[idx]), lvl)
+            return run_g
+
+        c2s_stages = [make_c2s_stage(gi) for gi in range(Gn)]
+        s2c_stages = [make_s2c_stage(gi) for gi in range(1, Gn)]
+
+        if composed:
+            j_raise = jax.jit(stage_raise)
+            j_c2s = [jax.jit(g) for g in c2s_stages]
+            j_split = jax.jit(stage_split)
+            j_em_a = jax.jit(em_a)
+            j_em_b = jax.jit(em_b)
+            j_s2c0 = jax.jit(stage_s2c_first)
+            j_s2c = [jax.jit(g) for g in s2c_stages]
+
+            def run(ct_data, rot_keys_stack, conj_key, relin_key):
+                t = j_raise(ct_data)
+                for g in j_c2s:
+                    t = g(t, rot_keys_stack)
+                xa, xb = j_split(t, conj_key)
+                wa = j_em_a(xa, relin_key)
+                wb = j_em_b(xb, relin_key)
+                y = j_s2c0(wa, wb, conj_key, rot_keys_stack)
+                for g in j_s2c:
+                    y = g(y, rot_keys_stack)
+                return y
+
+            return run, out_cd.parms_id, out_scale, rot_steps, conj_elt
+
+        def fn(ct_data, rot_keys_stack, conj_key, relin_key):
+            t = stage_raise(ct_data)
+            for g in c2s_stages:
+                t = g(t, rot_keys_stack)
+            xa, xb = stage_split(t, conj_key)
+            wa = em_a(xa, relin_key)
+            wb = em_b(xb, relin_key)
+            y = stage_s2c_first(wa, wb, conj_key, rot_keys_stack)
+            for g in s2c_stages:
+                y = g(y, rot_keys_stack)
+            return y
+
+        return fn, out_cd.parms_id, out_scale, rot_steps, conj_elt
+
+    # ================= dense mode (BSGS slot matrices) ===================
+    E, Minv = derive_slot_matrices(encoder)
+    # C2S diagonal scale: exactly the two primes its product rescales by
+    delta_c2s = float(q[0]) * float(q[1])
+    # u_h = W_h @ [z; conj z], W_h = gamma * Minv rows of half h
+    Wz = [gamma * Minv[:s, :s], gamma * Minv[s:, :s]]        # act on z
+    Wc = [gamma * Minv[:s, s:], gamma * Minv[s:, s:]]        # act on conj z
+
+    top_id = top_cd.parms_id
+    c2s = []
+    rot_steps = None
+    for h in range(2):
+        fz, steps_z = build_ckks_matvec_bsgs(
+            context, _matrix_diagonals(Wz[h]), delta_c2s, encoder,
+            parms_id=top_id, baby=baby)
+        fc, steps_c = build_ckks_matvec_bsgs(
+            context, _matrix_diagonals(Wc[h]), delta_c2s, encoder,
+            parms_id=top_id, baby=baby)
+        if rot_steps is None:
+            rot_steps = steps_z
+        if steps_z != rot_steps or steps_c != rot_steps:
+            raise AssertionError("BSGS step sets must agree across maps")
+        c2s.append((fz, fc))
+
+    # after C2S + two rescales: sigma_u = Dl * delta_c2s / (q0*q1) = Dl
+    sigma_u = Dl * delta_c2s / (float(q[0]) * float(q[1]))
+    stage_evalmod, sigma_z = make_evalmod(2, sigma_u, 1.0)
+
+    # ---- S2C at level 6 + r ---------------------------------------------
+    s2c_id = cds[lvl_s2c].parms_id
+    delta_s2c = float(q[lvl_s2c]) * float(q[lvl_s2c + 1]) * Dl / sigma_z
+    kap = float(q0) / (2 * math.pi * Dl) / 2j
+    Cz = [kap * E[:, :s], kap * E[:, s:]]                     # act on w_h
+    Cc = [-kap * E[:, :s], -kap * E[:, s:]]                   # act on conj w_h
+    s2c = []
+    for h in range(2):
+        fz, steps_z = build_ckks_matvec_bsgs(
+            context, _matrix_diagonals(Cz[h]), delta_s2c, encoder,
+            parms_id=s2c_id, baby=baby)
+        fc, steps_c = build_ckks_matvec_bsgs(
+            context, _matrix_diagonals(Cc[h]), delta_s2c, encoder,
+            parms_id=s2c_id, baby=baby)
+        if steps_z != rot_steps or steps_c != rot_steps:
+            raise AssertionError("BSGS step sets must agree across maps")
+        s2c.append((fz, fc))
+    out_cd = cds[lvl_s2c + 2]
+    out_scale = sigma_z * delta_s2c / (float(q[lvl_s2c]) *
+                                       float(q[lvl_s2c + 1]))
+
     # ---- stages ---------------------------------------------------------
     def stage_raise(ct_data, conj_key):
         z = mod_raise(ct_data, raise_plan)                    # top level
@@ -316,30 +616,6 @@ def build_ckks_bootstrap(context: SealContext, scale: float, encoder,
         u = add_poly(fz(z, rot_keys_stack),
                      fc(zc, rot_keys_stack), limbs[0])
         return rescale(rescale(u, 0), 1)                      # level 2
-
-    def stage_evalmod(u, relin_key):
-        """Degree-7 Taylor of exp(u) + r double-angle squarings (the same
-        program for both coefficient halves)."""
-        u2 = sq[2](u, relin_key)                              # level 3
-        u3 = mul3(u2, u[..., :L[3], :], relin_key)            # level 4
-        u4 = sq[3](u2, relin_key)                             # level 4
-        hi = plain_mul(u[..., :L[4], :], hi_u, 4)
-        hi = add_poly(hi, plain_mul(u2[..., :L[4], :], hi_u2, 4),
-                      limbs[4])
-        hi = add_poly(hi, plain_mul(u3, hi_u3, 4), limbs[4])
-        hi = plain_add(hi, hi_c, 4)
-        w = mul_hi(u4, hi, relin_key)                         # level 5
-        lo = plain_mul(u[..., :L[5], :], lo_u, 5)
-        lo = add_poly(lo, plain_mul(u2[..., :L[5], :], lo_u2, 5),
-                      limbs[5])
-        lo = add_poly(lo, plain_mul(u3[..., :L[5], :], lo_u3, 5),
-                      limbs[5])
-        lo = plain_add(lo, lo_c, 5)
-        w = add_poly(w, lo, limbs[5])
-        w = rescale(w, 5)                                     # level 6, ~Dl
-        for i in range(r):
-            w = sq_r[i](w, relin_key)                         # level 7+i
-        return w
 
     def stage_s2c(h, w, conj_key, rot_keys_stack):
         fz, fc = s2c[h]
@@ -353,11 +629,8 @@ def build_ckks_bootstrap(context: SealContext, scale: float, encoder,
 
     if composed:
         # per-stage jitted programs: seconds of compile each instead of a
-        # single deep graph (PERF.md compile-time note; same prescription
-        # as build_ckks_poly_eval's composed mode).  stage_evalmod
+        # single deep graph (PERF.md compile-time note).  stage_evalmod
         # compiles ONCE and serves both halves.
-        import jax
-
         j_raise = jax.jit(stage_raise)
         j_c2s = [jax.jit(lambda z, zc, ks, h=h: stage_c2s(h, z, zc, ks))
                  for h in range(2)]

@@ -132,16 +132,70 @@ def test_mod_raise_exact_centered_lift():
                 assert int(out[poly, j, k]) == v % p
 
 
-@pytest.mark.bootstrap_e2e
-def test_bootstrap_e2e():
+def test_special_fft_stages_factor_the_slot_transform():
+    """prod(fwd stages) @ bit-reversal == E1 (the decode map's first
+    coefficient half), E[:, s:] == i*E1 (the packing identity), and the
+    inverse chain with the permutation OMITTED still roundtrips through a
+    slot-wise function — the exact cancellation split-mode relies on."""
+    from gemini_seal_tpu.models.bootstrap import (_collapse_chain,
+                                                  special_fft_stage_diagonals)
+
+    ctx = _ckks_context(128, [45, 45])
+    encoder = CKKSEncoder(ctx)
+    s = encoder.slots
+    E, _ = derive_slot_matrices(encoder)
+    E1 = E[:, :s]
+    assert np.abs(E[:, s:] - 1j * E1).max() < 1e-12
+
+    fwd, inv = special_fft_stage_diagonals(encoder)
+
+    def dense(D):
+        M = np.zeros((s, s), complex)
+        for d, v in D.items():
+            M[np.arange(s), (np.arange(s) + d) % s] = v
+        return M
+
+    bits = int(np.log2(s))
+    brp = np.array([int(format(i, f"0{bits}b")[::-1], 2) for i in range(s)])
+    P = np.zeros((s, s))
+    P[np.arange(s), brp] = 1
+    F = P.copy()
+    for B in fwd:
+        F = dense(B) @ F
+    assert np.abs(F - E1).max() < 1e-9
+
+    def apply_diag(D, x):
+        y = np.zeros_like(x)
+        for d, v in D.items():
+            y = y + v * np.roll(x, -d)
+        return y
+
+    rng = np.random.default_rng(9)
+    z = rng.normal(size=s) + 1j * rng.normal(size=s)
+    for radix in (2, 3):
+        c2s = _collapse_chain(list(reversed(inv)), s, radix)
+        s2c = _collapse_chain(fwd, s, radix)
+        # collapsed groups stay sparse: <= 2^(radix+1) - 1 diagonals
+        assert all(len(g) <= 2 ** (radix + 1) - 1 for g in c2s + s2c)
+        t = z.copy()
+        for g in c2s:
+            t = apply_diag(g, t)
+        t = 3.0 * t            # any slot-wise map commutes with P
+        for g in s2c:
+            t = apply_diag(g, t)
+        assert np.abs(t - 3.0 * z).max() < 1e-9
+
+
+def _run_bootstrap_e2e(linear_mode, radix=3):
     """Full refresh at N=128: exhaust the chain, bootstrap, decrypt —
-    same message, same scale, 8 + r levels below the top."""
+    same message, same scale.  r=8 explicit: deg-7 Taylor at arg <=
+    2pi*K'/2^r ~ 0.35 rad still contributes < 1e-4 and keeps the chain
+    compileable.  45-bit working primes: the output error floor is the
+    squaring-chain noise amplified by q0/(2*pi*scale), so precision
+    tracks scale/q0 — measured 1.4e-2 max at 40-bit primes, ~2e-4 at
+    45-bit (dense mode)."""
     n = 128
-    r = 8  # explicit: deg-7 Taylor at arg <= 2pi*K'/2^r ~ 0.35 rad still
-    # contributes < 1e-4; keeps the chain (8 + r + spare) compileable
-    # 45-bit working primes: the output error floor is the squaring-chain
-    # noise amplified by q0/(2*pi*scale), so precision tracks scale/q0 —
-    # measured 1.4e-2 max at 40-bit primes, ~2e-4 at 45-bit
+    r = 8
     bits = [59] + [45] * 17 + [59]
     ctx = _ckks_context(n, bits)
     kg = KeyGenerator(ctx)
@@ -153,7 +207,7 @@ def test_bootstrap_e2e():
     scale = 2.0**45
 
     fn, out_pid, out_scale, rot_steps, conj_elt = build_ckks_bootstrap(
-        ctx, scale, encoder, r=r
+        ctx, scale, encoder, r=r, linear_mode=linear_mode, radix=radix
     )
     elts = [tool.get_elt_from_step(s) for s in rot_steps]
     gk = kg.galois_keys(elts + [conj_elt])
@@ -180,3 +234,21 @@ def test_bootstrap_e2e():
     L_out = len(ctx.get_context_data(out_pid).parms.coeff_modulus)
     assert L_out >= 2  # usable multiplicative depth restored
     assert math.isclose(out_scale, scale, rel_tol=1e-9)
+    return len(rot_steps), L_out
+
+
+@pytest.mark.bootstrap_e2e
+def test_bootstrap_e2e():
+    _run_bootstrap_e2e("dense")
+
+
+@pytest.mark.bootstrap_e2e
+def test_bootstrap_e2e_split():
+    """Log-depth FFT-factored linear maps: same refresh quality with
+    ~half the rotation keys and O(2^radix) plaintext diagonals per level
+    (at N=128/radix=3 the level cost matches dense: 2+4+r+2)."""
+    n_keys, L_out = _run_bootstrap_e2e("split", radix=3)
+    # union of collapsed-group offsets: <= 2^(radix+1)-2 nonzero per
+    # group, 2*ceil(log2(s)/radix) groups — O(2^radix * log s), beating
+    # dense's 2*sqrt(s) once s is large (at s=64 it's 21, measured)
+    assert n_keys <= 4 * (2 ** 3)
