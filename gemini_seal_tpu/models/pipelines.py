@@ -282,6 +282,8 @@ def build_bfv_rotate_many(context: SealContext, steps, parms_id=None) -> Callabl
     row rotations — ONE mod-up digit decomposition (power-basis dataflow)
     feeds every step's key-switch inner product (benchmark config 2's
     hoisted variant; mirrors build_ckks_rotate_many)."""
+    import numpy as np
+
     if parms_id is None:
         parms_id = context.first_parms_id
     cd = context.get_context_data(parms_id)
@@ -290,17 +292,41 @@ def build_bfv_rotate_many(context: SealContext, steps, parms_id=None) -> Callabl
     elts = tool.get_elts_from_steps(list(steps))
     plan = KeySwitchPlan(context, parms_id)
 
+    from ..ops.keyswitch import rescale_special
+
+    # Stacked permutation tables: all rotations ride ONE gather and one
+    # batched 128-bit contraction over the step axis — the per-step loop
+    # compiles pathologically at deep L (see build_ckks_matvec_bsgs.step).
+    R = len(elts)
+    rot_tabs = np.stack([tool._ntt_table(e) for e in elts])
+    coeff_srcs = np.stack([tool._coeff_table(e)[0] for e in elts])
+    coeff_negs = np.stack([tool._coeff_table(e)[1] for e in elts])[:, None, :]
+    ext_idx = plan.ext_key_indices
+    ext = plan.ext_limbs
+    nb = plan.n_bundles
+
     def step(ct, keys_stack):
         c0 = ct[..., 0, :, :]
         c1 = ct[..., 1, :, :]
         ct_k = compute_modup_digits(c1, plan, False)       # hoisted
-        outs = []
-        for i, elt in enumerate(elts):
-            ct_k_rot = tool.apply_galois_ntt(ct_k, elt)
-            d0, d1 = keyswitch_inner_product(ct_k_rot, keys_stack[i], plan, False)
-            p0 = tool.apply_galois(c0, elt, limbs)
-            outs.append(jnp.stack([add_poly(p0, d0, limbs), d1], axis=-3))
-        return jnp.stack(outs)
+        tabs = jnp.asarray(rot_tabs)
+        # [..., nb, n_ext, R, N] -> [..., R, nb, n_ext, N]
+        rk = jnp.moveaxis(jnp.take(ct_k, tabs, axis=-1), -2, -4)
+        keys_ext = keys_stack[..., ext_idx, :]
+        a0 = modops.accumulate_mulmod_128(
+            ((rk[..., b, :, :], keys_ext[:, b, 0]) for b in range(nb)),
+            ext.p, ext.ratio0, ext.ratio1)                 # [..., R, n_ext, N]
+        a1 = modops.accumulate_mulmod_128(
+            ((rk[..., b, :, :], keys_ext[:, b, 1]) for b in range(nb)),
+            ext.p, ext.ratio0, ext.ratio1)
+        d0 = rescale_special(a0, plan, is_ntt_output=False)
+        d1 = rescale_special(a1, plan, is_ntt_output=False)
+        g = jnp.moveaxis(jnp.take(c0, jnp.asarray(coeff_srcs), axis=-1),
+                         -2, -3)                           # [..., R, L, N]
+        p0 = jnp.where(jnp.asarray(coeff_negs),
+                       modops.neg_mod(g, limbs.p), g)
+        out = jnp.stack([add_poly(p0, d0, limbs), d1], axis=-3)
+        return jnp.moveaxis(out, -4, 0)                    # [R, ..., 2, L, N]
 
     return step
 
@@ -336,6 +362,8 @@ def build_ckks_rotate_many(context: SealContext, steps, parms_id=None) -> Callab
     galois_keys_stack: u64[n_steps, n_bundles, 2, L_key, N] — key(elt_i) for
     each step, in order.
     """
+    import numpy as np
+
     if parms_id is None:
         parms_id = context.first_parms_id
     cd = context.get_context_data(parms_id)
@@ -344,17 +372,35 @@ def build_ckks_rotate_many(context: SealContext, steps, parms_id=None) -> Callab
     elts = tool.get_elts_from_steps(list(steps))
     plan = KeySwitchPlan(context, parms_id)
 
+    from ..ops.keyswitch import rescale_special
+
+    # Stacked NTT permutation tables: all rotations ride ONE gather and
+    # one batched 128-bit contraction over the step axis — the per-step
+    # loop compiles pathologically at deep L (build_ckks_matvec_bsgs.step).
+    rot_tabs = np.stack([tool._ntt_table(e) for e in elts])
+    ext_idx = plan.ext_key_indices
+    ext = plan.ext_limbs
+    nb = plan.n_bundles
+
     def step(ct, keys_stack):
         c0 = ct[..., 0, :, :]
         c1 = ct[..., 1, :, :]
         ct_k = compute_modup_digits(c1, plan, True)        # hoisted
-        outs = []
-        for i, elt in enumerate(elts):
-            ct_k_rot = tool.apply_galois_ntt(ct_k, elt)
-            d0, d1 = keyswitch_inner_product(ct_k_rot, keys_stack[i], plan, True)
-            p0 = tool.apply_galois_ntt(c0, elt)
-            outs.append(jnp.stack([add_poly(p0, d0, limbs), d1], axis=-3))
-        return jnp.stack(outs)
+        tabs = jnp.asarray(rot_tabs)
+        # [..., nb, n_ext, R, N] -> [..., R, nb, n_ext, N]
+        rk = jnp.moveaxis(jnp.take(ct_k, tabs, axis=-1), -2, -4)
+        keys_ext = keys_stack[..., ext_idx, :]
+        a0 = modops.accumulate_mulmod_128(
+            ((rk[..., b, :, :], keys_ext[:, b, 0]) for b in range(nb)),
+            ext.p, ext.ratio0, ext.ratio1)                 # [..., R, n_ext, N]
+        a1 = modops.accumulate_mulmod_128(
+            ((rk[..., b, :, :], keys_ext[:, b, 1]) for b in range(nb)),
+            ext.p, ext.ratio0, ext.ratio1)
+        d0 = rescale_special(a0, plan, is_ntt_output=True)
+        d1 = rescale_special(a1, plan, is_ntt_output=True)
+        p0 = jnp.moveaxis(jnp.take(c0, tabs, axis=-1), -2, -3)
+        out = jnp.stack([add_poly(p0, d0, limbs), d1], axis=-3)
+        return jnp.moveaxis(out, -4, 0)                    # [R, ..., 2, L, N]
 
     return step
 
@@ -436,6 +482,14 @@ def build_ckks_poly_eval(context: SealContext, coeffs, scale: float,
     const_plain = np.asarray(encoder.encode(coeffs[0], target_scale, deep_id).data)
 
     rot_plan = KeySwitchPlan(context, deep_id) if rotate_sum_log2 else None
+    if rotate_sum_log2 and rotate_mode == "flat":
+        # Stacked NTT permutation tables: the 2^m - 1 rotations ride ONE
+        # gather + one batched 128-bit contraction (see build_ckks_matvec's
+        # compile-time note in PERF.md) instead of a per-step unrolled loop.
+        flat_elts = [deep_cd.galois_tool.get_elt_from_step(s)
+                     for s in range(1, 1 << rotate_sum_log2)]
+        flat_tabs = np.stack(
+            [deep_cd.galois_tool._ntt_table(e) for e in flat_elts])
 
     def level_step(k, prev, x, relin_key):
         """One power-chain level: x^(k+1) -> x^(k+2) (k=0 is the square)."""
@@ -457,23 +511,33 @@ def build_ckks_poly_eval(context: SealContext, coeffs, scale: float,
         if rotate_sum_log2 and rotate_mode == "flat":
             from ..ops.keyswitch import rescale_special
 
-            tool = deep_cd.galois_tool
-            ext_limbs = rot_plan.ext_limbs
+            ext = rot_plan.ext_limbs
+            nb = rot_plan.n_bundles
+            R = len(flat_elts)
             c0r, c1r = r[..., 0, :, :], r[..., 1, :, :]
             ct_k = compute_modup_digits(c1r, rot_plan, True)  # hoisted once
-            raw0 = raw1 = None
+            tabs = jnp.asarray(flat_tabs)
+            # one gather of every rotated digit, R kept as a tensor axis:
+            # [..., nb, n_ext, R, N] -> [..., R, nb, n_ext, N]; the 128-bit
+            # contraction runs over nb only (the lazy_digits margin gate is
+            # sized for n_bundles terms), then the already-reduced
+            # per-rotation accumulators fold over R with modular adds.
+            rk = jnp.moveaxis(jnp.take(ct_k, tabs, axis=-1), -2, -4)
+            keys_ext = galois_keys_stack[..., rot_plan.ext_key_indices, :]
+            a0 = modops.accumulate_mulmod_128(
+                ((rk[..., b, :, :], keys_ext[:, b, 0]) for b in range(nb)),
+                ext.p, ext.ratio0, ext.ratio1)  # [..., R, n_ext, N]
+            a1 = modops.accumulate_mulmod_128(
+                ((rk[..., b, :, :], keys_ext[:, b, 1]) for b in range(nb)),
+                ext.p, ext.ratio0, ext.ratio1)
+            raw0, raw1 = a0[..., 0, :, :], a1[..., 0, :, :]
+            for i in range(1, R):
+                raw0 = add_poly(raw0, a0[..., i, :, :], ext)
+                raw1 = add_poly(raw1, a1[..., i, :, :], ext)
+            c0_rot = jnp.take(c0r, tabs, axis=-1)  # [..., L, R, N]
             c0_acc = c0r
-            for i, s in enumerate(range(1, 1 << rotate_sum_log2)):
-                elt = tool.get_elt_from_step(s)
-                ct_k_rot = tool.apply_galois_ntt(ct_k, elt)
-                a0, a1 = keyswitch_inner_product(
-                    ct_k_rot, galois_keys_stack[i], rot_plan, True, raw=True
-                )
-                raw0 = a0 if raw0 is None else add_poly(raw0, a0, ext_limbs)
-                raw1 = a1 if raw1 is None else add_poly(raw1, a1, ext_limbs)
-                c0_acc = add_poly(
-                    c0_acc, tool.apply_galois_ntt(c0r, elt), deep_limbs
-                )
+            for i in range(R):
+                c0_acc = add_poly(c0_acc, c0_rot[..., i, :], deep_limbs)
             d0 = rescale_special(raw0, rot_plan, is_ntt_output=True)
             d1 = rescale_special(raw1, rot_plan, is_ntt_output=True)
             r = jnp.stack([
