@@ -54,6 +54,7 @@ __all__ = [
     "build_bfv_rotate_many",
     "build_bfv_matvec",
     "build_ckks_mlp",
+    "build_ckks_matmul_square",
     "build_ckks_train_step",
 ]
 
@@ -1648,3 +1649,159 @@ def build_ckks_mlp(context: SealContext, layers, scale: float, encoder,
 
     step.rot_steps = [fn.rot_steps for fn in fns]
     return step, pid, cur_scale
+
+
+def build_ckks_matmul_square(context: SealContext, d: int, scale: float,
+                             encoder, parms_id=None):
+    """Encrypted matrix @ matrix for two d x d matrices packed row-major
+    into d^2 slots (Jiang-Kim-Lauter-Song, CCS'18) — the encrypted
+    linear-algebra primitive the per-op reference cannot express
+    (evaluator.cpp stops at single rotations, :1945-2000).
+
+        C = sum_{k=0}^{d-1} phi^k(sigma(A)) (*) psi^k(tau(B))
+
+    sigma(A)[i,j] = A[i, (i+j) mod d] and tau(B)[i,j] = B[(i+j) mod d, j]
+    are diagonal linear maps on the packed slot vector (2d-1 and d
+    generalized diagonals), phi^k is the masked in-row column shift
+    (2 diagonals), psi^k the pure row shift (ONE cyclic rotation by k*d —
+    the reason for the row-major packing).  Total: 3 multiplicative
+    levels and 3(d-1) distinct rotations for a d^3-work product.
+
+    TPU schedule: sigma/tau ride the hoisted fused-moddown matvec; the
+    k-loop's 2(d-1) + (d-1) shifts ride TWO hoisted mod-ups
+    (build_ckks_rotate_many's stacked-table gather); the d ciphertext-
+    ciphertext products are ONE exact 128-bit contraction over the k axis
+    per output component; the degree-2 tail is relinearized ONCE.
+
+    Requires d*d == encoder.slots (pack smaller matrices by padding with
+    zeros to the next power of two and using that d).  Input ciphertexts
+    hold the packed matrices at `scale`; output holds packed C at
+    out_scale = scale^2 * q1 / (q1 * q2) (the returned value), 3 levels
+    down.  Decrypt-equal (not bit-identical) across mask/product
+    regroupings — same bounded-rounding argument as fused_moddown.
+
+    Returns (fn, out_parms_id, out_scale); fn(ctA, ctB, rot_keys_stack,
+    relin_key) with rot_keys_stack ordered by fn.rot_steps.
+    """
+    import numpy as np
+
+    if parms_id is None:
+        parms_id = context.first_parms_id
+    s = encoder.slots
+    if d < 2 or d * d != s:
+        raise ValueError(f"need d >= 2 with d*d == slots ({d}^2 != {s})")
+
+    ids = [parms_id]
+    for _ in range(3):
+        nxt = context.get_context_data(ids[-1]).next_context_data
+        if nxt is None:
+            raise ValueError("modulus chain too short: matmul needs 3 levels")
+        ids.append(nxt.parms_id)
+    cds = [context.get_context_data(i) for i in ids]
+    limbs = [c.limb_constants for c in cds]
+    q = [float(c.parms.coeff_modulus[-1].value) for c in cds]
+
+    Dl = float(scale)
+    i_idx = np.arange(s) // d
+    j_idx = np.arange(s) % d
+
+    # sigma: offset k (0..d-1) masks j < d-k rows i == k; offset k-d masks
+    # the wrapped tail j >= d-k (both as {0,1} slot vectors)
+    sigma_diags = {}
+    for k in range(d):
+        m_lo = ((i_idx == k) & (j_idx < d - k)).astype(float)
+        if m_lo.any():
+            sigma_diags[k] = m_lo.tolist()
+        if k:
+            m_hi = ((i_idx == k) & (j_idx >= d - k)).astype(float)
+            sigma_diags[(k - d) % s] = m_hi.tolist()
+    # tau: offset d*j selects column j (the row wrap is absorbed by the
+    # cyclic rotation over s = d^2 slots)
+    tau_diags = {d * j: (j_idx == j).astype(float).tolist() for j in range(d)}
+
+    sigma_fn = build_ckks_matvec(context, sigma_diags, q[0], encoder,
+                                 parms_id=ids[0])
+    tau_fn = build_ckks_matvec(context, tau_diags, q[0], encoder,
+                               parms_id=ids[0])
+
+    # k-loop shifts at level 1, all hoisted
+    stepsA = sorted({k for k in range(1, d)} | {s - d + k for k in range(1, d)})
+    stepsB = [d * k for k in range(1, d)]
+    rotA_fn = build_ckks_rotate_many(context, stepsA, parms_id=ids[1])
+    rotB_fn = build_ckks_rotate_many(context, stepsB, parms_id=ids[1])
+    posA = {st: r for r, st in enumerate(stepsA)}
+    posB = {st: r for r, st in enumerate(stepsB)}
+
+    # phi^k masks, encoded in NTT plaintext form at level 1, scale q1
+    def _mask(pred):
+        v = pred.astype(float).tolist()
+        return np.asarray(encoder.encode(v, q[1], ids[1]).data)
+
+    m_lo = np.stack([_mask(j_idx < d - k) for k in range(d)])
+    m_hi = np.stack([_mask(j_idx >= d - k) for k in range(1, d)])
+
+    # master key order: union of every consumer's sorted step set
+    rot_steps = sorted(set(sorted(sigma_diags) + list(tau_diags))
+                       | set(stepsA) | set(stepsB))
+    rot_steps = [st for st in rot_steps if st != 0]
+    midx = {st: i for i, st in enumerate(rot_steps)}
+    idx_sigma = np.asarray([midx[st] for st in sorted(sigma_diags) if st != 0])
+    idx_tau = np.asarray([midx[st] for st in sorted(tau_diags) if st != 0])
+    idx_A = np.asarray([midx[st] for st in stepsA])
+    idx_B = np.asarray([midx[st] for st in stepsB])
+
+    relin_plan = KeySwitchPlan(context, ids[1])
+
+    def _rescale(ct, lvl):
+        c = cds[lvl]
+        return divide_and_round_q_last_ntt(ct, c.device_rns_tool,
+                                           c.ntt_tables)
+
+    def step(ctA, ctB, rot_keys_stack, relin_key):
+        sA = _rescale(sigma_fn(ctA, rot_keys_stack[idx_sigma]), 0)
+        tB = _rescale(tau_fn(ctB, rot_keys_stack[idx_tau]), 0)
+        rA = rotA_fn(sA, rot_keys_stack[idx_A])     # [RA, ..., 2, L1, N]
+        rB = rotB_fn(tB, rot_keys_stack[idx_B])     # [RB, ..., 2, L1, N]
+        lim = limbs[1]
+
+        # masked column shifts: a_k = m_lo[k] (*) rot_k(sA) + m_hi[k] (*)
+        # rot_{k-d}(sA)   (k = 0 is the unshifted row, low mask only)
+        a_parts = []
+        for k in range(d):
+            base = sA if k == 0 else rA[posA[k]]
+            ak = jnp.stack([
+                dyadic_product(base[..., c, :, :], m_lo[k], lim)
+                for c in range(2)], axis=-3)
+            if k:
+                wrap = rA[posA[s - d + k]]
+                hk = jnp.stack([
+                    dyadic_product(wrap[..., c, :, :], m_hi[k - 1], lim)
+                    for c in range(2)], axis=-3)
+                ak = add_poly(ak, hk, lim)
+            a_parts.append(ak)
+        b_parts = [tB] + [rB[posB[d * k]] for k in range(1, d)]
+
+        # C (degree 2) = sum_k a_k (*) b_k — one 128-bit contraction over
+        # the k axis per output component
+        p0 = modops.accumulate_mulmod_128(
+            ((a_parts[k][..., 0, :, :], b_parts[k][..., 0, :, :])
+             for k in range(d)), lim.p, lim.ratio0, lim.ratio1)
+        p1 = modops.accumulate_mulmod_128(
+            ((a_parts[k][..., c, :, :], b_parts[k][..., 1 - c, :, :])
+             for k in range(d) for c in range(2)),
+            lim.p, lim.ratio0, lim.ratio1)
+        p2 = modops.accumulate_mulmod_128(
+            ((a_parts[k][..., 1, :, :], b_parts[k][..., 1, :, :])
+             for k in range(d)), lim.p, lim.ratio0, lim.ratio1)
+
+        # ONE relinearization of the shared degree-2 tail, then the two
+        # closing rescales (q1: the mask scale, q2: one product prime)
+        ct_k = compute_modup_digits(p2, relin_plan, True)
+        d0, d1 = keyswitch_inner_product(ct_k, relin_key, relin_plan, True)
+        out = jnp.stack([add_poly(p0, d0, lim), add_poly(p1, d1, lim)],
+                        axis=-3)
+        return _rescale(_rescale(out, 1), 2)
+
+    step.rot_steps = rot_steps
+    out_scale = (Dl * Dl * q[1]) / (q[1] * q[2])
+    return step, ids[3], out_scale

@@ -1285,3 +1285,63 @@ def test_ckks_logreg_train_step():
         for j in range(F):
             g = got[blk * Bf + j]
             assert abs(g - want[j]) < 1e-2, (blk, j, g, want[j])
+
+
+def test_ckks_matmul_square():
+    """Encrypted d x d matrix product (JKLS sigma/tau/shift schedule)
+    decrypts to A @ B; the whole product is one jitted program consuming
+    3 levels."""
+    import jax
+    from gemini_seal_tpu.ciphertext import Ciphertext
+    from gemini_seal_tpu.models.pipelines import build_ckks_matmul_square
+
+    d = 4
+    n = 2 * d * d                       # slots = d^2
+    ctx, kg = ckks_setup(n=n, bits=(50, 40, 40, 40, 40, 50))
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    dec = Decryptor(ctx, kg.secret_key)
+    tool = ctx.first_context_data().galois_tool
+    scale = 2.0 ** 40
+
+    fn, out_pid, out_scale = build_ckks_matmul_square(ctx, d, scale, encoder)
+    # 3(d-1) distinct rotations: +-k column shifts and k*d row shifts
+    assert len(fn.rot_steps) == 3 * (d - 1), fn.rot_steps
+    elts = [tool.get_elt_from_step(s) for s in fn.rot_steps]
+    gk = kg.galois_keys(elts)
+    gk_stack = gk.stacked(*elts)
+    rk = kg.relin_keys().stacked(2)
+
+    rng = np.random.default_rng(11)
+    A = rng.uniform(-1, 1, size=(d, d))
+    B = rng.uniform(-1, 1, size=(d, d))
+    ctA = enc.encrypt(encoder.encode(A.flatten().tolist(), scale))
+    ctB = enc.encrypt(encoder.encode(B.flatten().tolist(), scale))
+
+    out = np.asarray(
+        jax.jit(fn)(np.asarray(ctA.data), np.asarray(ctB.data), gk_stack, rk)
+    )
+    got = np.asarray(encoder.decode(
+        dec.decrypt(Ciphertext(out, out_pid, True, out_scale))
+    ))[: d * d].reshape(d, d)
+    want = A @ B
+    assert np.abs(got - want).max() < 1e-2, (got, want)
+
+    # level accounting: output sits exactly 3 levels below the input
+    L_in = len(ctx.get_context_data(ctx.first_parms_id).parms.coeff_modulus)
+    L_out = len(ctx.get_context_data(out_pid).parms.coeff_modulus)
+    assert L_in - L_out == 3
+
+    # batching: a stacked pair of products in one dispatch, rows match
+    A2 = rng.uniform(-1, 1, size=(d, d))
+    B2 = rng.uniform(-1, 1, size=(d, d))
+    ctA2 = enc.encrypt(encoder.encode(A2.flatten().tolist(), scale))
+    ctB2 = enc.encrypt(encoder.encode(B2.flatten().tolist(), scale))
+    a_b = np.stack([np.asarray(ctA.data), np.asarray(ctA2.data)])
+    b_b = np.stack([np.asarray(ctB.data), np.asarray(ctB2.data)])
+    out_b = np.asarray(jax.jit(fn)(a_b, b_b, gk_stack, rk))
+    np.testing.assert_array_equal(out_b[0], out)
+    got2 = np.asarray(encoder.decode(
+        dec.decrypt(Ciphertext(out_b[1], out_pid, True, out_scale))
+    ))[: d * d].reshape(d, d)
+    assert np.abs(got2 - A2 @ B2).max() < 1e-2
