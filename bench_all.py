@@ -66,7 +66,8 @@ def main():
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--only", default="",
                     help="comma list of configs to run in isolation "
-                         "(1..5, extra); empty = all.  Isolated runs avoid "
+                         "(1..5, extra, cnn, train, bootstrap, logreg, "
+                         "matmul); empty = all.  Isolated runs avoid "
                          "the 5-15%% steady-state drift of back-to-back "
                          "sweeps (PERF.md config-3 note).")
     cfg = ap.parse_args()
@@ -470,6 +471,45 @@ def main():
             lambda s_, x, rk_, ck_, rl_: cks(s_, fn(x, rk_, ck_, rl_)),
             (da, rot_stack, conj_stack, rks), 1, cfg.iters)
         emit(f"ckks_bootstrap_n{n}_refreshes_per_s", ops, "refreshes/s")
+
+    # ---- matmul: encrypted d x d matrix product (JKLS) ------------------
+    if _want("matmul"):
+        # 32 x 32 matrix product in 1024 slots at N=2048 (3 levels,
+        # 93 hoisted rotations, one relin); --small: 8 x 8 at N=128.
+        from gemini_seal_tpu.models.pipelines import build_ckks_matmul_square
+        d = 8 if small else 32
+        n = 2 * d * d
+        bits = [50, 40, 40, 40, 40, 50]
+        parms = EncryptionParameters(SchemeType.CKKS)
+        parms.set_poly_modulus_degree(n)
+        parms.set_coeff_modulus(CoeffModulus.create(n, bits))
+        parms.set_random_seed(tuple(range(8)))
+        ctx = SealContext(parms, sec_level=SecLevelType.none)
+        kg = KeyGenerator(ctx)
+        enc = Encryptor(ctx, public_key=kg.public_key())
+        encoder = CKKSEncoder(ctx)
+        tool = ctx.first_context_data().galois_tool
+        scale = 2.0 ** 40
+        fn, out_pid, out_scale = build_ckks_matmul_square(ctx, d, scale,
+                                                          encoder)
+        elts = [tool.get_elt_from_step(s_) for s_ in fn.rot_steps]
+        gk = kg.galois_keys(elts)
+        rng = np.random.default_rng(5)
+        ctA = enc.encrypt(encoder.encode(
+            rng.uniform(-1, 1, d * d).tolist(), scale))
+        ctB = enc.encrypt(encoder.encode(
+            rng.uniform(-1, 1, d * d).tolist(), scale))
+        lb = max(B // 8, 2)
+        a = np.broadcast_to(np.asarray(ctA.data), (lb,) + ctA.data.shape)
+        b = np.broadcast_to(np.asarray(ctB.data), (lb,) + ctB.data.shape)
+        step = checksum_jit(fn)
+        da, db = jax.device_put(a), jax.device_put(b)
+        dg = jax.device_put(gk.stacked(*elts))
+        dr = jax.device_put(kg.relin_keys().stacked(2))
+        ops = _sync_time(lambda s_, x, y, g, r: step(s_, x, y, g, r),
+                         (da, db, dg, dr), lb, cfg.iters)
+        emit(f"ckks_matmul_d{d}_n{n}_matmuls_per_s", ops,
+             "encrypted_matmuls/s")
 
     # ---- logreg: encrypted logistic-regression head ---------------------
     if _want("logreg"):
