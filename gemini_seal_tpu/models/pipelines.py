@@ -55,6 +55,7 @@ __all__ = [
     "build_bfv_matvec",
     "build_ckks_mlp",
     "build_ckks_matmul_square",
+    "build_ckks_inverse",
     "build_ckks_train_step",
 ]
 
@@ -1649,6 +1650,83 @@ def build_ckks_mlp(context: SealContext, layers, scale: float, encoder,
 
     step.rot_steps = [fn.rot_steps for fn in fns]
     return step, pid, cur_scale
+
+
+def build_ckks_inverse(context: SealContext, scale: float, encoder,
+                       iters: int = 4, parms_id=None):
+    """Encrypted reciprocal 1/a by Goldschmidt iteration — the division
+    primitive CKKS lacks natively (and the reference cannot express at
+    all: its Evaluator has no ciphertext division, evaluator.h):
+
+        x_0 = 2 - a = 1 + e_0,  e_0 = 1 - a
+        e_{k+1} = e_k^2,  x_{k+1} = x_k (1 + e_{k+1})
+
+    (1-e) * prod_j (1 + e^(2^j)) telescopes to 1 - e^(2^(m+1)), so
+    a * x_m = 1 - e_0^(2^(iters+1)): quadratic convergence for slot
+    values a in (0, 2) (rescale inputs into that window first).  The
+    e-square chain runs ONE level ahead of the x-multiply chain (the
+    factor for x_{k+1} is the FRESH e_{k+1}, not the e_k already folded
+    into x_k); each iteration consumes one level on each chain, staggered,
+    for iters + 1 levels total.
+
+    Returns (fn, out_parms_id, out_scale); fn(ct_a, relin_key) with ct_a
+    at `scale`.
+    """
+    import numpy as np
+
+    if parms_id is None:
+        parms_id = context.first_parms_id
+    if iters < 1:
+        raise ValueError("need at least one iteration")
+    ids = [parms_id]
+    for _ in range(iters + 1):
+        nxt = context.get_context_data(ids[-1]).next_context_data
+        if nxt is None:
+            raise ValueError(f"modulus chain too short: inverse needs "
+                             f"{iters + 1} levels")
+        ids.append(nxt.parms_id)
+    cds = [context.get_context_data(i) for i in ids]
+    limbs = [c.limb_constants for c in cds]
+    q = [float(c.parms.coeff_modulus[-1].value) for c in cds]
+    Ls = [len(c.parms.coeff_modulus) for c in cds]
+
+    sqs = [build_ckks_mul_relin_rescale(context, ids[k], square=True)
+           for k in range(iters)]           # e_k -> e_{k+1} at level k
+    muls = [build_ckks_mul_relin_rescale(context, ids[k + 1])
+            for k in range(iters)]          # x_k -> x_{k+1} at level k+1
+
+    # separate scale tracks (the chains are staggered)
+    sig_e = [float(scale)]
+    for k in range(iters):
+        sig_e.append(sig_e[k] * sig_e[k] / q[k])
+    sig_x = [float(scale)]
+    for k in range(iters):
+        sig_x.append(sig_x[k] * sig_e[k + 1] / q[k + 1])
+    two0 = np.asarray(encoder.encode(2.0, sig_x[0], ids[0]).data)
+    one0 = np.asarray(encoder.encode(1.0, sig_e[0], ids[0]).data)
+    # 1 aligned to e_{k+1}'s scale at level k+1 (the x-factor constants)
+    ones = [np.asarray(encoder.encode(1.0, sig_e[k + 1], ids[k + 1]).data)
+            for k in range(iters)]
+
+    def _neg_plus(ct, pt, lim):
+        """pt - ct for a 2-component ciphertext (plain minus cipher)."""
+        n0 = modops.neg_mod(ct[..., 0, :, :], lim.p)
+        n1 = modops.neg_mod(ct[..., 1, :, :], lim.p)
+        return jnp.stack([add_poly(n0, pt, lim), n1], axis=-3)
+
+    def step(ct_a, relin_key):
+        x = _neg_plus(ct_a, two0, limbs[0])            # 1 + e_0, level 0
+        e = _neg_plus(ct_a, one0, limbs[0])            # e_0, level 0
+        for k in range(iters):
+            e = sqs[k](e, relin_key)                   # e_{k+1}, level k+1
+            lim = limbs[k + 1]
+            factor = jnp.concatenate([
+                add_poly(e[..., 0:1, :, :], ones[k], lim),
+                e[..., 1:, :, :]], axis=-3)            # 1 + e_{k+1}
+            x = muls[k](x[..., :Ls[k + 1], :], factor, relin_key)
+        return x                                       # level iters + 1
+
+    return step, ids[iters + 1], sig_x[iters]
 
 
 def build_ckks_matmul_square(context: SealContext, d: int, scale: float,

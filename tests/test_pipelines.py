@@ -1345,3 +1345,38 @@ def test_ckks_matmul_square():
         dec.decrypt(Ciphertext(out_b[1], out_pid, True, out_scale))
     ))[: d * d].reshape(d, d)
     assert np.abs(got2 - A2 @ B2).max() < 1e-2
+
+
+def test_ckks_inverse():
+    """Goldschmidt reciprocal: x_m ~ 1/a with quadratic convergence for
+    slot values in (0, 2); one level per iteration."""
+    import jax
+    from gemini_seal_tpu.ciphertext import Ciphertext
+    from gemini_seal_tpu.models.pipelines import build_ckks_inverse
+
+    ctx, kg = ckks_setup(n=256, bits=(50, 40, 40, 40, 40, 50))
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    dec = Decryptor(ctx, kg.secret_key)
+    scale = 2.0 ** 40
+    rk = kg.relin_keys().stacked(2)
+
+    iters = 3
+    fn, out_pid, out_scale = build_ckks_inverse(ctx, scale, encoder,
+                                                iters=iters)
+    rng = np.random.default_rng(17)
+    vals = rng.uniform(0.4, 1.6, encoder.slot_count)
+    ct = enc.encrypt(encoder.encode(vals.tolist(), scale))
+    out = np.asarray(jax.jit(fn)(np.asarray(ct.data), rk))
+    got = np.asarray(encoder.decode(
+        dec.decrypt(Ciphertext(out, out_pid, True, out_scale))
+    ))
+    want = 1.0 / vals
+    rel = np.abs(got[: len(vals)] - want) / want
+    # |1-a|^(2^(iters+1)) <= 0.6^16 ~ 2.8e-4 plus encode noise
+    assert rel.max() < 2e-3, rel.max()
+
+    # level accounting: staggered e/x chains -> iters + 1 levels
+    L_in = len(ctx.get_context_data(ctx.first_parms_id).parms.coeff_modulus)
+    L_out = len(ctx.get_context_data(out_pid).parms.coeff_modulus)
+    assert L_in - L_out == iters + 1
