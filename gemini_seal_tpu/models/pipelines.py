@@ -56,6 +56,9 @@ __all__ = [
     "build_ckks_mlp",
     "build_ckks_matmul_square",
     "build_ckks_inverse",
+    "build_ckks_sign",
+    "build_ckks_relu",
+    "sign_composite_reference",
     "build_ckks_train_step",
 ]
 
@@ -1727,6 +1730,179 @@ def build_ckks_inverse(context: SealContext, scale: float, encoder,
         return x                                       # level iters + 1
 
     return step, ids[iters + 1], sig_x[iters]
+
+
+#: Odd degree-7 minimax component polynomials for composite sign
+#: evaluation (Cheon-Kim-Kim, Asiacrypt'20): p(x) = x * q(x^2) with
+#: q(y) = c0 + c1 y + c2 y^2 + c3 y^3.  f3 contracts toward +-1 on
+#: [-1, 1] (f3(1) = 1); g3 widens the step first so fewer total
+#: compositions reach a target resolution.
+SIGN_F3 = (35 / 16, -35 / 16, 21 / 16, -5 / 16)
+SIGN_G3 = (4589 / 1024, -16577 / 1024, 25614 / 1024, -12860 / 1024)
+
+
+def sign_composite_reference(x, n_g: int = 1, n_f: int = 2):
+    """Plain evaluation of the g3^(n_g) then f3^(n_f) composition — the
+    exact curve the encrypted pipeline approximates (for tests/tuning)."""
+    import numpy as np
+
+    def _p(c, v):
+        y = v * v
+        return v * (c[0] + c[1] * y + c[2] * y * y + c[3] * y * y * y)
+
+    v = np.asarray(x, dtype=np.float64)
+    for _ in range(n_g):
+        v = _p(SIGN_G3, v)
+    for _ in range(n_f):
+        v = _p(SIGN_F3, v)
+    return v
+
+
+def build_ckks_sign(context: SealContext, scale: float, encoder,
+                    n_g: int = 1, n_f: int = 2, parms_id=None):
+    """Encrypted sign(a) for slot values in [-1, 1] by the composite
+    minimax schedule sign = f3^(n_f) o g3^(n_g) — the comparison
+    primitive (max, ReLU, argmin, thresholding) that neither CKKS
+    natively nor the reference's op set provides.
+
+    Each odd degree-7 stage consumes 4 levels (y = x^2, y^2,
+    (c2 + c3 y) * y^2, x * q(y)) with plaintext coefficients scale-
+    aligned per level exactly like the bootstrap's EvalMod; total
+    4 * (n_g + n_f) levels.  Resolution (measured on a plain grid): the
+    default (1, 2) is within 7e-3 of +-1 for |a| >= 0.1; (2, 2) reaches
+    2e-2 at |a| >= 0.02, (2, 3) 9e-3 at |a| >= 0.01 — use
+    sign_composite_reference to tune stage counts to a target gap.
+
+    Returns (fn, out_parms_id, out_scale); fn(ct_a, relin_key).
+    """
+    import numpy as np
+
+    if parms_id is None:
+        parms_id = context.first_parms_id
+    stages = [SIGN_G3] * n_g + [SIGN_F3] * n_f
+    n_levels = 4 * len(stages)
+    ids = [parms_id]
+    for _ in range(n_levels):
+        nxt = context.get_context_data(ids[-1]).next_context_data
+        if nxt is None:
+            raise ValueError(f"modulus chain too short: sign needs "
+                             f"{n_levels} levels")
+        ids.append(nxt.parms_id)
+    cds = [context.get_context_data(i) for i in ids]
+    limbs = [c.limb_constants for c in cds]
+    q = [float(c.parms.coeff_modulus[-1].value) for c in cds]
+    Ls = [len(c.parms.coeff_modulus) for c in cds]
+    Dl = float(scale)
+
+    def _enc(val, sc, lvl):
+        return np.asarray(encoder.encode(float(val), sc, ids[lvl]).data)
+
+    def make_stage(b, coeffs, sigma_x):
+        """One odd degree-7 application p(x) = hi(x) * x^4 + lo(x) with
+        hi = c2 x + c3 x^3, lo = c0 x + c1 x^3, starting at level b with
+        input scale sigma_x, ending at b + 4 with output scale ~ Dl
+        (the EvalMod alignment pattern: coefficients encode at
+        sigma_hi = Dl^2 so their encode scales stay ~ Dl, and the
+        resulting Dl^2-scaled sum gets one closing rescale —
+        models/bootstrap.py make_evalmod)."""
+        sq_x2 = build_ckks_mul_relin_rescale(context, ids[b], square=True)
+        mul_x3 = build_ckks_mul_relin_rescale(context, ids[b + 1])
+        sq_x4 = build_ckks_mul_relin_rescale(context, ids[b + 1],
+                                             square=True)
+        mul_w = build_ckks_mul_relin_rescale(context, ids[b + 2])
+        c0, c1, c2, c3 = coeffs
+        sigma_x2 = sigma_x * sigma_x / q[b]                 # level b+1
+        sigma_x3 = sigma_x2 * sigma_x / q[b + 1]            # level b+2
+        sigma_x4 = sigma_x2 * sigma_x2 / q[b + 1]           # level b+2
+        sigma_hi = Dl * Dl
+        pt_c2 = _enc(c2, sigma_hi / sigma_x, b + 2)
+        pt_c3 = _enc(c3, sigma_hi / sigma_x3, b + 2)
+        sigma_w = sigma_hi * sigma_x4 / q[b + 2]            # level b+3
+        pt_c0 = _enc(c0, sigma_w / sigma_x, b + 3)
+        pt_c1 = _enc(c1, sigma_w / sigma_x3, b + 3)
+        sigma_out = sigma_w / q[b + 3]                      # level b+4
+        cd3 = cds[b + 3]
+
+        def stage(x, relin_key):
+            x2 = sq_x2(x, relin_key)                        # level b+1
+            x1 = x[..., : Ls[b + 1], :]
+            x3 = mul_x3(x2, x1, relin_key)                  # level b+2
+            x4 = sq_x4(x2, relin_key)                       # level b+2
+            lim2, lim3 = limbs[b + 2], limbs[b + 3]
+            x_2 = x[..., : Ls[b + 2], :]
+            hi = add_poly(
+                jnp.stack([dyadic_product(x_2[..., c, :, :], pt_c2, lim2)
+                           for c in range(2)], axis=-3),
+                jnp.stack([dyadic_product(x3[..., c, :, :], pt_c3, lim2)
+                           for c in range(2)], axis=-3), lim2)
+            w = mul_w(x4, hi, relin_key)                    # level b+3
+            x_3 = x[..., : Ls[b + 3], :]
+            x3_3 = x3[..., : Ls[b + 3], :]
+            lo = add_poly(
+                jnp.stack([dyadic_product(x_3[..., c, :, :], pt_c0, lim3)
+                           for c in range(2)], axis=-3),
+                jnp.stack([dyadic_product(x3_3[..., c, :, :], pt_c1, lim3)
+                           for c in range(2)], axis=-3), lim3)
+            w = add_poly(w, lo, lim3)
+            return divide_and_round_q_last_ntt(                # level b+4
+                w, cd3.device_rns_tool, cd3.ntt_tables)
+
+        return stage, sigma_out
+
+    fns = []
+    sigma = Dl
+    for i, coeffs in enumerate(stages):
+        fn_i, sigma = make_stage(4 * i, coeffs, sigma)
+        fns.append(fn_i)
+
+    def step(ct_a, relin_key):
+        x = ct_a
+        for fn_i in fns:
+            x = fn_i(x, relin_key)
+        return x
+
+    return step, ids[n_levels], sigma
+
+
+def build_ckks_relu(context: SealContext, scale: float, encoder,
+                    n_g: int = 1, n_f: int = 2, parms_id=None):
+    """Encrypted ReLU(a) = a * (1 + sign(a)) / 2 for slot values in
+    [-1, 1]: the composite-sign pipeline plus ONE closing multiply with
+    the (mod-switched) input; the /2 folds into the returned out_scale
+    (decoding divides by it) so it costs nothing.
+
+    4 * (n_g + n_f) + 1 levels.  Accuracy: exact to the sign resolution
+    outside the gap; inside |a| < gap the output lies between 0 and a
+    (the sign curve is monotone there).
+
+    Returns (fn, out_parms_id, out_scale); fn(ct_a, relin_key).
+    """
+    import numpy as np
+
+    if parms_id is None:
+        parms_id = context.first_parms_id
+    sign_fn, sign_pid, sign_scale = build_ckks_sign(
+        context, scale, encoder, n_g=n_g, n_f=n_f, parms_id=parms_id)
+    out_cd = context.get_context_data(sign_pid).next_context_data
+    if out_cd is None:
+        raise ValueError("modulus chain too short: relu needs one more "
+                         "level after sign")
+    sign_cd = context.get_context_data(sign_pid)
+    lim_s = sign_cd.limb_constants
+    L_s = len(sign_cd.parms.coeff_modulus)
+    one_s = np.asarray(encoder.encode(1.0, sign_scale, sign_pid).data)
+    mul_out = build_ckks_mul_relin_rescale(context, sign_pid)
+    q_last = float(sign_cd.parms.coeff_modulus[-1].value)
+    out_scale = 2.0 * sign_scale * float(scale) / q_last
+
+    def step(ct_a, relin_key):
+        s = sign_fn(ct_a, relin_key)
+        s0 = add_poly(s[..., 0, :, :], one_s, lim_s)    # 1 + sign(a)
+        s1 = s[..., 1, :, :]
+        gate = jnp.stack([s0, s1], axis=-3)
+        return mul_out(ct_a[..., : L_s, :], gate, relin_key)
+
+    return step, out_cd.parms_id, out_scale
 
 
 def build_ckks_matmul_square(context: SealContext, d: int, scale: float,

@@ -1380,3 +1380,47 @@ def test_ckks_inverse():
     L_in = len(ctx.get_context_data(ctx.first_parms_id).parms.coeff_modulus)
     L_out = len(ctx.get_context_data(out_pid).parms.coeff_modulus)
     assert L_in - L_out == iters + 1
+
+
+def test_ckks_sign_and_relu():
+    """Composite-minimax sign and the ReLU gate built on it: encrypted
+    outputs match the plain composite curve (the approximation target)
+    and the true sign/ReLU outside the resolution gap."""
+    import jax
+    from gemini_seal_tpu.ciphertext import Ciphertext
+    from gemini_seal_tpu.models.pipelines import (
+        build_ckks_relu, build_ckks_sign, sign_composite_reference)
+
+    bits = (50,) + (40,) * 13 + (50,)
+    ctx, kg = ckks_setup(n=256, bits=bits)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    dec = Decryptor(ctx, kg.secret_key)
+    scale = 2.0 ** 40
+    rk = kg.relin_keys().stacked(2)
+
+    rng = np.random.default_rng(19)
+    s_cnt = encoder.slot_count
+    vals = rng.uniform(-1, 1, s_cnt)
+    vals[0], vals[1] = 0.15, -0.15          # pinned gap-edge probes
+    ct = enc.encrypt(encoder.encode(vals.tolist(), scale))
+
+    fn, pid, osc = build_ckks_sign(ctx, scale, encoder)
+    out = np.asarray(jax.jit(fn)(np.asarray(ct.data), rk))
+    got = np.asarray(encoder.decode(
+        dec.decrypt(Ciphertext(out, pid, True, osc))))[:s_cnt]
+    # 1) encrypted == plain composite curve (everywhere, incl. the gap)
+    curve = sign_composite_reference(vals)
+    assert np.abs(got - curve).max() < 1e-2, np.abs(got - curve).max()
+    # 2) == true sign outside the documented |a| >= 0.1 gap
+    m = np.abs(vals) >= 0.1
+    assert np.abs(got[m] - np.sign(vals[m])).max() < 2e-2
+
+    fnr, pidr, oscr = build_ckks_relu(ctx, scale, encoder)
+    outr = np.asarray(jax.jit(fnr)(np.asarray(ct.data), rk))
+    gotr = np.asarray(encoder.decode(
+        dec.decrypt(Ciphertext(outr, pidr, True, oscr))))[:s_cnt]
+    want_r = vals * (1 + curve) / 2
+    assert np.abs(gotr - want_r).max() < 1e-2
+    m = np.abs(vals) >= 0.1
+    assert np.abs(gotr[m] - np.maximum(vals[m], 0)).max() < 2e-2
