@@ -58,6 +58,7 @@ __all__ = [
     "build_ckks_inverse",
     "build_ckks_sign",
     "build_ckks_relu",
+    "build_ckks_max",
     "sign_composite_reference",
     "build_ckks_train_step",
 ]
@@ -1901,6 +1902,57 @@ def build_ckks_relu(context: SealContext, scale: float, encoder,
         s1 = s[..., 1, :, :]
         gate = jnp.stack([s0, s1], axis=-3)
         return mul_out(ct_a[..., : L_s, :], gate, relin_key)
+
+    return step, out_cd.parms_id, out_scale
+
+
+def build_ckks_max(context: SealContext, scale: float, encoder,
+                   n_g: int = 1, n_f: int = 2, parms_id=None):
+    """Encrypted slotwise max(a, b) = ((a + b) + (a - b) * sign(a - b)) / 2
+    — the maxpool/argmax primitive, built on the composite sign.
+
+    Scale alignment without an extra level: the (a+b) branch rides a
+    dyadic product with the all-ones plaintext encoded at the SIGN
+    output's scale, then the same q_last rescale as the (a-b)*sign
+    product, so both branches land at the identical scale and the /2
+    folds into out_scale (cf. build_ckks_relu).
+
+    Domain: |a - b| <= 1 (e.g. slot values in [-1/2, 1/2]); inside the
+    sign resolution gap the output lies between a and b.
+    4 * (n_g + n_f) + 1 levels.
+
+    Returns (fn, out_parms_id, out_scale); fn(ct_a, ct_b, relin_key).
+    """
+    import numpy as np
+
+    if parms_id is None:
+        parms_id = context.first_parms_id
+    in_limbs = context.get_context_data(parms_id).limb_constants
+    sign_fn, sign_pid, sign_scale = build_ckks_sign(
+        context, scale, encoder, n_g=n_g, n_f=n_f, parms_id=parms_id)
+    sign_cd = context.get_context_data(sign_pid)
+    out_cd = sign_cd.next_context_data
+    if out_cd is None:
+        raise ValueError("modulus chain too short: max needs one more "
+                         "level after sign")
+    lim_s = sign_cd.limb_constants
+    lim_o = out_cd.limb_constants
+    L_s = len(sign_cd.parms.coeff_modulus)
+    one_s = np.asarray(encoder.encode(1.0, sign_scale, sign_pid).data)
+    mul_out = build_ckks_mul_relin_rescale(context, sign_pid)
+    q_last = float(sign_cd.parms.coeff_modulus[-1].value)
+    out_scale = 2.0 * sign_scale * float(scale) / q_last
+
+    def step(ct_a, ct_b, relin_key):
+        diff = sub_poly(ct_a, ct_b, in_limbs)
+        s = sign_fn(diff, relin_key)
+        v = mul_out(diff[..., : L_s, :], s, relin_key)
+        tot = add_poly(ct_a[..., : L_s, :], ct_b[..., : L_s, :], lim_s)
+        u = jnp.stack([dyadic_product(tot[..., c, :, :], one_s, lim_s)
+                       for c in range(2)], axis=-3)
+        u = divide_and_round_q_last_ntt(u, sign_cd.device_rns_tool,
+                                        sign_cd.ntt_tables)
+        return add_poly(u, v, lim_o)
 
     return step, out_cd.parms_id, out_scale
 

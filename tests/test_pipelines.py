@@ -1424,3 +1424,38 @@ def test_ckks_sign_and_relu():
     assert np.abs(gotr - want_r).max() < 1e-2
     m = np.abs(vals) >= 0.1
     assert np.abs(gotr[m] - np.maximum(vals[m], 0)).max() < 2e-2
+
+
+def test_ckks_max():
+    """Encrypted slotwise max(a, b): both branches land on one scale
+    (ones-plaintext trick), result matches np.maximum outside the sign
+    gap and stays between a and b inside it."""
+    import jax
+    from gemini_seal_tpu.ciphertext import Ciphertext
+    from gemini_seal_tpu.models.pipelines import build_ckks_max
+
+    bits = (50,) + (40,) * 13 + (50,)
+    ctx, kg = ckks_setup(n=256, bits=bits)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    dec = Decryptor(ctx, kg.secret_key)
+    scale = 2.0 ** 40
+    rk = kg.relin_keys().stacked(2)
+
+    fn, pid, osc = build_ckks_max(ctx, scale, encoder)
+    rng = np.random.default_rng(23)
+    s_cnt = encoder.slot_count
+    a = rng.uniform(-0.5, 0.5, s_cnt)
+    b = rng.uniform(-0.5, 0.5, s_cnt)
+    ct_a = enc.encrypt(encoder.encode(a.tolist(), scale))
+    ct_b = enc.encrypt(encoder.encode(b.tolist(), scale))
+    out = np.asarray(jax.jit(fn)(np.asarray(ct_a.data),
+                                 np.asarray(ct_b.data), rk))
+    got = np.asarray(encoder.decode(
+        dec.decrypt(Ciphertext(out, pid, True, osc))))[:s_cnt]
+    m = np.abs(a - b) >= 0.1
+    assert np.abs(got[m] - np.maximum(a, b)[m]).max() < 2e-2
+    # inside the gap the result is sandwiched between min and max
+    g = ~m
+    assert (got[g] >= np.minimum(a, b)[g] - 1e-2).all()
+    assert (got[g] <= np.maximum(a, b)[g] + 1e-2).all()
