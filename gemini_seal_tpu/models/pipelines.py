@@ -23,9 +23,9 @@ from ..context import SealContext
 from ..ops import modops
 from ..ops.dyadic import (add_poly, dyadic_product,
                           multiply_poly_scalar, sub_poly)
-from ..ops.keyswitch import (KeySwitchPlan, compute_modup_digits,
-                             fused_moddown, keyswitch_inner_product,
-                             switch_key)
+from ..ops.keyswitch import (KeySwitchPlan, batched_rotated_inner_product,
+                             compute_modup_digits, fused_moddown,
+                             keyswitch_inner_product, switch_key)
 from ..ops.ntt import ntt_forward, ntt_forward_lazy, ntt_inverse
 from ..ops.rnsops import (
     divide_and_round_q_last_ntt,
@@ -301,30 +301,18 @@ def build_bfv_rotate_many(context: SealContext, steps, parms_id=None) -> Callabl
     from ..ops.keyswitch import rescale_special
 
     # Stacked permutation tables: all rotations ride ONE gather and one
-    # batched 128-bit contraction over the step axis — the per-step loop
-    # compiles pathologically at deep L (see build_ckks_matvec_bsgs.step).
-    R = len(elts)
+    # batched 128-bit contraction (batched_rotated_inner_product) — the
+    # per-step loop compiles pathologically at deep L (PERF.md).
     rot_tabs = np.stack([tool._ntt_table(e) for e in elts])
     coeff_srcs = np.stack([tool._coeff_table(e)[0] for e in elts])
     coeff_negs = np.stack([tool._coeff_table(e)[1] for e in elts])[:, None, :]
-    ext_idx = plan.ext_key_indices
-    ext = plan.ext_limbs
-    nb = plan.n_bundles
 
     def step(ct, keys_stack):
         c0 = ct[..., 0, :, :]
         c1 = ct[..., 1, :, :]
         ct_k = compute_modup_digits(c1, plan, False)       # hoisted
-        tabs = jnp.asarray(rot_tabs)
-        # [..., nb, n_ext, R, N] -> [..., R, nb, n_ext, N]
-        rk = jnp.moveaxis(jnp.take(ct_k, tabs, axis=-1), -2, -4)
-        keys_ext = keys_stack[..., ext_idx, :]
-        a0 = modops.accumulate_mulmod_128(
-            ((rk[..., b, :, :], keys_ext[:, b, 0]) for b in range(nb)),
-            ext.p, ext.ratio0, ext.ratio1)                 # [..., R, n_ext, N]
-        a1 = modops.accumulate_mulmod_128(
-            ((rk[..., b, :, :], keys_ext[:, b, 1]) for b in range(nb)),
-            ext.p, ext.ratio0, ext.ratio1)
+        a0, a1 = batched_rotated_inner_product(ct_k, rot_tabs, keys_stack,
+                                               plan)       # [..., R, n_ext, N]
         d0 = rescale_special(a0, plan, is_ntt_output=False)
         d1 = rescale_special(a1, plan, is_ntt_output=False)
         g = jnp.moveaxis(jnp.take(c0, jnp.asarray(coeff_srcs), axis=-1),
@@ -381,30 +369,20 @@ def build_ckks_rotate_many(context: SealContext, steps, parms_id=None) -> Callab
     from ..ops.keyswitch import rescale_special
 
     # Stacked NTT permutation tables: all rotations ride ONE gather and
-    # one batched 128-bit contraction over the step axis — the per-step
-    # loop compiles pathologically at deep L (build_ckks_matvec_bsgs.step).
+    # one batched 128-bit contraction (batched_rotated_inner_product) —
+    # the per-step loop compiles pathologically at deep L (PERF.md).
     rot_tabs = np.stack([tool._ntt_table(e) for e in elts])
-    ext_idx = plan.ext_key_indices
-    ext = plan.ext_limbs
-    nb = plan.n_bundles
 
     def step(ct, keys_stack):
         c0 = ct[..., 0, :, :]
         c1 = ct[..., 1, :, :]
         ct_k = compute_modup_digits(c1, plan, True)        # hoisted
-        tabs = jnp.asarray(rot_tabs)
-        # [..., nb, n_ext, R, N] -> [..., R, nb, n_ext, N]
-        rk = jnp.moveaxis(jnp.take(ct_k, tabs, axis=-1), -2, -4)
-        keys_ext = keys_stack[..., ext_idx, :]
-        a0 = modops.accumulate_mulmod_128(
-            ((rk[..., b, :, :], keys_ext[:, b, 0]) for b in range(nb)),
-            ext.p, ext.ratio0, ext.ratio1)                 # [..., R, n_ext, N]
-        a1 = modops.accumulate_mulmod_128(
-            ((rk[..., b, :, :], keys_ext[:, b, 1]) for b in range(nb)),
-            ext.p, ext.ratio0, ext.ratio1)
+        a0, a1 = batched_rotated_inner_product(ct_k, rot_tabs, keys_stack,
+                                               plan)       # [..., R, n_ext, N]
         d0 = rescale_special(a0, plan, is_ntt_output=True)
         d1 = rescale_special(a1, plan, is_ntt_output=True)
-        p0 = jnp.moveaxis(jnp.take(c0, tabs, axis=-1), -2, -3)
+        p0 = jnp.moveaxis(jnp.take(c0, jnp.asarray(rot_tabs), axis=-1),
+                          -2, -3)
         out = jnp.stack([add_poly(p0, d0, limbs), d1], axis=-3)
         return jnp.moveaxis(out, -4, 0)                    # [R, ..., 2, L, N]
 
@@ -518,29 +496,19 @@ def build_ckks_poly_eval(context: SealContext, coeffs, scale: float,
             from ..ops.keyswitch import rescale_special
 
             ext = rot_plan.ext_limbs
-            nb = rot_plan.n_bundles
             R = len(flat_elts)
             c0r, c1r = r[..., 0, :, :], r[..., 1, :, :]
             ct_k = compute_modup_digits(c1r, rot_plan, True)  # hoisted once
-            tabs = jnp.asarray(flat_tabs)
-            # one gather of every rotated digit, R kept as a tensor axis:
-            # [..., nb, n_ext, R, N] -> [..., R, nb, n_ext, N]; the 128-bit
-            # contraction runs over nb only (the lazy_digits margin gate is
-            # sized for n_bundles terms), then the already-reduced
-            # per-rotation accumulators fold over R with modular adds.
-            rk = jnp.moveaxis(jnp.take(ct_k, tabs, axis=-1), -2, -4)
-            keys_ext = galois_keys_stack[..., rot_plan.ext_key_indices, :]
-            a0 = modops.accumulate_mulmod_128(
-                ((rk[..., b, :, :], keys_ext[:, b, 0]) for b in range(nb)),
-                ext.p, ext.ratio0, ext.ratio1)  # [..., R, n_ext, N]
-            a1 = modops.accumulate_mulmod_128(
-                ((rk[..., b, :, :], keys_ext[:, b, 1]) for b in range(nb)),
-                ext.p, ext.ratio0, ext.ratio1)
+            # one gather + one contraction for all rotations; the reduced
+            # per-rotation accumulators then fold over R with modular adds
+            # (the raw-sum fusion: ONE special-prime mod-down for all R)
+            a0, a1 = batched_rotated_inner_product(
+                ct_k, flat_tabs, galois_keys_stack, rot_plan)
             raw0, raw1 = a0[..., 0, :, :], a1[..., 0, :, :]
             for i in range(1, R):
                 raw0 = add_poly(raw0, a0[..., i, :, :], ext)
                 raw1 = add_poly(raw1, a1[..., i, :, :], ext)
-            c0_rot = jnp.take(c0r, tabs, axis=-1)  # [..., L, R, N]
+            c0_rot = jnp.take(c0r, jnp.asarray(flat_tabs), axis=-1)
             c0_acc = c0r
             for i in range(R):
                 c0_acc = add_poly(c0_acc, c0_rot[..., i, :], deep_limbs)
@@ -649,8 +617,6 @@ def build_ckks_matvec(context: SealContext, diagonals, scale: float,
     ptc_rot = (np.stack([plains[s] for s in rot_steps]) if R else None)
     if fuse_moddown and rot_steps:
         pte_rot = np.stack([plains_ext[s] for s in rot_steps])
-    ext_idx = plan.ext_key_indices
-    nb = plan.n_bundles
 
     def step(ct, galois_keys_stack):
         c0 = ct[..., 0, :, :]
@@ -661,19 +627,11 @@ def build_ckks_matvec(context: SealContext, diagonals, scale: float,
             t1 = dyadic_product(c1, plains[0], limbs)
             acc = jnp.stack([t0, t1], axis=-3)
         if rot_steps:
-            tabs = jnp.asarray(rot_tabs)
             ct_k = compute_modup_digits(c1, plan, True)   # hoisted once
-            # [..., nb, n_ext, R, N] -> [..., R, nb, n_ext, N]
-            rk = jnp.moveaxis(jnp.take(ct_k, tabs, axis=-1), -2, -4)
-            keys_ext = galois_keys_stack[..., ext_idx, :]
-            ext = plan.ext_limbs
-            a0 = modops.accumulate_mulmod_128(
-                ((rk[..., b, :, :], keys_ext[:, b, 0]) for b in range(nb)),
-                ext.p, ext.ratio0, ext.ratio1)            # [..., R, n_ext, N]
-            a1 = modops.accumulate_mulmod_128(
-                ((rk[..., b, :, :], keys_ext[:, b, 1]) for b in range(nb)),
-                ext.p, ext.ratio0, ext.ratio1)
-            rc = jnp.moveaxis(jnp.take(c0, tabs, axis=-1), -2, -3)
+            a0, a1 = batched_rotated_inner_product(
+                ct_k, rot_tabs, galois_keys_stack, plan)  # [..., R, n_ext, N]
+            rc = jnp.moveaxis(jnp.take(c0, jnp.asarray(rot_tabs), axis=-1),
+                              -2, -3)
         if rot_steps and fuse_moddown:
             pte = jnp.asarray(pte_rot)
             raw0 = modops.accumulate_mulmod_128(
@@ -831,17 +789,11 @@ def build_ckks_matvec_bsgs(context: SealContext, diagonals, scale: float,
         ptc = jnp.asarray(pt_ct_stack)                 # [G, Bf, L, N]
         if Br:
             ct_k = compute_modup_digits(c1, plan, True)     # hoisted once
-            tabs = jnp.asarray(baby_tabs)
-            # [..., nb, n_ext, Br, N] -> [..., Br, nb, n_ext, N]
-            rk = jnp.moveaxis(jnp.take(ct_k, tabs, axis=-1), -2, -4)
-            bkeys = galois_keys_stack[:Br][..., ext_idx, :]
-            a0 = modops.accumulate_mulmod_128(
-                ((rk[..., b, :, :], bkeys[:, b, 0]) for b in range(nb)),
-                ext.p, ext.ratio0, ext.ratio1)         # [..., Br, n_ext, N]
-            a1 = modops.accumulate_mulmod_128(
-                ((rk[..., b, :, :], bkeys[:, b, 1]) for b in range(nb)),
-                ext.p, ext.ratio0, ext.ratio1)
-            rc = jnp.moveaxis(jnp.take(c0, tabs, axis=-1), -2, -3)
+            a0, a1 = batched_rotated_inner_product(
+                ct_k, baby_tabs, galois_keys_stack[:Br],
+                plan)                                  # [..., Br, n_ext, N]
+            rc = jnp.moveaxis(jnp.take(c0, jnp.asarray(baby_tabs), axis=-1),
+                              -2, -3)
 
         def c0_row(bi):
             b = babies[bi]
@@ -1574,8 +1526,6 @@ def build_bfv_matvec(context: SealContext, diagonals, batch_encoder,
     rot_tabs = (np.stack([tool._ntt_table(e) for e in elts]) if R else None)
     ptc_rot = (np.stack([plains[s] for s in rot_steps]) if R else None)
     pte_rot = (np.stack([plains_ext[s] for s in rot_steps]) if R else None)
-    ext_idx = plan.ext_key_indices
-    nb = plan.n_bundles
 
     def step(ct, galois_keys_stack):
         c0 = ct[..., 0, :, :]
@@ -1589,15 +1539,8 @@ def build_bfv_matvec(context: SealContext, diagonals, batch_encoder,
         if rot_steps:
             tabs = jnp.asarray(rot_tabs)
             ct_k = compute_modup_digits(c1, plan, False)   # hoisted once
-            # [..., nb, n_ext, R, N] -> [..., R, nb, n_ext, N]
-            rk = jnp.moveaxis(jnp.take(ct_k, tabs, axis=-1), -2, -4)
-            keys_ext = galois_keys_stack[..., ext_idx, :]
-            a0 = modops.accumulate_mulmod_128(
-                ((rk[..., b, :, :], keys_ext[:, b, 0]) for b in range(nb)),
-                ext_limbs.p, ext_limbs.ratio0, ext_limbs.ratio1)
-            a1 = modops.accumulate_mulmod_128(
-                ((rk[..., b, :, :], keys_ext[:, b, 1]) for b in range(nb)),
-                ext_limbs.p, ext_limbs.ratio0, ext_limbs.ratio1)
+            a0, a1 = batched_rotated_inner_product(
+                ct_k, rot_tabs, galois_keys_stack, plan)
             pte = jnp.asarray(pte_rot)
             raw0 = modops.accumulate_mulmod_128(
                 ((a0[..., r, :, :], pte[r]) for r in range(R)),
@@ -1865,6 +1808,29 @@ def build_ckks_sign(context: SealContext, scale: float, encoder,
     return step, ids[n_levels], sigma
 
 
+def _sign_gate(context: SealContext, scale: float, encoder, n_g: int,
+               n_f: int, parms_id, what: str):
+    """Shared closing-gate setup for the sign-derived ops (relu, max):
+    the sign pipeline plus the level/scale bookkeeping of the ONE
+    multiply that follows it — the ones-plaintext aligned to the sign
+    output scale, the multiplier at the sign level, and the halved
+    output scale (the /2 of (1 +- sign)/2 folds into out_scale)."""
+    import numpy as np
+
+    sign_fn, sign_pid, sign_scale = build_ckks_sign(
+        context, scale, encoder, n_g=n_g, n_f=n_f, parms_id=parms_id)
+    sign_cd = context.get_context_data(sign_pid)
+    out_cd = sign_cd.next_context_data
+    if out_cd is None:
+        raise ValueError(f"modulus chain too short: {what} needs one more "
+                         "level after sign")
+    one_s = np.asarray(encoder.encode(1.0, sign_scale, sign_pid).data)
+    mul_out = build_ckks_mul_relin_rescale(context, sign_pid)
+    q_last = float(sign_cd.parms.coeff_modulus[-1].value)
+    out_scale = 2.0 * sign_scale * float(scale) / q_last
+    return sign_fn, sign_cd, out_cd, one_s, mul_out, out_scale
+
+
 def build_ckks_relu(context: SealContext, scale: float, encoder,
                     n_g: int = 1, n_f: int = 2, parms_id=None):
     """Encrypted ReLU(a) = a * (1 + sign(a)) / 2 for slot values in
@@ -1878,23 +1844,12 @@ def build_ckks_relu(context: SealContext, scale: float, encoder,
 
     Returns (fn, out_parms_id, out_scale); fn(ct_a, relin_key).
     """
-    import numpy as np
-
     if parms_id is None:
         parms_id = context.first_parms_id
-    sign_fn, sign_pid, sign_scale = build_ckks_sign(
-        context, scale, encoder, n_g=n_g, n_f=n_f, parms_id=parms_id)
-    out_cd = context.get_context_data(sign_pid).next_context_data
-    if out_cd is None:
-        raise ValueError("modulus chain too short: relu needs one more "
-                         "level after sign")
-    sign_cd = context.get_context_data(sign_pid)
+    sign_fn, sign_cd, out_cd, one_s, mul_out, out_scale = _sign_gate(
+        context, scale, encoder, n_g, n_f, parms_id, "relu")
     lim_s = sign_cd.limb_constants
     L_s = len(sign_cd.parms.coeff_modulus)
-    one_s = np.asarray(encoder.encode(1.0, sign_scale, sign_pid).data)
-    mul_out = build_ckks_mul_relin_rescale(context, sign_pid)
-    q_last = float(sign_cd.parms.coeff_modulus[-1].value)
-    out_scale = 2.0 * sign_scale * float(scale) / q_last
 
     def step(ct_a, relin_key):
         s = sign_fn(ct_a, relin_key)
@@ -1923,25 +1878,14 @@ def build_ckks_max(context: SealContext, scale: float, encoder,
 
     Returns (fn, out_parms_id, out_scale); fn(ct_a, ct_b, relin_key).
     """
-    import numpy as np
-
     if parms_id is None:
         parms_id = context.first_parms_id
     in_limbs = context.get_context_data(parms_id).limb_constants
-    sign_fn, sign_pid, sign_scale = build_ckks_sign(
-        context, scale, encoder, n_g=n_g, n_f=n_f, parms_id=parms_id)
-    sign_cd = context.get_context_data(sign_pid)
-    out_cd = sign_cd.next_context_data
-    if out_cd is None:
-        raise ValueError("modulus chain too short: max needs one more "
-                         "level after sign")
+    sign_fn, sign_cd, out_cd, one_s, mul_out, out_scale = _sign_gate(
+        context, scale, encoder, n_g, n_f, parms_id, "max")
     lim_s = sign_cd.limb_constants
     lim_o = out_cd.limb_constants
     L_s = len(sign_cd.parms.coeff_modulus)
-    one_s = np.asarray(encoder.encode(1.0, sign_scale, sign_pid).data)
-    mul_out = build_ckks_mul_relin_rescale(context, sign_pid)
-    q_last = float(sign_cd.parms.coeff_modulus[-1].value)
-    out_scale = 2.0 * sign_scale * float(scale) / q_last
 
     def step(ct_a, ct_b, relin_key):
         diff = sub_poly(ct_a, ct_b, in_limbs)

@@ -33,8 +33,8 @@ from .ntt import (NTTTables, ntt_forward, ntt_forward_lazy, ntt_inverse,
 from .rnsops import _dot_mod_128, _slice_tables
 
 __all__ = ["KeySwitchPlan", "switch_key", "compute_modup_digits",
-           "keyswitch_inner_product", "fused_moddown", "NTTOps",
-           "IN_CORE_NTT"]
+           "keyswitch_inner_product", "batched_rotated_inner_product",
+           "fused_moddown", "NTTOps", "IN_CORE_NTT"]
 
 
 class NTTOps:
@@ -375,6 +375,44 @@ def keyswitch_inner_product(ct_k, key_vector_data, plan: KeySwitchPlan,
             out.append(rescale_special(acc, plan, is_ntt_output=is_ntt_output,
                                        ntt=ntt))
     return out[0], out[1]
+
+
+def batched_rotated_inner_product(ct_k, rot_tabs, keys_stack,
+                                  plan: KeySwitchPlan):
+    """Hoisted multi-rotation key-switch contraction: ONE gather applies
+    every rotation's NTT permutation to the shared mod-up digits, then the
+    128-bit inner product with each rotation's key runs as a single
+    contraction over the bundle axis.  The rotation axis R stays in the
+    tensor — the lazy_digits margin gate is sized for n_bundles terms, so
+    R must NOT be folded into the same accumulation (callers fold the
+    already-reduced per-rotation results with modular adds where a sum
+    over rotations is wanted).
+
+    This is the shared kernel behind build_{ckks,bfv}_rotate_many, the
+    hoisted matvec, and poly_eval's flat rotation-sum (the per-step
+    unrolled form compiles pathologically at deep L — PERF.md
+    compile-time note).
+
+    ct_k: [..., nb, n_ext, N] NTT-domain digits (one hoisted mod-up);
+    rot_tabs: int[R, N] stacked Galois NTT permutation tables;
+    keys_stack: u64[R, nb, 2, L_key, N].
+    Returns (a0, a1): u64[..., R, n_ext, N] reduced accumulators (before
+    the special-prime rescale).
+    """
+    m = xp(ct_k, keys_stack)
+    tabs = m.asarray(rot_tabs)
+    # [..., nb, n_ext, R, N] -> [..., R, nb, n_ext, N]
+    rk = m.moveaxis(m.take(ct_k, tabs, axis=-1), -2, -4)
+    keys_ext = keys_stack[..., plan.ext_key_indices, :]
+    ext = plan.ext_limbs
+    nb = plan.n_bundles
+    a0 = modops.accumulate_mulmod_128(
+        ((rk[..., b, :, :], keys_ext[:, b, 0]) for b in range(nb)),
+        ext.p, ext.ratio0, ext.ratio1)
+    a1 = modops.accumulate_mulmod_128(
+        ((rk[..., b, :, :], keys_ext[:, b, 1]) for b in range(nb)),
+        ext.p, ext.ratio0, ext.ratio1)
+    return a0, a1
 
 
 def fused_moddown(c, acc, plan: KeySwitchPlan):
