@@ -56,6 +56,8 @@ __all__ = [
     "build_ckks_mlp",
     "build_ckks_matmul_square",
     "build_ckks_inverse",
+    "build_ckks_rsqrt",
+    "build_ckks_sqrt",
     "build_ckks_sign",
     "build_ckks_relu",
     "build_ckks_max",
@@ -1674,6 +1676,122 @@ def build_ckks_inverse(context: SealContext, scale: float, encoder,
         return x                                       # level iters + 1
 
     return step, ids[iters + 1], sig_x[iters]
+
+
+def build_ckks_rsqrt(context: SealContext, scale: float, encoder,
+                     iters: int = 3, parms_id=None):
+    """Encrypted inverse square root 1/sqrt(a) by Newton iteration
+
+        y_0 = 1,   y_{k+1} = y_k (3 - a y_k^2) / 2
+
+    for slot values a in (0, 2): with e_k = 1 - a y_k^2 the error map is
+    e_{k+1} = (3 e_k^2 + e_k^3) / 4 — quadratic once |e| < 1.  Each
+    iteration consumes 4 levels (y^2, a*y^2, y*(3 - a y^2)/2, closing
+    rescale); the 3/2 and 1/2 constants encode at the EvalMod alignment
+    scale Dl^2 so the working scale stays stationary across iterations.
+    Combine with build_ckks_sqrt for sqrt(a) = a * rsqrt(a).
+
+    Returns (fn, out_parms_id, out_scale); fn(ct_a, relin_key) with ct_a
+    at `scale`.
+    """
+    import numpy as np
+
+    if parms_id is None:
+        parms_id = context.first_parms_id
+    if iters < 1:
+        raise ValueError("need at least one iteration")
+    n_levels = 4 * iters
+    ids = [parms_id]
+    for _ in range(n_levels):
+        nxt = context.get_context_data(ids[-1]).next_context_data
+        if nxt is None:
+            raise ValueError(f"modulus chain too short: rsqrt needs "
+                             f"{n_levels} levels")
+        ids.append(nxt.parms_id)
+    cds = [context.get_context_data(i) for i in ids]
+    limbs = [c.limb_constants for c in cds]
+    q = [float(c.parms.coeff_modulus[-1].value) for c in cds]
+    Ls = [len(c.parms.coeff_modulus) for c in cds]
+    Dl = float(scale)
+
+    def _enc(val, sc, lvl):
+        return np.asarray(encoder.encode(float(val), sc, ids[lvl]).data)
+
+    stages = []
+    sigma_y = Dl          # y_0 = 1 is re-encoded per build at input scale
+    sigma_a = Dl
+    for k in range(iters):
+        b = 4 * k
+        sq_y = build_ckks_mul_relin_rescale(context, ids[b], square=True)
+        mul_u = build_ckks_mul_relin_rescale(context, ids[b + 1])
+        mul_w = build_ckks_mul_relin_rescale(context, ids[b + 2])
+        sigma_t = sigma_y * sigma_y / q[b]              # level b+1
+        sigma_u = sigma_a * sigma_t / q[b + 1]          # level b+2
+        sigma_v = Dl * Dl
+        pt_half = _enc(0.5, sigma_v / sigma_u, b + 2)
+        pt_3half = _enc(1.5, sigma_v, b + 2)
+        sigma_w = sigma_y * sigma_v / q[b + 2]          # level b+3
+        cd3 = cds[b + 3]
+        sigma_y = sigma_w / q[b + 3]                    # level b+4
+
+        def stage(y, ct_a, relin_key, b=b, sq_y=sq_y, mul_u=mul_u,
+                  mul_w=mul_w, pt_half=pt_half, pt_3half=pt_3half, cd3=cd3):
+            t = sq_y(y, relin_key)                      # y^2, level b+1
+            u = mul_u(ct_a[..., : Ls[b + 1], :], t, relin_key)  # a y^2
+            lim2 = limbs[b + 2]
+            v0 = sub_poly(pt_3half,
+                          dyadic_product(u[..., 0, :, :], pt_half, lim2),
+                          lim2)                         # 1.5 - u0/2
+            v1 = modops.neg_mod(
+                dyadic_product(u[..., 1, :, :], pt_half, lim2), lim2.p)
+            v = jnp.stack([v0, v1], axis=-3)
+            w = mul_w(y[..., : Ls[b + 2], :], v, relin_key)
+            return divide_and_round_q_last_ntt(
+                w, cd3.device_rns_tool, cd3.ntt_tables)
+
+        stages.append(stage)
+
+    one0 = _enc(1.0, Dl, 0)
+
+    def step(ct_a, relin_key):
+        # y_0 = 1 as a transparent-free plaintext start: (one0, 0)
+        y = jnp.stack([
+            jnp.broadcast_to(one0, ct_a[..., 0, :, :].shape),
+            jnp.zeros_like(ct_a[..., 1, :, :])], axis=-3)
+        for stage in stages:
+            y = stage(y, ct_a, relin_key)
+        return y
+
+    return step, ids[n_levels], sigma_y
+
+
+def build_ckks_sqrt(context: SealContext, scale: float, encoder,
+                    iters: int = 3, parms_id=None):
+    """Encrypted sqrt(a) = a * rsqrt(a) for slot values in (0, 2):
+    build_ckks_rsqrt plus one closing multiply with the mod-switched
+    input.  4 * iters + 1 levels.
+
+    Returns (fn, out_parms_id, out_scale); fn(ct_a, relin_key).
+    """
+    if parms_id is None:
+        parms_id = context.first_parms_id
+    rs_fn, rs_pid, rs_scale = build_ckks_rsqrt(
+        context, scale, encoder, iters=iters, parms_id=parms_id)
+    rs_cd = context.get_context_data(rs_pid)
+    out_cd = rs_cd.next_context_data
+    if out_cd is None:
+        raise ValueError("modulus chain too short: sqrt needs one more "
+                         "level after rsqrt")
+    L_s = len(rs_cd.parms.coeff_modulus)
+    mul_out = build_ckks_mul_relin_rescale(context, rs_pid)
+    q_last = float(rs_cd.parms.coeff_modulus[-1].value)
+    out_scale = rs_scale * float(scale) / q_last
+
+    def step(ct_a, relin_key):
+        y = rs_fn(ct_a, relin_key)
+        return mul_out(ct_a[..., : L_s, :], y, relin_key)
+
+    return step, out_cd.parms_id, out_scale
 
 
 #: Odd degree-7 minimax component polynomials for composite sign

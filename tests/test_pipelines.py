@@ -1459,3 +1459,42 @@ def test_ckks_max():
     g = ~m
     assert (got[g] >= np.minimum(a, b)[g] - 1e-2).all()
     assert (got[g] <= np.maximum(a, b)[g] + 1e-2).all()
+
+
+def test_ckks_rsqrt_and_sqrt():
+    """Newton inverse square root and sqrt(a) = a * rsqrt(a): quadratic
+    convergence on (0, 2), 4 levels per iteration + 1 for the sqrt."""
+    import jax
+    from gemini_seal_tpu.ciphertext import Ciphertext
+    from gemini_seal_tpu.models.pipelines import (build_ckks_rsqrt,
+                                                  build_ckks_sqrt)
+
+    bits = (50,) + (40,) * 14 + (50,)
+    ctx, kg = ckks_setup(n=256, bits=bits)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    dec = Decryptor(ctx, kg.secret_key)
+    scale = 2.0 ** 40
+    rk = kg.relin_keys().stacked(2)
+
+    rng = np.random.default_rng(29)
+    vals = rng.uniform(0.5, 1.5, encoder.slot_count)
+    ct = enc.encrypt(encoder.encode(vals.tolist(), scale))
+
+    fn, pid, osc = build_ckks_rsqrt(ctx, scale, encoder, iters=3)
+    out = np.asarray(jax.jit(fn)(np.asarray(ct.data), rk))
+    got = np.asarray(encoder.decode(
+        dec.decrypt(Ciphertext(out, pid, True, osc))))[: len(vals)]
+    rel = np.abs(got * np.sqrt(vals) - 1.0)
+    assert rel.max() < 2e-3, rel.max()
+
+    fns, pids, oscs = build_ckks_sqrt(ctx, scale, encoder, iters=3)
+    outs = np.asarray(jax.jit(fns)(np.asarray(ct.data), rk))
+    gots = np.asarray(encoder.decode(
+        dec.decrypt(Ciphertext(outs, pids, True, oscs))))[: len(vals)]
+    rels = np.abs(gots / np.sqrt(vals) - 1.0)
+    assert rels.max() < 2e-3, rels.max()
+
+    L_in = len(ctx.get_context_data(ctx.first_parms_id).parms.coeff_modulus)
+    assert L_in - len(ctx.get_context_data(pid).parms.coeff_modulus) == 12
+    assert L_in - len(ctx.get_context_data(pids).parms.coeff_modulus) == 13
