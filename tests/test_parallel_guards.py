@@ -198,3 +198,51 @@ def test_cnn_dp_sharded_zero_collectives_and_bit_exact():
     want = np.asarray(jax.jit(lambda c, r, *gs: fn(c, gs, r))(a, rk_data,
                                                               *gk_stacks))
     np.testing.assert_array_equal(out, want)
+
+
+@needs8
+def test_matmul_dp_sharded_zero_collectives_and_bit_exact():
+    """The encrypted matrix product under pure ciphertext-batch DP:
+    zero ICI bytes (batched matmul serving scales out freely) and rows
+    identical to the unsharded program."""
+    from gemini_seal_tpu.models.pipelines import build_ckks_matmul_square
+
+    ctx, kg = make_ctx(32, [50, 40, 40, 40, 40, 50])
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    tool = ctx.first_context_data().galois_tool
+    scale = 2.0 ** 40
+    d = 4
+    fn, out_pid, out_scale = build_ckks_matmul_square(ctx, d, scale, encoder)
+    elts = [tool.get_elt_from_step(s) for s in fn.rot_steps]
+    gk = kg.galois_keys(elts)
+    gk_stack = gk.stacked(*elts)
+    rk_data = kg.relin_keys().stacked(2)
+
+    rng = np.random.default_rng(7)
+    a = np.stack([
+        np.asarray(enc.encrypt(encoder.encode(
+            rng.uniform(-1, 1, d * d).tolist(), scale)).data)
+        for _ in range(8)
+    ])
+    b = np.stack([
+        np.asarray(enc.encrypt(encoder.encode(
+            rng.uniform(-1, 1, d * d).tolist(), scale)).data)
+        for _ in range(8)
+    ])
+
+    mesh = make_he_mesh(dp=8, limb=1)
+    ct_sh = NamedSharding(mesh, P("dp", None, None, None))
+    key_sh = NamedSharding(mesh, P())
+    step = jax.jit(fn, in_shardings=(ct_sh, ct_sh, key_sh, key_sh))
+    da = jax.device_put(a, ct_sh)
+    db = jax.device_put(b, ct_sh)
+    dg = jax.device_put(gk_stack, key_sh)
+    dr = jax.device_put(rk_data, key_sh)
+    compiled = step.lower(da, db, dg, dr).compile()
+    stats = collective_stats(compiled.as_text())
+    assert stats.total_bytes == 0, f"unexpected ICI traffic: {stats}"
+
+    out = np.asarray(compiled(da, db, dg, dr))
+    want = np.asarray(jax.jit(fn)(a, b, gk_stack, rk_data))
+    np.testing.assert_array_equal(out, want)
