@@ -46,7 +46,7 @@ class EncryptedComputeServer:
     def __init__(self, context: SealContext, step: Callable, key_args,
                  out_parms_id, out_is_ntt: bool, out_scale: float,
                  batch_size: int, validate: bool = True,
-                 compr_mode: int = ser.COMPR_NONE):
+                 compr_mode: int = ser.COMPR_NONE, n_inputs: int = 1):
         import jax
 
         self.context = context
@@ -56,6 +56,7 @@ class EncryptedComputeServer:
         self.out_scale = float(out_scale)
         self.validate = validate
         self.compr_mode = compr_mode
+        self.n_inputs = int(n_inputs)   # ciphertext operands per request
         self._keys = [jax.device_put(np.asarray(k)) for k in key_args]
         self._step = jax.jit(step)
 
@@ -63,9 +64,14 @@ class EncryptedComputeServer:
         """Compile the pipeline ahead of traffic with one example request."""
         self.submit([example_blob])
 
-    def submit(self, ct_blobs: Sequence[bytes]) -> List[bytes]:
+    def submit(self, ct_blobs: Sequence) -> List[bytes]:
         """Run the pipeline over a batch of wire-format ciphertexts and
-        return the results as wire-format blobs (same order)."""
+        return the results as wire-format blobs (same order).
+
+        With n_inputs == 1 each request is one blob; with n_inputs > 1
+        each request is a TUPLE of blobs, one per ciphertext operand
+        (e.g. (A, B) pairs for the encrypted matmul endpoint) — the
+        step receives one stacked batch tensor per operand position."""
         n_real = len(ct_blobs)
         if n_real == 0:
             return []
@@ -74,19 +80,32 @@ class EncryptedComputeServer:
                 f"batch of {n_real} exceeds compiled batch_size "
                 f"{self.batch_size}; split the request"
             )
-        cts = [
-            ser.load_ciphertext(b, self.context, validate=self.validate)
-            for b in ct_blobs
-        ]
-        p0 = cts[0].parms_id
-        for ct in cts:
-            if ct.parms_id != p0:
-                raise ValueError("batch ciphertexts must share a level")
-        rows = [np.asarray(ct.data) for ct in cts]
-        rows += [rows[-1]] * (self.batch_size - n_real)   # pad to the program
-        batch = np.stack(rows)
+        if self.n_inputs == 1:
+            reqs = [(b,) for b in ct_blobs]
+        else:
+            reqs = [tuple(r) for r in ct_blobs]
+            for r in reqs:
+                if len(r) != self.n_inputs:
+                    raise ValueError(
+                        f"each request needs {self.n_inputs} ciphertext "
+                        f"blobs, got {len(r)}")
 
-        out = np.asarray(self._step(batch, *self._keys))
+        batches = []
+        for j in range(self.n_inputs):
+            cts = [
+                ser.load_ciphertext(r[j], self.context,
+                                    validate=self.validate)
+                for r in reqs
+            ]
+            p0 = cts[0].parms_id
+            for ct in cts:
+                if ct.parms_id != p0:
+                    raise ValueError("batch ciphertexts must share a level")
+            rows = [np.asarray(ct.data) for ct in cts]
+            rows += [rows[-1]] * (self.batch_size - n_real)  # pad
+            batches.append(np.stack(rows))
+
+        out = np.asarray(self._step(*batches, *self._keys))
         return [
             ser.save(
                 Ciphertext(out[i], self.out_parms_id, self.out_is_ntt,

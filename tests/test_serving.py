@@ -158,3 +158,51 @@ def test_wire_to_wire_cnn():
         got = encoder.decode(dec.decrypt(ser.load_ciphertext(blob, ctx)))
         for g, t in zip(got[:hw], want):
             assert abs(g - t) < 1e-2, (g, t)
+
+
+def test_wire_to_wire_matmul_pairs():
+    """Two-operand endpoint: (A, B) blob pairs in -> encrypted d x d
+    matrix products out (n_inputs=2 stacks one batch per operand)."""
+    from gemini_seal_tpu.ciphertext import Ciphertext
+    from gemini_seal_tpu.models.pipelines import build_ckks_matmul_square
+
+    d, n = 4, 32
+    parms = EncryptionParameters(SchemeType.CKKS)
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.create(n, [50, 40, 40, 40, 40, 50]))
+    parms.set_random_seed(SEED)
+    ctx = SealContext(parms, sec_level=SecLevelType.none)
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    dec = Decryptor(ctx, kg.secret_key)
+    tool = ctx.first_context_data().galois_tool
+    scale = 2.0 ** 40
+
+    fn, out_pid, out_scale = build_ckks_matmul_square(ctx, d, scale, encoder)
+    elts = [tool.get_elt_from_step(s) for s in fn.rot_steps]
+    gk = kg.galois_keys(elts)
+    server = EncryptedComputeServer(
+        ctx, fn, [gk.stacked(*elts), kg.relin_keys().stacked(2)],
+        out_parms_id=out_pid, out_is_ntt=True, out_scale=out_scale,
+        batch_size=4, n_inputs=2,
+    )
+
+    rng = np.random.default_rng(9)
+    mats = [(rng.uniform(-1, 1, (d, d)), rng.uniform(-1, 1, (d, d)))
+            for _ in range(3)]
+    reqs = [
+        (ser.save(enc.encrypt(encoder.encode(A.flatten().tolist(), scale))),
+         ser.save(enc.encrypt(encoder.encode(B.flatten().tolist(), scale))))
+        for A, B in mats
+    ]
+    outs = server.submit(reqs)
+    assert len(outs) == 3
+    for (A, B), blob in zip(mats, outs):
+        ct = ser.load_ciphertext(blob, ctx)
+        got = np.asarray(encoder.decode(dec.decrypt(ct)))[: d * d]
+        want = (A @ B).flatten()
+        assert np.abs(got - want).max() < 1e-2
+
+    with pytest.raises(ValueError, match="needs 2 ciphertext"):
+        server.submit([(reqs[0][0],)])
