@@ -60,9 +60,10 @@ class EncryptedComputeServer:
         self._keys = [jax.device_put(np.asarray(k)) for k in key_args]
         self._step = jax.jit(step)
 
-    def warm(self, example_blob: bytes) -> None:
-        """Compile the pipeline ahead of traffic with one example request."""
-        self.submit([example_blob])
+    def warm(self, example_request) -> None:
+        """Compile the pipeline ahead of traffic with one example request
+        (a blob, or a tuple of n_inputs blobs for multi-operand servers)."""
+        self.submit([example_request])
 
     def submit(self, ct_blobs: Sequence) -> List[bytes]:
         """Run the pipeline over a batch of wire-format ciphertexts and
@@ -83,6 +84,13 @@ class EncryptedComputeServer:
         if self.n_inputs == 1:
             reqs = [(b,) for b in ct_blobs]
         else:
+            for r in ct_blobs:
+                # a bare blob would be exploded into per-byte ints by
+                # tuple() — reject it with an actionable error instead
+                if isinstance(r, (bytes, bytearray)):
+                    raise ValueError(
+                        f"this server takes {self.n_inputs} ciphertext "
+                        f"blobs per request — pass tuples, not bare blobs")
             reqs = [tuple(r) for r in ct_blobs]
             for r in reqs:
                 if len(r) != self.n_inputs:

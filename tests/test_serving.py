@@ -206,3 +206,34 @@ def test_wire_to_wire_matmul_pairs():
 
     with pytest.raises(ValueError, match="needs 2 ciphertext"):
         server.submit([(reqs[0][0],)])
+
+
+def test_multi_operand_rejects_bare_blob():
+    """A bare bytes blob on an n_inputs=2 server must be rejected with an
+    actionable error (not exploded into per-byte ints by tuple())."""
+    from gemini_seal_tpu.models.pipelines import build_ckks_matmul_square
+
+    d, n = 4, 32
+    parms = EncryptionParameters(SchemeType.CKKS)
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.create(n, [50, 40, 40, 40, 40, 50]))
+    parms.set_random_seed(SEED)
+    ctx = SealContext(parms, sec_level=SecLevelType.none)
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    tool = ctx.first_context_data().galois_tool
+    fn, out_pid, out_scale = build_ckks_matmul_square(ctx, d, 2.0 ** 40,
+                                                      encoder)
+    elts = [tool.get_elt_from_step(s) for s in fn.rot_steps]
+    gk = kg.galois_keys(elts)
+    server = EncryptedComputeServer(
+        ctx, fn, [gk.stacked(*elts), kg.relin_keys().stacked(2)],
+        out_parms_id=out_pid, out_is_ntt=True, out_scale=out_scale,
+        batch_size=2, n_inputs=2,
+    )
+    blob = ser.save(enc.encrypt(encoder.encode([0.5] * (d * d), 2.0 ** 40)))
+    with pytest.raises(ValueError, match="pass tuples"):
+        server.submit([blob])
+    with pytest.raises(ValueError, match="pass tuples"):
+        server.warm(blob)
