@@ -246,3 +246,58 @@ def test_matmul_dp_sharded_zero_collectives_and_bit_exact():
     out = np.asarray(compiled(da, db, dg, dr))
     want = np.asarray(jax.jit(fn)(a, b, gk_stack, rk_data))
     np.testing.assert_array_equal(out, want)
+
+
+@needs8
+def test_matmul_limb_sharded_bit_exact():
+    """The encrypted matmul under a (dp=2, limb=4) mesh: GSPMD must keep
+    real reduction collectives (no silent de-parallelization into a
+    giant all-gather of the digit tensors) and the rows must stay
+    bit-exact vs the unsharded program."""
+    from gemini_seal_tpu.models.pipelines import build_ckks_matmul_square
+
+    ctx, kg = make_ctx(32, [30] * 9)
+    cd = ctx.first_context_data()
+    assert len(cd.parms.coeff_modulus) % 4 == 0  # L = 8 splits over limb=4
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    tool = cd.galois_tool
+    scale = 2.0 ** 25
+    d = 4
+    fn, out_pid, out_scale = build_ckks_matmul_square(ctx, d, scale, encoder)
+    elts = [tool.get_elt_from_step(s) for s in fn.rot_steps]
+    gk = kg.galois_keys(elts)
+    gk_stack = gk.stacked(*elts)
+    rk_data = kg.relin_keys().stacked(2)
+
+    rng = np.random.default_rng(13)
+    a = np.stack([
+        np.asarray(enc.encrypt(encoder.encode(
+            rng.uniform(-1, 1, d * d).tolist(), scale)).data)
+        for _ in range(2)
+    ])
+    b = np.stack([
+        np.asarray(enc.encrypt(encoder.encode(
+            rng.uniform(-1, 1, d * d).tolist(), scale)).data)
+        for _ in range(2)
+    ])
+
+    mesh = make_he_mesh(dp=2, limb=4)
+    ct_sh = NamedSharding(mesh, P("dp", None, "limb", None))
+    key_sh = NamedSharding(mesh, P())
+    step = jax.jit(fn, in_shardings=(ct_sh, ct_sh, key_sh, key_sh))
+    da = jax.device_put(a, ct_sh)
+    db = jax.device_put(b, ct_sh)
+    dg = jax.device_put(gk_stack, key_sh)
+    dr = jax.device_put(rk_data, key_sh)
+    compiled = step.lower(da, db, dg, dr).compile()
+    stats = assert_collectives(
+        compiled.as_text(),
+        require_any=("all-reduce", "reduce-scatter", "collective-permute"),
+        max_allgather_bytes=a.nbytes + b.nbytes,
+    )
+    assert stats.total_bytes > 0
+
+    out = np.asarray(compiled(da, db, dg, dr))
+    want = np.asarray(jax.jit(fn)(a, b, gk_stack, rk_data))
+    np.testing.assert_array_equal(out, want)
