@@ -73,6 +73,8 @@ def _frame(payload: bytes, compr_mode: int) -> bytes:
 
 def _unframe(data: bytes, offset: int = 0):
     """Returns (payload_bytes, total_size)."""
+    if len(data) < offset + HEADER_SIZE:
+        raise ValueError("loaded SEALHeader is invalid (truncated stream)")
     magic, hsize, _vmaj, _vmin, compr, _res, size = struct.unpack_from(
         _HEADER_FMT, data, offset
     )

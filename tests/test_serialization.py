@@ -635,3 +635,56 @@ def test_save_size_serializable_objects():
         buf = io.BytesIO()
         n = ser.save_to(obj, buf)
         assert n == len(blob) and buf.getvalue() == blob
+
+
+def test_loader_rejects_corrupted_blobs_cleanly():
+    """Failure-detection fuzz: byte-flipped, truncated, and garbage wire
+    blobs must raise clean Python exceptions (ValueError family or the
+    zlib/struct decode errors) — never crash, hang, or return a
+    ciphertext that silently passes validation."""
+    import zlib
+
+    from gemini_seal_tpu import CKKSEncoder
+
+    parms = EncryptionParameters(SchemeType.CKKS)
+    n = 64
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.create(n, [40, 30, 40]))
+    parms.set_random_seed(tuple(range(8)))
+    ctx = SealContext(parms, sec_level=SecLevelType.none)
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    ct = enc.encrypt(encoder.encode([0.5, -1.0], 2.0 ** 30))
+
+    ok_errors = (ValueError, TypeError, EOFError, OverflowError,
+                 MemoryError, IndexError, zlib.error)
+    rng = np.random.default_rng(99)
+    for compr in (ser.COMPR_NONE, ser.COMPR_DEFLATE):
+        blob = ser.save(ct, compr)
+        # single-byte flips across the blob (header, metadata, payload)
+        for off in sorted(rng.choice(len(blob), size=24, replace=False)):
+            bad = bytearray(blob)
+            bad[off] ^= 0xFF
+            try:
+                out = ser.load_ciphertext(bytes(bad), ctx)
+                # a flip deep in ciphertext DATA can decode to residues
+                # that still pass range checks — that is fine (the values
+                # decrypt to noise); metadata integrity is what matters
+                assert out.data.shape == np.asarray(ct.data).shape
+            except ok_errors:
+                pass
+        # truncations at every region boundary and a few interior points
+        for cut in [0, 1, 7, 15, 16, 17, len(blob) // 2, len(blob) - 1]:
+            try:
+                ser.load_ciphertext(blob[:cut], ctx)
+                raise AssertionError(f"truncated blob (cut={cut}) loaded")
+            except ok_errors:
+                pass
+        # random garbage of plausible sizes
+        for size in (0, 16, 256):
+            try:
+                ser.load_ciphertext(rng.bytes(size), ctx)
+                raise AssertionError("garbage blob loaded")
+            except ok_errors:
+                pass
