@@ -66,7 +66,7 @@ def main():
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--only", default="",
                     help="comma list of configs to run in isolation "
-                         "(1..5, extra, cnn, train, bootstrap, logreg, "
+                         "(1..5, extra, cnn, train, bootstrap, logreg, relu, "
                          "matmul); empty = all.  Isolated runs avoid "
                          "the 5-15%% steady-state drift of back-to-back "
                          "sweeps (PERF.md config-3 note).")
@@ -510,6 +510,36 @@ def main():
                          (da, db, dg, dr), lb, cfg.iters)
         emit(f"ckks_matmul_d{d}_n{n}_matmuls_per_s", ops,
              "encrypted_matmuls/s")
+
+    # ---- relu: composite-minimax sign gate -------------------------------
+    if _want("relu"):
+        # ReLU over all slots: 13 levels (3 odd degree-7 stages + the
+        # gate multiply), relin key only — the deep pointwise-nonlinearity
+        # workload.  --small shrinks N.
+        from gemini_seal_tpu.models.pipelines import build_ckks_relu
+        n = 256 if small else 8192
+        bits = [50] + [40] * 13 + [50]
+        parms = EncryptionParameters(SchemeType.CKKS)
+        parms.set_poly_modulus_degree(n)
+        parms.set_coeff_modulus(CoeffModulus.create(n, bits))
+        parms.set_random_seed(tuple(range(8)))
+        ctx = SealContext(parms, sec_level=SecLevelType.none)
+        kg = KeyGenerator(ctx)
+        enc = Encryptor(ctx, public_key=kg.public_key())
+        encoder = CKKSEncoder(ctx)
+        scale = 2.0 ** 40
+        fn, out_pid, out_scale = build_ckks_relu(ctx, scale, encoder)
+        rng = np.random.default_rng(7)
+        ct = enc.encrypt(encoder.encode(
+            rng.uniform(-1, 1, encoder.slot_count).tolist(), scale))
+        lb = max(B // 8, 2)
+        a = np.broadcast_to(np.asarray(ct.data), (lb,) + ct.data.shape)
+        step = checksum_jit(fn)
+        da = jax.device_put(a)
+        dr = jax.device_put(kg.relin_keys().stacked(2))
+        ops = _sync_time(lambda s_, c, r: step(s_, c, r), (da, dr),
+                         lb, cfg.iters)
+        emit(f"ckks_relu_n{n}_ops_per_s", ops, "encrypted_relus/s")
 
     # ---- logreg: encrypted logistic-regression head ---------------------
     if _want("logreg"):
