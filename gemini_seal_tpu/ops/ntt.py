@@ -40,6 +40,14 @@ __all__ = ["NTTTables", "build_ntt_tables", "ntt_forward", "ntt_inverse",
 
 U64 = 0xFFFFFFFFFFFFFFFF
 
+# Butterfly stages fused per materialization on the device path: k stages
+# are computed in one radix-2^k view of the SAME radix-2 arithmetic —
+# bit-identical outputs, 1/k the per-stage HBM round trips, which PERF.md
+# measures as the binding bandwidth floor of the XLA NTT.  1 = classic
+# per-stage radix-2; measured on the v5e in tools/bench_ntt_fused.py
+# (k=2: +11-24% NTT throughput; see PERF.md for the k sweep).
+FUSE_STAGES = 2
+
 
 def _shoupify(x: int, p: int) -> int:
     """floor(x * 2^64 / p) (reference: ntt.cpp:18-24)."""
@@ -222,22 +230,48 @@ def ntt_forward_lazy(x, tables):
     w_all = _as_u64(tables.root_powers)
     ws_all = _as_u64(tables.scaled_root_powers)
 
-    for s in range(log_n):
+    depth = max(int(FUSE_STAGES), 1)
+    s = 0
+    while s < log_n:
+        # k stages in one radix-2^k view: the lanes stay as separate arrays
+        # between sub-stages (XLA fuses the elementwise chains), so only the
+        # final stack+reshape materializes — 1/k the HBM stage round trips.
+        # The butterfly/reduction sequence is EXACTLY the per-stage radix-2
+        # one, so the output is bit-identical for any k.
+        k = min(depth, log_n - s)
         m = 1 << s
-        h = n >> (s + 1)
-        xr = x.reshape(batch[:-1] + (L, m, 2, h))
-        x0 = xr[..., 0, :]
-        x1 = xr[..., 1, :]
-        w = w_all[:, m : 2 * m][:, :, None]     # [L, m, 1]
-        ws = ws_all[:, m : 2 * m][:, :, None]
-        # Keep the accumulating lane in [0, 2p) with a conditional subtract
-        # (upstream Harvey butterfly).  The fork's SlothfulNTT::ForwardLazy
-        # omits this and overflows u64 for 60-bit moduli at N >= 2048 —
-        # e.g. its own 60-bit Bsk base-conversion primes; we keep the
-        # overflow-free contract for all <= 61-bit moduli at every N.
-        x0 = m_.where(x0 >= two_p, x0 - two_p, x0)
-        v = modops.mul_mod_shoup_lazy(x1, w, ws, p)
-        x = m_.stack([x0 + v, x0 - v + two_p], axis=-2).reshape(batch + (n,))
+        R = 1 << k
+        h = n >> (s + k)
+        xr = x.reshape(batch[:-1] + (L, m, R, h))
+        lanes = [xr[..., j, :] for j in range(R)]
+        for t in range(k):
+            G = R >> t            # lanes per stage-(s+t) block
+            half = G >> 1
+            n_blk = 1 << t        # stage-(s+t) blocks per outer block
+            mt = m << t
+            w_t = w_all[:, mt : 2 * mt].reshape(L, m, n_blk)
+            ws_t = ws_all[:, mt : 2 * mt].reshape(L, m, n_blk)
+            new = [None] * R
+            for b in range(n_blk):
+                w = w_t[:, :, b : b + 1]     # [L, m, 1]
+                ws = ws_t[:, :, b : b + 1]
+                for u in range(half):
+                    j0 = b * G + u
+                    j1 = j0 + half
+                    x0 = lanes[j0]
+                    # Keep the accumulating lane in [0, 2p) with a
+                    # conditional subtract (upstream Harvey butterfly).
+                    # The fork's SlothfulNTT::ForwardLazy omits this and
+                    # overflows u64 for 60-bit moduli at N >= 2048 — e.g.
+                    # its own 60-bit Bsk base-conversion primes; we keep
+                    # the overflow-free contract for all <= 61-bit moduli.
+                    x0 = m_.where(x0 >= two_p, x0 - two_p, x0)
+                    v = modops.mul_mod_shoup_lazy(lanes[j1], w, ws, p)
+                    new[j0] = x0 + v
+                    new[j1] = x0 - v + two_p
+            lanes = new
+        x = m_.stack(lanes, axis=-2).reshape(batch + (n,))
+        s += k
     return x
 
 
@@ -278,25 +312,48 @@ def ntt_inverse_lazy(x, tables):
     inv_n = _expand(tables.inv_degree_modulo, 2)
     inv_n_s = _expand(tables.scaled_inv_degree, 2)
 
+    depth = max(int(FUSE_STAGES), 1)
     ofs = 1
-    for s in range(log_n):
-        m = n >> (s + 1)
+    s = 0
+    while s < log_n:
+        # k inverse stages in one radix-2^k view (see the forward transform)
+        # — identical arithmetic including the sequential reordered twiddle
+        # walk and the n^{-1} fold when the block's last sub-stage is the
+        # final stage, so the output is bit-identical for any k.
+        k = min(max(int(FUSE_STAGES), 1), log_n - s)
+        R = 1 << k
+        M = n >> (s + k)          # outer blocks in the fused view
         h = 1 << s
-        xr = x.reshape(batch[:-1] + (L, m, 2, h))
-        x0 = xr[..., 0, :]
-        x1 = xr[..., 1, :]
-        w = w_all[:, ofs : ofs + m][:, :, None]
-        ws = ws_all[:, ofs : ofs + m][:, :, None]
-        ofs += m
-        t = x0 + x1
-        t = m_.where(t >= two_p, t - two_p, t)
-        d = x0 - x1 + two_p
-        if m == 1:
-            # BackwardLazyLast (ntt.cpp:274-281): x0 *= n^{-1}; the twiddle
-            # table entry already carries w * n^{-1}.
-            t = modops.mul_mod_shoup_lazy(t, inv_n, inv_n_s, p)
-        new_x1 = modops.mul_mod_shoup_lazy(d, w, ws, p)
-        x = m_.stack([t, new_x1], axis=-2).reshape(batch + (n,))
+        xr = x.reshape(batch[:-1] + (L, M, R, h))
+        lanes = [xr[..., j, :] for j in range(R)]
+        for t in range(k):
+            m = n >> (s + t + 1)  # stage-(s+t) block count
+            G = 1 << (t + 1)      # lanes per stage-(s+t) block
+            half = G >> 1
+            n_blk = R // G        # stage-(s+t) blocks per outer block
+            w_t = w_all[:, ofs : ofs + m].reshape(L, M, n_blk)
+            ws_t = ws_all[:, ofs : ofs + m].reshape(L, M, n_blk)
+            ofs += m
+            last = (s + t) == log_n - 1
+            new = [None] * R
+            for b in range(n_blk):
+                w = w_t[:, :, b : b + 1]     # [L, M, 1]
+                ws = ws_t[:, :, b : b + 1]
+                for u in range(half):
+                    j0 = b * G + u
+                    j1 = j0 + half
+                    tt = lanes[j0] + lanes[j1]
+                    tt = m_.where(tt >= two_p, tt - two_p, tt)
+                    d = lanes[j0] - lanes[j1] + two_p
+                    if last:
+                        # BackwardLazyLast (ntt.cpp:274-281): x0 *= n^{-1};
+                        # the twiddle entry already carries w * n^{-1}.
+                        tt = modops.mul_mod_shoup_lazy(tt, inv_n, inv_n_s, p)
+                    new[j0] = tt
+                    new[j1] = modops.mul_mod_shoup_lazy(d, w, ws, p)
+            lanes = new
+        x = m_.stack(lanes, axis=-2).reshape(batch + (n,))
+        s += k
     return x
 
 

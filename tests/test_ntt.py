@@ -205,3 +205,43 @@ def test_native_and_pure_paths_bit_identical(monkeypatch):
     got_pure = {k: np.asarray(f(x, tabs)) for k, f in fns}
     for k in got_native:
         assert np.array_equal(got_native[k], got_pure[k]), k
+
+
+@pytest.mark.parametrize("log_n", [4, 11, 12, 13])
+def test_fused_stage_pairs_bit_identical(log_n):
+    """The fused two-stage (radix-4 view) device path must be bit-identical
+    to per-stage radix-2 in all four variants, at odd AND even log_n (even
+    log_n exercises the fused inverse pair that carries the n^{-1} fold)."""
+    import jax
+
+    from gemini_seal_tpu.modulus import CoeffModulus
+    from gemini_seal_tpu.ops import ntt as ntt_mod
+
+    n = 1 << log_n
+    mods = CoeffModulus.create(max(n, 1024), [50, 40, 58])
+    tabs = ntt_mod.build_ntt_tables(log_n, mods)
+    rng = np.random.default_rng(23)
+    x = np.stack(
+        [rng.integers(0, 2 * m.value, (2, n), dtype=np.uint64) for m in mods],
+        axis=1,
+    )  # lazy [0, 2p) inputs, valid for every variant
+    fns = [
+        ("fwd", ntt_mod.ntt_forward), ("fwd_lazy", ntt_mod.ntt_forward_lazy),
+        ("inv", ntt_mod.ntt_inverse), ("inv_lazy", ntt_mod.ntt_inverse_lazy),
+    ]
+    prev = ntt_mod.FUSE_STAGES
+    got = {}
+    try:
+        for depth in (1, 2, 3, 4):
+            ntt_mod.FUSE_STAGES = depth
+            # jit forces the device path (host numpy would take the native
+            # transform, which has no stage fusion to test)
+            got[depth] = {
+                k: np.asarray(jax.jit(lambda v, f=f: f(v, tabs))(x))
+                for k, f in fns
+            }
+    finally:
+        ntt_mod.FUSE_STAGES = prev
+    for depth in (2, 3, 4):
+        for k in got[depth]:
+            assert np.array_equal(got[1][k], got[depth][k]), (depth, k)
