@@ -14,12 +14,16 @@ bit-identical to the reference's ``NTTTables``:
 
 The device transform reproduces the SlothfulNTT lazy dataflow
 (ntt.cpp:213-282): Shoup butterflies, forward output lazy in [0, 4p),
-inverse output lazy in [0, 2p), with a Barrett pre-reduction of the x0 lane
-in the last forward stage keeping every intermediate below 2^64 for moduli
-up to 59 bits (the fork's SEAL_USER_MOD_BIT_COUNT_MAX).  Instead of the
-reference's pointer-walking scalar loops, each stage is one vectorized
-butterfly over the reshaped ``[..., L, m, 2, h]`` view — XLA fuses the
-elementwise chains; a fully-fused Pallas VMEM kernel is the upgrade path.
+inverse output lazy in [0, 2p).  The forward accumulating lane gets a
+conditional subtract keeping it in [0, 2p) (the upstream Harvey butterfly
+— see the inline note about the fork's 60-bit overflow), so every
+intermediate stays below 2^64 for moduli up to 61 bits.  Instead of the
+reference's pointer-walking scalar loops, ``FUSE_STAGES`` butterfly
+stages are computed per materialization in one radix-2^k view
+``[..., L, m, 2^k, h]`` whose lanes are held as separate arrays between
+sub-stages — XLA fuses the whole k-stage elementwise chain and only the
+final stack+reshape touches HBM, with the EXACT radix-2 butterfly
+sequence (bit-identical outputs for any k).
 """
 
 from __future__ import annotations
@@ -45,7 +49,13 @@ U64 = 0xFFFFFFFFFFFFFFFF
 # bit-identical outputs, 1/k the per-stage HBM round trips, which PERF.md
 # measures as the binding bandwidth floor of the XLA NTT.  1 = classic
 # per-stage radix-2; measured on the v5e in tools/bench_ntt_fused.py
-# (k=2: +11-24% NTT throughput; see PERF.md for the k sweep).
+# (k=2: 1.48-1.69x kernel NTT throughput, 1.26x the headline step; see
+# PERF.md's k sweep — k>=3 inverts as the 2^k-lane working set spills).
+#
+# TRACE-TIME semantics: this global is read when a transform is TRACED.
+# Reassigning it later has no effect on already-jitted pipelines (their
+# compiled executables are baked); set it before building/jitting, as
+# tools/bench_ntt_fused.py and tests/test_ntt.py do (under try/finally).
 FUSE_STAGES = 2
 
 
@@ -249,8 +259,10 @@ def ntt_forward_lazy(x, tables):
             half = G >> 1
             n_blk = 1 << t        # stage-(s+t) blocks per outer block
             mt = m << t
-            w_t = w_all[:, mt : 2 * mt].reshape(L, m, n_blk)
-            ws_t = ws_all[:, mt : 2 * mt].reshape(L, m, n_blk)
+            # reshape(-1, ...) derives the leading dim from the table, so a
+            # broadcastable size-1 table row works as well as an exact L.
+            w_t = w_all[:, mt : 2 * mt].reshape(-1, m, n_blk)
+            ws_t = ws_all[:, mt : 2 * mt].reshape(-1, m, n_blk)
             new = [None] * R
             for b in range(n_blk):
                 w = w_t[:, :, b : b + 1]     # [L, m, 1]
@@ -320,7 +332,7 @@ def ntt_inverse_lazy(x, tables):
         # — identical arithmetic including the sequential reordered twiddle
         # walk and the n^{-1} fold when the block's last sub-stage is the
         # final stage, so the output is bit-identical for any k.
-        k = min(max(int(FUSE_STAGES), 1), log_n - s)
+        k = min(depth, log_n - s)
         R = 1 << k
         M = n >> (s + k)          # outer blocks in the fused view
         h = 1 << s
@@ -331,8 +343,8 @@ def ntt_inverse_lazy(x, tables):
             G = 1 << (t + 1)      # lanes per stage-(s+t) block
             half = G >> 1
             n_blk = R // G        # stage-(s+t) blocks per outer block
-            w_t = w_all[:, ofs : ofs + m].reshape(L, M, n_blk)
-            ws_t = ws_all[:, ofs : ofs + m].reshape(L, M, n_blk)
+            w_t = w_all[:, ofs : ofs + m].reshape(-1, M, n_blk)
+            ws_t = ws_all[:, ofs : ofs + m].reshape(-1, M, n_blk)
             ofs += m
             last = (s + t) == log_n - 1
             new = [None] * R

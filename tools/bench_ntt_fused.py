@@ -79,19 +79,21 @@ def main():
         nttsteps = cfg.batch * 2 * L
 
         rates = {}
-        for depth in (1, 2, 3, 4):
-            ntt.FUSE_STAGES = depth
-            fwd = checksum_jit(lambda v: ntt.ntt_forward(v, tabs))
-            rates[(depth, "fwd")] = _sync_time(
-                lambda s, v: fwd(s, v), (dx,), nttsteps, cfg.iters)
-            inv = checksum_jit(lambda v: ntt.ntt_inverse(v, tabs))
-            rates[(depth, "inv")] = _sync_time(
-                lambda s, v: inv(s, v), (dx,), nttsteps, cfg.iters)
-            print(f"N={n} k={depth} fwd: {rates[(depth, 'fwd')]:,.0f} "
-                  f"inv: {rates[(depth, 'inv')]:,.0f} poly-limb NTTs/s "
-                  f"({rates[(depth, 'fwd')] / rates[(1, 'fwd')]:.3f}x / "
-                  f"{rates[(depth, 'inv')] / rates[(1, 'inv')]:.3f}x vs k=1)")
-        ntt.FUSE_STAGES = 2
+        try:
+            for depth in (1, 2, 3, 4):
+                ntt.FUSE_STAGES = depth
+                fwd = checksum_jit(lambda v: ntt.ntt_forward(v, tabs))
+                rates[(depth, "fwd")] = _sync_time(
+                    lambda s, v: fwd(s, v), (dx,), nttsteps, cfg.iters)
+                inv = checksum_jit(lambda v: ntt.ntt_inverse(v, tabs))
+                rates[(depth, "inv")] = _sync_time(
+                    lambda s, v: inv(s, v), (dx,), nttsteps, cfg.iters)
+                print(f"N={n} k={depth} fwd: {rates[(depth, 'fwd')]:,.0f} "
+                      f"inv: {rates[(depth, 'inv')]:,.0f} poly-limb NTTs/s "
+                      f"({rates[(depth, 'fwd')] / rates[(1, 'fwd')]:.3f}x / "
+                      f"{rates[(depth, 'inv')] / rates[(1, 'inv')]:.3f}x vs k=1)")
+        finally:
+            ntt.FUSE_STAGES = 2
 
     if cfg.skip_headline:
         return
@@ -118,16 +120,18 @@ def main():
     a = np.broadcast_to(np.asarray(ct.data), (B,) + ct.data.shape)
     dev_a = jax.device_put(a)
     dev_rk = jax.device_put(rk_data)
-    for depth in (1, 2, 3, 4):
-        ntt.FUSE_STAGES = depth
-        inner = build_ckks_mul_relin_rescale(ctx, fused=True)
-        step = jax.jit(
-            lambda salt, u, k: jnp.sum(inner(u, u, k), dtype=jnp.uint64) + salt
-        )
-        rate = _sync_time(step, (dev_a, dev_rk), B, cfg.iters)
-        print(f"headline mul+relin+rescale N=8192 B={B} k={depth}: "
-              f"{rate:,.1f} ops/s")
-    ntt.FUSE_STAGES = 2
+    try:
+        for depth in (1, 2, 3, 4):
+            ntt.FUSE_STAGES = depth
+            inner = build_ckks_mul_relin_rescale(ctx, fused=True)
+            step = jax.jit(
+                lambda salt, u, k: jnp.sum(inner(u, u, k), dtype=jnp.uint64) + salt
+            )
+            rate = _sync_time(step, (dev_a, dev_rk), B, cfg.iters)
+            print(f"headline mul+relin+rescale N=8192 B={B} k={depth}: "
+                  f"{rate:,.1f} ops/s")
+    finally:
+        ntt.FUSE_STAGES = 2
 
 
 if __name__ == "__main__":
