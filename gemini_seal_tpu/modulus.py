@@ -144,6 +144,19 @@ _HE_STD_MAX_BITS = {
     SecLevelType.tc256: {1024: 14, 2048: 29, 4096: 58, 8192: 118, 16384: 237, 32768: 476},
 }
 
+# QUANTUM-security budgets (reference: hestdparms.h:81-144,
+# SEAL_HE_STD_PARMS_{128,192,256}_TQ).  Dead code upstream too: the public
+# sec_level_type enum (reference modulus.h:383-401) exposes only the
+# tc (classical) levels and nothing calls the _TQ functions — reproduced
+# for full table parity and for callers that want to check a parameter
+# set against the post-quantum budget by hand via
+# CoeffModulus.max_bit_count_quantum.
+_HE_STD_MAX_BITS_QUANTUM = {
+    SecLevelType.tc128: {1024: 25, 2048: 51, 4096: 101, 8192: 202, 16384: 411, 32768: 827},
+    SecLevelType.tc192: {1024: 17, 2048: 35, 4096: 70, 8192: 141, 16384: 284, 32768: 571},
+    SecLevelType.tc256: {1024: 13, 2048: 27, 4096: 54, 8192: 109, 16384: 220, 32768: 443},
+}
+
 HE_STD_ERROR_STD_DEV = 3.20  # reference: hestdparms.h:145
 NOISE_MAX_DEVIATION = HE_STD_ERROR_STD_DEV * 6  # reference: globals.h:38-42
 
@@ -159,6 +172,19 @@ class CoeffModulus:
 
     # PEP8 alias kept next to the SEAL-style name for API parity
     MaxBitCount = max_bit_count
+
+    @staticmethod
+    def max_bit_count_quantum(
+        poly_modulus_degree: int, sec_level: SecLevelType = SecLevelType.tc128
+    ) -> int:
+        """Post-quantum log2(q) budget (reference: hestdparms.h:81-144,
+        *_TQ tables).  Not reachable through SEALContext validation — the
+        reference's sec_level_type enum exposes only the classical levels
+        and its _TQ functions are never called; provided for parity and
+        manual parameter audits."""
+        if sec_level == SecLevelType.none:
+            return 2**31 - 1
+        return _HE_STD_MAX_BITS_QUANTUM[sec_level].get(poly_modulus_degree, 0)
 
     @staticmethod
     def bfv_default(

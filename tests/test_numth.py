@@ -79,6 +79,17 @@ def test_coeff_modulus_factories():
     assert CoeffModulus.max_bit_count(8192) == 218
     assert CoeffModulus.max_bit_count(8192, SecLevelType.tc192) == 152
 
+    # quantum budgets (reference hestdparms.h:81-144 *_TQ tables, pinned
+    # against the header values; dead code upstream — see modulus.py note)
+    assert CoeffModulus.max_bit_count_quantum(8192) == 202
+    assert CoeffModulus.max_bit_count_quantum(1024) == 25
+    assert CoeffModulus.max_bit_count_quantum(32768) == 827
+    assert CoeffModulus.max_bit_count_quantum(8192, SecLevelType.tc192) == 141
+    assert CoeffModulus.max_bit_count_quantum(16384, SecLevelType.tc192) == 284
+    assert CoeffModulus.max_bit_count_quantum(8192, SecLevelType.tc256) == 109
+    assert CoeffModulus.max_bit_count_quantum(32768, SecLevelType.tc256) == 443
+    assert CoeffModulus.max_bit_count_quantum(512) == 0  # off-table, like tc
+
     created = CoeffModulus.create(4096, [40, 40, 40])
     assert len(created) == 3
     assert len({m.value for m in created}) == 3
