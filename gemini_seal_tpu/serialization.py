@@ -131,6 +131,23 @@ def _int_array_load(data: bytes, offset: int):
     return arr, offset + size
 
 
+def _clean_loader(fn):
+    """Wire readers walk payloads with struct.unpack_from; on a payload
+    truncated mid-field that raises struct.error, which is not part of the
+    ValueError family callers are promised (failure-detection contract,
+    tests/test_serialization loader fuzz).  Normalize at the API boundary."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except struct.error as e:
+            raise ValueError(f"loaded object payload is invalid: {e}") from e
+
+    return wrapped
+
+
 # ---------------------------------------------------------------------------
 # per-object payloads
 # ---------------------------------------------------------------------------
@@ -208,12 +225,14 @@ def save(obj, compr_mode: int = COMPR_NONE) -> bytes:
 # loaders
 # ---------------------------------------------------------------------------
 
+@_clean_loader
 def load_modulus(data: bytes) -> Modulus:
     payload, _ = _unframe(data)
     (v,) = struct.unpack_from("<Q", payload, 0)
     return Modulus(v)
 
 
+@_clean_loader
 def load_parms(data: bytes) -> EncryptionParameters:
     payload, _ = _unframe(data)
     pos = 0
@@ -256,6 +275,7 @@ def _plaintext_from(payload: bytes):
     return parms_id, coeff_count, scale, arr, pos
 
 
+@_clean_loader
 def load_plaintext(data: bytes, context=None) -> Plaintext:
     payload, _ = _unframe(data)
     parms_id, coeff_count, scale, arr, _ = _plaintext_from(payload)
@@ -384,6 +404,7 @@ def _validate_loaded(obj, context, what: str):
                          "(residues out of bounds)")
 
 
+@_clean_loader
 def load_ciphertext(data: bytes, context=None, validate: bool = True) -> Ciphertext:
     payload, _ = _unframe(data)
     ct = _ciphertext_from(payload, context)
@@ -396,6 +417,7 @@ def load_ciphertext(data: bytes, context=None, validate: bool = True) -> Ciphert
     return ct
 
 
+@_clean_loader
 def load_secret_key(data: bytes, context=None, validate: bool = True) -> SecretKey:
     p = load_plaintext(data, context)
     sk = SecretKey(data=np.asarray(p.data), parms_id=p.parms_id)
@@ -404,6 +426,7 @@ def load_secret_key(data: bytes, context=None, validate: bool = True) -> SecretK
     return sk
 
 
+@_clean_loader
 def load_public_key(data: bytes, context=None, validate: bool = True) -> PublicKey:
     ct = load_ciphertext(data, context, validate=False)
     pk = PublicKey(data=ct, parms_id=ct.parms_id)
@@ -447,14 +470,17 @@ def _load_kswitch_into(cls, data: bytes, context=None, validate: bool = True):
     return obj
 
 
+@_clean_loader
 def load_kswitch_keys(data: bytes, context=None, validate: bool = True) -> KSwitchKeys:
     return _load_kswitch_into(KSwitchKeys, data, context, validate)
 
 
+@_clean_loader
 def load_relin_keys(data: bytes, context=None, validate: bool = True) -> RelinKeys:
     return _load_kswitch_into(RelinKeys, data, context, validate)
 
 
+@_clean_loader
 def load_galois_keys(data: bytes, context=None, validate: bool = True) -> GaloisKeys:
     return _load_kswitch_into(GaloisKeys, data, context, validate)
 
