@@ -53,6 +53,7 @@ __all__ = [
     "build_bfv_mul_relin_modswitch",
     "build_bfv_rotate_many",
     "build_bfv_matvec",
+    "prepermute_galois_stack",
     "build_ckks_mlp",
     "build_ckks_matmul_square",
     "build_ckks_inverse",
@@ -285,11 +286,69 @@ def build_bfv_mul_relin_modswitch(context: SealContext, target_parms_id=None,
     return lambda a, b, relin_key: drop(mul(a, b, relin_key))
 
 
-def build_bfv_rotate_many(context: SealContext, steps, parms_id=None) -> Callable:
+def prepermute_galois_stack(tool, elts, keys_stack):
+    """Counter-rotate a stacked Galois key set by each element's INVERSE
+    NTT permutation (host numpy, build time).
+
+    The hoisting lemma behind it: the Galois automorphism pi is a pure
+    coefficient permutation in NTT domain, so for the key-switch
+    contraction  sum_b pi(D_b(c1)) * k_b  =  pi( sum_b D_b(c1) *
+    pi^{-1}(k_b) ):  with pi^{-1} baked into the keys at build time, the
+    mod-up digits are contracted SHARED AND UNPERMUTED across every
+    rotation, and ONE signed permutation of the final [2, L, N] output
+    replaces the per-rotation nb*n_ext-row digit gather (the dominant
+    per-rotation memory traffic in the round-3 hoisted kernel, which
+    measured ~1.0x over sequential at config 2').
+
+    keys_stack: u64[R, n_bundles, 2, L_key, N] in elts order.
+    """
+    import numpy as np
+
+    out = np.empty_like(np.asarray(keys_stack))
+    for i, e in enumerate(elts):
+        tab = tool._ntt_table(e)
+        itab = np.empty_like(tab)
+        itab[tab] = np.arange(tab.shape[-1], dtype=tab.dtype)
+        out[i] = np.take(np.asarray(keys_stack)[i], itab, axis=-1)
+    return out
+
+
+def _shared_digit_inner_product(ct_k, keys_stack, plan):
+    """Key-switch contraction with the rotation axis living ONLY on the
+    (pre-permuted) keys: digits broadcast over R — no per-rotation digit
+    permutation (see prepermute_galois_stack).
+
+    ct_k: [..., nb, n_ext, N]; keys_stack: u64[R, nb, 2, L_key, N]
+    (counter-rotated).  Returns (a0, a1): [..., R, n_ext, N].
+    """
+    keys_ext = keys_stack[..., plan.ext_key_indices, :]
+    ext = plan.ext_limbs
+    nb = plan.n_bundles
+    a0 = modops.accumulate_mulmod_128(
+        ((ct_k[..., None, b, :, :], keys_ext[:, b, 0]) for b in range(nb)),
+        ext.p, ext.ratio0, ext.ratio1)
+    a1 = modops.accumulate_mulmod_128(
+        ((ct_k[..., None, b, :, :], keys_ext[:, b, 1]) for b in range(nb)),
+        ext.p, ext.ratio0, ext.ratio1)
+    return a0, a1
+
+
+def build_bfv_rotate_many(context: SealContext, steps, parms_id=None,
+                          prepermuted_keys: bool = False) -> Callable:
     """fn(ct, galois_keys_stack) -> [n_steps, ..., 2, L, N]: hoisted BFV
     row rotations — ONE mod-up digit decomposition (power-basis dataflow)
     feeds every step's key-switch inner product (benchmark config 2's
-    hoisted variant; mirrors build_ckks_rotate_many)."""
+    hoisted variant; mirrors build_ckks_rotate_many).
+
+    prepermuted_keys=True: galois_keys_stack must be counter-rotated with
+    prepermute_galois_stack.  The digits are then contracted shared and
+    unpermuted; the whole rotation happens as ONE signed coeff-domain
+    permutation of the finished [2, L, N] output per step (automorphisms
+    commute with the key-switch as ring maps).  The fast base conversion
+    inside the special-prime mod-down is not odd-symmetric (negated
+    representatives shift its bounded lift error by <= nsp), so outputs
+    DECRYPT EQUAL to the default path but are not bit-identical — the
+    same bounded-rounding argument as ops.keyswitch.fused_moddown."""
     import numpy as np
 
     if parms_id is None:
@@ -308,6 +367,27 @@ def build_bfv_rotate_many(context: SealContext, steps, parms_id=None) -> Callabl
     rot_tabs = np.stack([tool._ntt_table(e) for e in elts])
     coeff_srcs = np.stack([tool._coeff_table(e)[0] for e in elts])
     coeff_negs = np.stack([tool._coeff_table(e)[1] for e in elts])[:, None, :]
+
+    if prepermuted_keys:
+        srcs4 = jnp.asarray(coeff_srcs)[:, None, None, :]  # [R, 1, 1, N]
+        negs4 = jnp.asarray(
+            np.stack([tool._coeff_table(e)[1] for e in elts])
+        )[:, None, None, :]
+
+        def step_pk(ct, keys_stack):
+            c0 = ct[..., 0, :, :]
+            c1 = ct[..., 1, :, :]
+            ct_k = compute_modup_digits(c1, plan, False)   # hoisted
+            a0, a1 = _shared_digit_inner_product(ct_k, keys_stack, plan)
+            d0 = rescale_special(a0, plan, is_ntt_output=False)
+            d1 = rescale_special(a1, plan, is_ntt_output=False)
+            x0 = add_poly(c0[..., None, :, :], d0, limbs)  # [..., R, L, N]
+            x = jnp.stack([x0, d1], axis=-3)               # [..., R, 2, L, N]
+            g = jnp.take_along_axis(x, srcs4, axis=-1)
+            out = jnp.where(negs4, modops.neg_mod(g, limbs.p), g)
+            return jnp.moveaxis(out, -4, 0)                # [R, ..., 2, L, N]
+
+        return step_pk
 
     def step(ct, keys_stack):
         c0 = ct[..., 0, :, :]
@@ -349,7 +429,8 @@ def build_ckks_train_step(context: SealContext, rotate_steps: int = 1) -> Callab
     return step
 
 
-def build_ckks_rotate_many(context: SealContext, steps, parms_id=None) -> Callable:
+def build_ckks_rotate_many(context: SealContext, steps, parms_id=None,
+                           prepermuted_keys: bool = False) -> Callable:
     """fn(ct, galois_keys_stack) -> [n_steps, ..., 2, L, N] rotated batch.
 
     Hoisted rotations: one mod-up digit decomposition feeds every step's
@@ -357,6 +438,14 @@ def build_ckks_rotate_many(context: SealContext, steps, parms_id=None) -> Callab
     inner loop of encrypted matrix-vector / convolution workloads).
     galois_keys_stack: u64[n_steps, n_bundles, 2, L_key, N] — key(elt_i) for
     each step, in order.
+
+    prepermuted_keys=True: the stack must be counter-rotated with
+    prepermute_galois_stack; digits are contracted shared and unpermuted
+    and ONE NTT-domain permutation of the finished [2, L, N] output per
+    step replaces the per-rotation nb*n_ext-row digit gather.  Decrypts
+    equal to the default path, not bit-identical (the special-prime
+    mod-down's base-conversion lift is not odd-symmetric — same bounded
+    argument as ops.keyswitch.fused_moddown).
     """
     import numpy as np
 
@@ -374,6 +463,23 @@ def build_ckks_rotate_many(context: SealContext, steps, parms_id=None) -> Callab
     # one batched 128-bit contraction (batched_rotated_inner_product) —
     # the per-step loop compiles pathologically at deep L (PERF.md).
     rot_tabs = np.stack([tool._ntt_table(e) for e in elts])
+
+    if prepermuted_keys:
+        tabs4 = jnp.asarray(rot_tabs)[:, None, None, :]    # [R, 1, 1, N]
+
+        def step_pk(ct, keys_stack):
+            c0 = ct[..., 0, :, :]
+            c1 = ct[..., 1, :, :]
+            ct_k = compute_modup_digits(c1, plan, True)    # hoisted
+            a0, a1 = _shared_digit_inner_product(ct_k, keys_stack, plan)
+            d0 = rescale_special(a0, plan, is_ntt_output=True)
+            d1 = rescale_special(a1, plan, is_ntt_output=True)
+            x0 = add_poly(c0[..., None, :, :], d0, limbs)  # [..., R, L, N]
+            x = jnp.stack([x0, d1], axis=-3)               # [..., R, 2, L, N]
+            out = jnp.take_along_axis(x, tabs4, axis=-1)
+            return jnp.moveaxis(out, -4, 0)                # [R, ..., 2, L, N]
+
+        return step_pk
 
     def step(ct, keys_stack):
         c0 = ct[..., 0, :, :]

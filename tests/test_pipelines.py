@@ -1498,3 +1498,80 @@ def test_ckks_rsqrt_and_sqrt():
     L_in = len(ctx.get_context_data(ctx.first_parms_id).parms.coeff_modulus)
     assert L_in - len(ctx.get_context_data(pid).parms.coeff_modulus) == 12
     assert L_in - len(ctx.get_context_data(pids).parms.coeff_modulus) == 13
+
+
+def test_ckks_rotate_many_prepermuted_keys_decrypt_equal():
+    """Counter-rotated keys (prepermute_galois_stack): shared unpermuted
+    digit contraction + one final NTT-domain output permutation decrypts
+    to the same slots as the default hoisted path (not bit-identical:
+    the mod-down base-conversion lift is not odd-symmetric)."""
+    import jax
+    from gemini_seal_tpu.ciphertext import Ciphertext
+    from gemini_seal_tpu.models.pipelines import (
+        build_ckks_rotate_many, prepermute_galois_stack)
+
+    ctx, kg = ckks_setup()
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    dec = Decryptor(ctx, kg.secret_key)
+    tool = ctx.first_context_data().galois_tool
+    steps = [1, 2, 5]
+    elts = tool.get_elts_from_steps(steps)
+    gk = kg.galois_keys(elts)
+    scale = 2.0 ** 30
+    vals = [0.5, -1.25, 2.0, 3.5, -0.75, 1.0, 0.25, -2.0]
+    ct = enc.encrypt(encoder.encode(vals, scale))
+    keys_stack = np.stack([
+        np.stack([np.asarray(pk.data.data) for pk in gk.key(e)])
+        for e in elts
+    ])
+
+    want = np.asarray(jax.jit(build_ckks_rotate_many(ctx, steps))(
+        np.asarray(ct.data), keys_stack))
+    pk_stack = prepermute_galois_stack(tool, elts, keys_stack)
+    got = np.asarray(jax.jit(
+        build_ckks_rotate_many(ctx, steps, prepermuted_keys=True))(
+        np.asarray(ct.data), pk_stack))
+
+    assert got.shape == want.shape
+    pid = ctx.first_parms_id
+    for i in range(len(steps)):
+        a = encoder.decode(dec.decrypt(Ciphertext(got[i], pid, True, scale)))
+        b = encoder.decode(dec.decrypt(Ciphertext(want[i], pid, True, scale)))
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-5
+
+
+def test_bfv_rotate_many_prepermuted_keys_decrypt_equal():
+    """BFV variant: the final signed coeff-domain permutation reproduces
+    the default hoisted path's exact decrypted slots."""
+    import jax
+    from gemini_seal_tpu.ciphertext import Ciphertext
+    from gemini_seal_tpu.models.pipelines import (
+        build_bfv_rotate_many, prepermute_galois_stack)
+
+    ctx, kg = bfv_setup(t=PlainModulus.batching(64, 20).value)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    dec = Decryptor(ctx, kg.secret_key)
+    be = BatchEncoder(ctx)
+    tool = ctx.first_context_data().galois_tool
+    steps = [1, 2, 3, -2]
+    elts = tool.get_elts_from_steps(steps)
+    gk = kg.galois_keys(elts)
+    ct = enc.encrypt(be.encode(list(range(be.slot_count))))
+    keys_stack = np.stack([
+        np.stack([np.asarray(pk.data.data) for pk in gk.key(e)])
+        for e in elts
+    ])
+
+    want = np.asarray(jax.jit(build_bfv_rotate_many(ctx, steps))(
+        np.asarray(ct.data), keys_stack))
+    pk_stack = prepermute_galois_stack(tool, elts, keys_stack)
+    got = np.asarray(jax.jit(
+        build_bfv_rotate_many(ctx, steps, prepermuted_keys=True))(
+        np.asarray(ct.data), pk_stack))
+
+    pid = ctx.first_parms_id
+    for i in range(len(steps)):
+        a = be.decode(dec.decrypt(Ciphertext(got[i], pid, False, 1.0)))
+        b = be.decode(dec.decrypt(Ciphertext(want[i], pid, False, 1.0)))
+        assert list(a) == list(b)
