@@ -76,17 +76,24 @@ class EncryptedComputeServer:
         n_real = len(ct_blobs)
         if n_real == 0:
             return []
+        batches = self._ingest(ct_blobs)
+        return self._egress(n_real, self._step(*batches, *self._keys))
+
+    # ---- pipelined ingress/compute overlap --------------------------------
+
+    def _ingest(self, ct_blobs):
+        """Wire blobs -> stacked host batch tensors (validation included).
+        Seed-compressed Serializable ciphertexts (ser.SerializableCiphertext
+        — ~half the wire bytes) expand transparently here."""
+        n_real = len(ct_blobs)
         if n_real > self.batch_size:
             raise ValueError(
                 f"batch of {n_real} exceeds compiled batch_size "
-                f"{self.batch_size}; split the request"
-            )
+                f"{self.batch_size}; split the request")
         if self.n_inputs == 1:
             reqs = [(b,) for b in ct_blobs]
         else:
             for r in ct_blobs:
-                # a bare blob would be exploded into per-byte ints by
-                # tuple() — reject it with an actionable error instead
                 if isinstance(r, (bytes, bytearray)):
                     raise ValueError(
                         f"this server takes {self.n_inputs} ciphertext "
@@ -97,28 +104,49 @@ class EncryptedComputeServer:
                     raise ValueError(
                         f"each request needs {self.n_inputs} ciphertext "
                         f"blobs, got {len(r)}")
-
         batches = []
         for j in range(self.n_inputs):
-            cts = [
-                ser.load_ciphertext(r[j], self.context,
-                                    validate=self.validate)
-                for r in reqs
-            ]
+            cts = [ser.load_ciphertext(r[j], self.context,
+                                       validate=self.validate)
+                   for r in reqs]
             p0 = cts[0].parms_id
             for ct in cts:
                 if ct.parms_id != p0:
                     raise ValueError("batch ciphertexts must share a level")
             rows = [np.asarray(ct.data) for ct in cts]
-            rows += [rows[-1]] * (self.batch_size - n_real)  # pad
+            rows += [rows[-1]] * (self.batch_size - n_real)
             batches.append(np.stack(rows))
+        return batches
 
-        out = np.asarray(self._step(*batches, *self._keys))
+    def _egress(self, n_real, out_dev):
+        out = np.asarray(out_dev)           # blocks on batch completion
         return [
-            ser.save(
-                Ciphertext(out[i], self.out_parms_id, self.out_is_ntt,
-                           self.out_scale),
-                self.compr_mode,
-            )
+            ser.save(Ciphertext(out[i], self.out_parms_id, self.out_is_ntt,
+                                self.out_scale), self.compr_mode)
             for i in range(n_real)
         ]
+
+    def submit_stream(self, request_batches):
+        """Pipelined submit: yields each batch's result blobs in order
+        while the NEXT batch's host-side deserialization, device upload
+        (jax.device_put is asynchronous) and compute dispatch proceed
+        under the previous batch's execution — double-buffering the
+        host<->device tunnel against the XLA program (VERDICT r3 item 6;
+        outputs are identical to per-batch submit()).
+
+        request_batches: iterable of blob-lists (each as submit takes).
+        """
+        import jax
+
+        prev = None
+        for blobs in request_batches:
+            n_real = len(blobs)
+            if n_real == 0:
+                continue
+            dev = [jax.device_put(b) for b in self._ingest(blobs)]
+            out_dev = self._step(*dev, *self._keys)  # async dispatch
+            if prev is not None:
+                yield self._egress(*prev)
+            prev = (n_real, out_dev)
+        if prev is not None:
+            yield self._egress(*prev)

@@ -237,3 +237,56 @@ def test_multi_operand_rejects_bare_blob():
         server.submit([blob])
     with pytest.raises(ValueError, match="pass tuples"):
         server.warm(blob)
+
+
+def test_submit_stream_matches_submit():
+    """Pipelined submit_stream yields exactly per-batch submit()'s blobs
+    (double-buffered upload/compute changes scheduling, not values)."""
+    parms = EncryptionParameters(SchemeType.CKKS)
+    n = 256
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.create(n, [50, 40, 40, 50]))
+    parms.set_random_seed(SEED)
+    ctx = SealContext(parms, sec_level=SecLevelType.none)
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    tool = ctx.first_context_data().galois_tool
+    rk = kg.relin_keys()
+    scale = 2.0 ** 40
+    dim = 4
+
+    rng = np.random.default_rng(11)
+    M = rng.uniform(-0.5, 0.5, size=(dim, dim))
+    b = rng.uniform(-0.2, 0.2, size=dim)
+    slots = encoder.slot_count
+    diagonals = {
+        d: [M[i % dim, (i + d) % dim] for i in range(slots)]
+        for d in range(dim)
+    }
+    bias = [b[i % dim] for i in range(slots)]
+    steps = sorted(s for s in diagonals if s != 0)
+    elts = [tool.get_elt_from_step(s) for s in steps]
+    gk = kg.galois_keys(elts)
+    layer, out_id, out_scale = build_ckks_dense_layer(
+        ctx, diagonals, bias, scale, encoder)
+    server = EncryptedComputeServer(
+        ctx, layer, [gk.stacked(*elts), rk.stacked(2)],
+        out_parms_id=out_id, out_is_ntt=True, out_scale=out_scale,
+        batch_size=3)
+
+    batches = []
+    for k in range(3):
+        xs = [rng.uniform(-1, 1, size=dim) for _ in range(2 + k % 2)]
+        batches.append([
+            ser.save(enc.encrypt(encoder.encode(
+                [x[i % dim] for i in range(slots)], scale)))
+            for x in xs
+        ])
+    want = [server.submit(bl) for bl in batches]
+    got = list(server.submit_stream(batches))
+    assert got == want
+
+    # empty inner batches are skipped, order preserved
+    got2 = list(server.submit_stream([batches[0], [], batches[1]]))
+    assert got2 == [want[0], want[1]]
