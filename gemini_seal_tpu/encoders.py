@@ -522,7 +522,24 @@ class CKKSEncoder:
         (exact); negating the positive-ladder result is bit-exact to the
         reference's subtract-each-term order (IEEE rounding is
         sign-symmetric)."""
+        from .utils import native as _native
+
         q = cd.total_coeff_modulus
+        K = max(1, (q.bit_length() + 63) // 64)
+        if _native.available():
+            # fused native kernel: compose + center + double ladder in
+            # one pass per coefficient, bit-exact with the limb-plane
+            # path below (pinned by tests/test_native.py)
+            consts = mplimb.native_compose_consts(cd.rns_base, K)
+            upper_c = cd.__dict__.get("_upper_limbs_native")
+            if upper_c is None or upper_c.shape[0] != K:
+                upper_c = mplimb.int_to_limbs(cd.upper_half_threshold, K)
+                cd._upper_limbs_native = upper_c
+            out = _native.crt_centered_double(
+                data, consts[1], consts[2], consts[3], consts[4],
+                upper_c, K, inv_scale)
+            if out is not None:
+                return out
         v_limbs = mplimb.compose_limbs(data, cd.rns_base)
         K = v_limbs.shape[0]
         upper = mplimb.int_to_limbs(cd.upper_half_threshold, K)[:, None]

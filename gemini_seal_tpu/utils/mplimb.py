@@ -60,6 +60,27 @@ def _add_word_inplace(acc: np.ndarray, k: int, word: np.ndarray) -> np.ndarray:
     return carry
 
 
+def native_compose_consts(base, K: int):
+    """Cached (K, inv_punc, mods, qhat, qprod) constants the native CRT
+    kernels (gst_crt_compose / gst_crt_centered_double) consume; built
+    once per RNSBase and word count."""
+    consts = base.__dict__.get("_compose_native_consts")
+    if consts is None or consts[0] != K:
+        L = base.size
+        qhat = np.stack(
+            [int_to_limbs(base.punctured_prod[j], K) for j in range(L)]
+        )
+        qprod = int_to_limbs(base.base_prod, K + 1)
+        consts = (
+            K,
+            np.asarray(base.inv_punctured_prod_mod_base, dtype=np.uint64),
+            np.asarray(base.values(), dtype=np.uint64),
+            qhat, qprod,
+        )
+        base._compose_native_consts = consts
+    return consts
+
+
 def compose_limbs(residues: np.ndarray, base, nwords: int | None = None) -> np.ndarray:
     """CRT-compose residue planes -> limb planes, fully vectorized.
 
@@ -84,19 +105,7 @@ def compose_limbs(residues: np.ndarray, base, nwords: int | None = None) -> np.n
     from . import native as _native
 
     if _native.available():
-        consts = base.__dict__.get("_compose_native_consts")
-        if consts is None or consts[0] != K:
-            qhat = np.stack(
-                [int_to_limbs(base.punctured_prod[j], K) for j in range(L)]
-            )
-            qprod = int_to_limbs(q, K + 1)
-            consts = (
-                K,
-                np.asarray(base.inv_punctured_prod_mod_base, dtype=np.uint64),
-                np.asarray(base.values(), dtype=np.uint64),
-                qhat, qprod,
-            )
-            base._compose_native_consts = consts
+        consts = native_compose_consts(base, K)
         out = _native.crt_compose(
             np.asarray(residues, dtype=np.uint64),
             consts[1], consts[2], consts[3], consts[4], K,

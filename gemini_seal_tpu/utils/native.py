@@ -109,6 +109,12 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64, ctypes.c_uint64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64,
         ]
+        lib.gst_crt_centered_double.restype = None
+        lib.gst_crt_centered_double.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.c_uint64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_double,
+        ]
         _LIB = lib
     except (OSError, AttributeError):
         # missing file or a stale .so lacking newer symbols
@@ -224,6 +230,29 @@ def ntt_inverse(x: np.ndarray, w, ws, inv_n, inv_n_s, mods, canonical: bool):
         _ptr(inv_n), _ptr(inv_n_s), _ptr(mods), 1 if canonical else 0,
     )
     return x
+
+
+def crt_centered_double(residues: np.ndarray, inv_punc, mods, qhat, qprod,
+                        upper, nwords: int, inv_scale: float):
+    """Fused CKKS decode ladder: [L, n] residues -> centered f64[n]
+    (compose + centered lift + LSB-first double ladder, bit-exact with
+    the mplimb path); or None when the native module is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    residues = np.ascontiguousarray(residues, dtype=np.uint64)
+    L, n = residues.shape
+    out = np.empty(n, dtype=np.float64)
+    lib.gst_crt_centered_double(
+        _ptr(out), _ptr(residues), n, L, nwords,
+        _ptr(np.ascontiguousarray(inv_punc, dtype=np.uint64)),
+        _ptr(np.ascontiguousarray(mods, dtype=np.uint64)),
+        _ptr(np.ascontiguousarray(qhat, dtype=np.uint64)),
+        _ptr(np.ascontiguousarray(qprod, dtype=np.uint64)),
+        _ptr(np.ascontiguousarray(upper, dtype=np.uint64)),
+        float(inv_scale),
+    )
+    return out
 
 
 def crt_compose(residues: np.ndarray, inv_punc, mods, qhat, qprod,

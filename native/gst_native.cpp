@@ -392,6 +392,77 @@ void gst_crt_compose(uint64_t *out, const uint64_t *residues, uint64_t n,
   }
 }
 
+// Fused CKKS decode ladder: CRT-compose + centered lift + LSB-first double
+// conversion in ONE pass per coefficient (no [K, n] limb-plane
+// materialization).  out[i] = +-(sum_k mag[k] * inv_scale * 2^(64k)) with
+// mag = v >= upper ? q - v : v; identical compose to gst_crt_compose and
+// identical IEEE accumulation order to utils/mplimb.ladder_to_double, so
+// results are bit-exact with the Python path (reference: ckks.h:668-744).
+// upper: [K] words of (q+1)/2; qprod: [K+1] words of q.
+void gst_crt_centered_double(double *out, const uint64_t *residues,
+                             uint64_t n, uint64_t L, uint64_t K,
+                             const uint64_t *inv_punc, const uint64_t *mods,
+                             const uint64_t *qhat, const uint64_t *qprod,
+                             const uint64_t *upper, double inv_scale) {
+  std::vector<uint64_t> acc(K + 1);
+  std::vector<double> pow64(K);
+  double s = inv_scale;
+  for (uint64_t k = 0; k < K; k++) {
+    pow64[k] = s;
+    s *= 18446744073709551616.0;  // 2^64
+  }
+  for (uint64_t i = 0; i < n; i++) {
+    for (uint64_t k = 0; k <= K; k++) acc[k] = 0;
+    for (uint64_t j = 0; j < L; j++) {
+      uint64_t p = mods[j];
+      uint64_t t =
+          (uint64_t)(((unsigned __int128)residues[j * n + i] * inv_punc[j]) % p);
+      unsigned __int128 carry = 0;
+      for (uint64_t k = 0; k < K; k++) {
+        unsigned __int128 cur =
+            (unsigned __int128)t * qhat[j * K + k] + acc[k] + (uint64_t)carry;
+        acc[k] = (uint64_t)cur;
+        carry = cur >> 64;
+      }
+      acc[K] += (uint64_t)carry;
+    }
+    for (uint64_t it = 0; it + 1 < L || it == 0; it++) {
+      int ge = 1;
+      for (int64_t k = (int64_t)K; k >= 0; k--) {
+        uint64_t qa = qprod[k];
+        if (acc[k] > qa) { ge = 1; break; }
+        if (acc[k] < qa) { ge = 0; break; }
+      }
+      if (!ge) break;
+      unsigned __int128 borrow = 0;
+      for (uint64_t k = 0; k <= K; k++) {
+        unsigned __int128 sub = (unsigned __int128)qprod[k] + (uint64_t)borrow;
+        uint64_t a = acc[k];
+        acc[k] = (uint64_t)((unsigned __int128)a - sub);
+        borrow = ((unsigned __int128)a < sub) ? 1 : 0;
+      }
+    }
+    // centered lift: v >= (q+1)/2 decodes as -(q - v)
+    int neg = 1;  // acc >= upper, ties (equal) included
+    for (int64_t k = (int64_t)K - 1; k >= 0; k--) {
+      if (acc[k] > upper[k]) { neg = 1; break; }
+      if (acc[k] < upper[k]) { neg = 0; break; }
+    }
+    if (neg) {
+      unsigned __int128 borrow = 0;
+      for (uint64_t k = 0; k < K; k++) {
+        unsigned __int128 sub = (unsigned __int128)acc[k] + (uint64_t)borrow;
+        uint64_t qa = qprod[k];
+        acc[k] = (uint64_t)((unsigned __int128)qa - sub);
+        borrow = ((unsigned __int128)qa < sub) ? 1 : 0;
+      }
+    }
+    double v = 0.0;
+    for (uint64_t k = 0; k < K; k++) v = v + (double)acc[k] * pow64[k];
+    out[i] = neg ? -v : v;
+  }
+}
+
 // Exact RNS decomposition of rounded (integer-valued) doubles: dest [L, n].
 // Small |v| < 2^62 go through int64; larger through the exact mantissa/
 // exponent split against pow2 [L, smax] (2^s mod p).  Matches

@@ -270,3 +270,42 @@ def test_encode_batch_matches_per_vector(ckks):
         want = encoder.encode(vec, scale)
         np.testing.assert_array_equal(np.asarray(pt.data), np.asarray(want.data))
         assert pt.scale == want.scale and pt.parms_id == want.parms_id
+
+
+def test_crt_centered_double_native_bit_exact(base):
+    """The fused native decode ladder (gst_crt_centered_double) is
+    bit-exact with the limb-plane path on random and extreme residues."""
+    from gemini_seal_tpu.utils import native as _native
+
+    if not _native.available():
+        pytest.skip("native module not built")
+    L = base.size
+    n = 257
+    q = base.base_prod
+    K = max(1, (q.bit_length() + 63) // 64)
+    rng = np.random.default_rng(17)
+    residues = np.stack([
+        rng.integers(0, int(base[j].value), size=n, dtype=np.uint64)
+        for j in range(L)
+    ])
+    # plant extremes: 0, q-1, (q+1)//2 (the centered-lift tie), and
+    # (q+1)//2 - 1 (the largest positive)
+    for col, v in enumerate([0, q - 1, (q + 1) // 2, (q + 1) // 2 - 1]):
+        for j in range(L):
+            residues[j, col] = v % int(base[j].value)
+
+    inv_scale = 1.0 / 2.0**40
+    consts = mplimb.native_compose_consts(base, K)
+    upper = mplimb.int_to_limbs((q + 1) // 2, K)
+    got = _native.crt_centered_double(
+        residues, consts[1], consts[2], consts[3], consts[4], upper, K,
+        inv_scale)
+
+    v_limbs = mplimb.compose_limbs(residues, base)
+    is_neg = mplimb.geq_limbs(v_limbs, upper[:, None])
+    neg_mag = mplimb.sub_from_limbs(mplimb.int_to_limbs(q, K)[:, None],
+                                    v_limbs)
+    mag = np.where(is_neg[None, :], neg_mag, v_limbs)
+    want = np.where(is_neg, -mplimb.ladder_to_double(mag, inv_scale),
+                    mplimb.ladder_to_double(mag, inv_scale))
+    np.testing.assert_array_equal(got, want)
