@@ -383,7 +383,8 @@ def build_bfv_rotate_many(context: SealContext, steps, parms_id=None,
             d1 = rescale_special(a1, plan, is_ntt_output=False)
             x0 = add_poly(c0[..., None, :, :], d0, limbs)  # [..., R, L, N]
             x = jnp.stack([x0, d1], axis=-3)               # [..., R, 2, L, N]
-            g = jnp.take_along_axis(x, srcs4, axis=-1)
+            idx = srcs4.reshape((1,) * (x.ndim - 4) + srcs4.shape)
+            g = jnp.take_along_axis(x, idx, axis=-1)
             out = jnp.where(negs4, modops.neg_mod(g, limbs.p), g)
             return jnp.moveaxis(out, -4, 0)                # [R, ..., 2, L, N]
 
@@ -476,7 +477,8 @@ def build_ckks_rotate_many(context: SealContext, steps, parms_id=None,
             d1 = rescale_special(a1, plan, is_ntt_output=True)
             x0 = add_poly(c0[..., None, :, :], d0, limbs)  # [..., R, L, N]
             x = jnp.stack([x0, d1], axis=-3)               # [..., R, 2, L, N]
-            out = jnp.take_along_axis(x, tabs4, axis=-1)
+            idx = tabs4.reshape((1,) * (x.ndim - 4) + tabs4.shape)
+            out = jnp.take_along_axis(x, idx, axis=-1)
             return jnp.moveaxis(out, -4, 0)                # [R, ..., 2, L, N]
 
         return step_pk

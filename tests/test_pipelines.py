@@ -1562,16 +1562,21 @@ def test_bfv_rotate_many_prepermuted_keys_decrypt_equal():
         np.stack([np.asarray(pk.data.data) for pk in gk.key(e)])
         for e in elts
     ])
+    # batch axis included: the output permutation must broadcast over it
+    data = np.broadcast_to(np.asarray(ct.data),
+                           (2,) + np.asarray(ct.data).shape)
 
     want = np.asarray(jax.jit(build_bfv_rotate_many(ctx, steps))(
-        np.asarray(ct.data), keys_stack))
+        data, keys_stack))
     pk_stack = prepermute_galois_stack(tool, elts, keys_stack)
     got = np.asarray(jax.jit(
         build_bfv_rotate_many(ctx, steps, prepermuted_keys=True))(
-        np.asarray(ct.data), pk_stack))
+        data, pk_stack))
 
     pid = ctx.first_parms_id
     for i in range(len(steps)):
-        a = be.decode(dec.decrypt(Ciphertext(got[i], pid, False, 1.0)))
-        b = be.decode(dec.decrypt(Ciphertext(want[i], pid, False, 1.0)))
-        assert list(a) == list(b)
+        for bi in range(2):
+            a = be.decode(dec.decrypt(Ciphertext(got[i, bi], pid, False, 1.0)))
+            b = be.decode(dec.decrypt(Ciphertext(want[i, bi], pid, False,
+                                                 1.0)))
+            assert list(a) == list(b)
