@@ -179,6 +179,18 @@ def main():
                           hb * len(hsteps), cfg.iters)
         emit(f"bfv_rotate_rows_hoisted8_n{n}_rot_per_s", hops, "rotations/s")
 
+        # round-4 variant: counter-rotated keys — shared unpermuted digit
+        # contraction, ONE signed output permutation per rotation
+        from gemini_seal_tpu.models.pipelines import prepermute_galois_stack
+        pk_stack = prepermute_galois_stack(tool, helts, hgk_stack)
+        pstep = checksum_jit(
+            build_bfv_rotate_many(ctx, hsteps, prepermuted_keys=True))
+        dpk = jax.device_put(pk_stack)
+        pops = _sync_time(lambda s, x, k: pstep(s, x, k), (dha, dpk),
+                          hb * len(hsteps), cfg.iters)
+        emit(f"bfv_rotate_rows_hoisted8_prepermuted_n{n}_rot_per_s", pops,
+             "rotations/s")
+
     # ---- config 3: multiply+relin+mod_switch down the chain -------------
     if _want("3"):
         n = 1024 if small else 8192
@@ -435,13 +447,19 @@ def main():
         # factored slot maps) keeps the plaintext grids at O(2^radix)
         # diagonals per level, so N=4096 fits; --small shrinks to the
         # e2e-test shape.
+        import math as _math
+
         from gemini_seal_tpu.models.bootstrap import build_ckks_bootstrap
+        from gemini_seal_tpu.models.evalmod import plan_evalmod
         if small:
-            n, r, nsp, radix = 128, 8, 1, 3
-            bits = [59] + [45] * 17 + [59]
+            n, nsp, radix = 128, 1, 3
         else:
-            n, r, nsp, radix = 4096, 12, 3, 4
-            bits = [59] + [45] * 23 + [59] * 3
+            n, nsp, radix = 4096, 3, 4
+        K = max(12, int(_math.ceil(4.5 * _math.sqrt(n / 18.0))))
+        _, _, em_depth = plan_evalmod(K)
+        gn = (int(_math.log2(n // 2)) + radix - 1) // radix
+        n_levels = 2 * gn + em_depth + 1   # +1: split-cosine norm level
+        bits = [59] + [45] * (n_levels + 1) + [59] * nsp
         parms = EncryptionParameters(SchemeType.CKKS)
         parms.set_poly_modulus_degree(n)
         parms.set_coeff_modulus(CoeffModulus.create(n, bits))
@@ -454,23 +472,38 @@ def main():
         tool = ctx.first_context_data().galois_tool
         scale = 2.0 ** 45
         fn, out_pid, out_scale, rsteps, conj_elt = build_ckks_bootstrap(
-            ctx, scale, encoder, r=r, linear_mode="split", radix=radix)
+            ctx, scale, encoder, linear_mode="split", radix=radix)
         elts = [tool.get_elt_from_step(s_) for s_ in rsteps]
         gk = kg.galois_keys(elts + [conj_elt])
         rot_stack = jax.device_put(gk.stacked(*elts))
         conj_stack = jax.device_put(gk.stacked(conj_elt))
         rks = jax.device_put(kg.relin_keys().stacked(2))
-        from gemini_seal_tpu import Evaluator
+        from gemini_seal_tpu import Decryptor, Evaluator
+        from gemini_seal_tpu.ciphertext import Ciphertext
         ev = Evaluator(ctx)
-        ct = enc.encrypt(encoder.encode([0.5] * encoder.slot_count, scale))
+        dec = Decryptor(ctx, kg.secret_key)
+        rng = np.random.default_rng(13)
+        msg = rng.uniform(-1, 1, encoder.slot_count)
+        ct = enc.encrypt(encoder.encode(msg.tolist(), scale))
         while ctx.get_context_data(ct.parms_id).next_context_data is not None:
             ct = ev.mod_switch_to_next(ct)
         da = jax.device_put(np.asarray(ct.data))
+        # measured refresh precision (decrypt once before timing)
+        out0 = np.asarray(fn(da, rot_stack, conj_stack, rks))
+        got = np.asarray(encoder.decode(dec.decrypt(
+            Ciphertext(out0, out_pid, True, out_scale)), as_complex=True))
+        max_err = float(np.abs(got[: encoder.slot_count] - msg).max())
+        l_out = len(ctx.get_context_data(out_pid).parms.coeff_modulus)
         cks = jax.jit(lambda salt, y: jnp.sum(y, dtype=jnp.uint64) + salt)
         ops = _sync_time(
             lambda s_, x, rk_, ck_, rl_: cks(s_, fn(x, rk_, ck_, rl_)),
             (da, rot_stack, conj_stack, rks), 1, cfg.iters)
-        emit(f"ckks_bootstrap_n{n}_refreshes_per_s", ops, "refreshes/s")
+        print(json.dumps({
+            "metric": f"ckks_bootstrap_n{n}_refreshes_per_s",
+            "value": round(ops, 3), "unit": "refreshes/s",
+            "max_err": max_err, "levels_restored": l_out,
+            "levels_consumed": n_levels,
+        }), flush=True)
 
     # ---- matmul: encrypted d x d matrix product (JKLS) ------------------
     if _want("matmul"):

@@ -10,15 +10,18 @@ framework's existing jitted pipelines:
     ct @ last level (mod q0 only)
       |  mod_raise            residues re-lifted to the full RNS chain;
       |                       underlying value becomes m + q0*I, |I| <~ K
-      |  CoeffToSlot          2x (A z + B conj z) BSGS matvecs: slots of
-      |                       two cts hold u_h = (2 pi i / 2^r) (v_h / q0)
-      |                       for the two coefficient halves v_h
-      |  EvalMod              exp trick: degree-7 Taylor of exp(u) then r
-      |                       double-angle squarings -> exp(2 pi i t);
-      |                       sin(2 pi t)/2 pi ~= frac(t) = m/q0
-      |  SlotToCoeff          4x BSGS matvecs fold the q0/(2 pi) constant,
-      |                       the imaginary-part extraction AND the
-      |                       slot->coefficient map into one linear layer
+      |  CoeffToSlot          BSGS (or FFT-factored) matvecs put scaled
+      |                       coefficient halves into slots
+      |  EvalMod              modular reduction on slots.  Two flavors:
+      |                       "cosine" (default, models/evalmod.py):
+      |                       Chebyshev fit of cos((2 pi t - pi/2)/2^r)
+      |                       + r ~ 2-4 double-angle squarings
+      |                       -> sin(2 pi t) ~ 2 pi frac(t);
+      |                       "exp" (round-3 legacy): deg-7 Taylor of
+      |                       exp(iu) + r ~ 8-12 squarings -> exp(2 pi i t)
+      |  SlotToCoeff          BSGS matvecs fold the q0/(2 pi) constant
+      |                       (and, exp mode only, the imaginary-part
+      |                       extraction) into the slot->coefficient map
       v
     fresh ct near the TOP of the chain, same message, same scale
 
@@ -39,20 +42,24 @@ E = embedding_forward(I_n) column-gathered through the generator-5
 index map; the butterfly factorization is pinned by tests against the
 dense product.
 
-Precision: the floor is the squaring-chain rescale noise AMPLIFIED by
-the final q0/(2 pi scale) division that turns exp(2 pi i t) back into
-m — output error tracks q0/scale, i.e. every extra bit of working-prime
-width buys one bit of refresh accuracy (measured e2e at N=128, r=8,
-59-bit q0: 1.4e-2 max error with 40-bit primes, ~2e-4 with 45-bit).
-The sin cubic term (relative ~(2 pi |m| scale/q0)^2/6) and the deg-7
-Taylor tail (<1e-7 at arg <= 0.35 rad) sit far below that floor.
-The secret is SEAL's DENSE ternary key, so the mod-raise
-overflow bound K is ~4.5*sqrt(N/18) (empirical, tools: /tmp-level sim),
-larger than sparse-key HEAAN's; r = ceil(log2(2 pi (K+1.5)/0.15))
-double-angle squarings keep the Taylor argument below 0.15 rad.
+Precision: the floor is the rescale/encode noise of the EvalMod chain
+AMPLIFIED by 2^r (each double-angle squaring doubles phase error) and
+by the final q0/(2 pi scale) constant that turns sin(2 pi t) back into
+m — output error tracks 2^r * q0/scale.  The exp flavor needs
+r = ceil(log2(2 pi (K+1.5)/0.15)) ~ 8-12 squarings (its deg-7 Taylor
+only converges below 0.15 rad) and measured 1.4e-2 max error at 40-bit
+primes / ~2e-4 at 45-bit; the cosine flavor's Chebyshev fit covers the
+whole mod-raised range directly, cutting r to 2-4 and the floor by ~2
+orders of magnitude (see tests/test_bootstrap.py and the PERF.md
+bootstrap row for measured numbers).  The sin cubic term (relative
+~(2 pi |m| scale/q0)^2/6) sits far below either floor.  The secret is
+SEAL's DENSE ternary key, so the mod-raise overflow bound K is
+~4.5*sqrt(N/18) (empirical, tools: /tmp-level sim), larger than
+sparse-key HEAAN's.
 
-Level cost: 2 (C2S) + 4 (deg-7 Taylor incl. its closing rescale) +
-r (squarings) + 2 (S2C) = 8 + r.
+Level cost (D_E = EvalMod depth: Chebyshev Paterson-Stockmeyer
+ceil(log2(deg+1)) + 1 + r for cosine, 4 + r for exp):
+dense 2 (C2S) + D_E + 2 (S2C); split 2*ceil(log2(s)/radix) + D_E.
 """
 
 from __future__ import annotations
@@ -228,7 +235,8 @@ def build_ckks_bootstrap(context: SealContext, scale: float, encoder,
                          msg_bound: float = 1.0, K: int = None,
                          r: int = None, baby: int = None,
                          composed: bool = True,
-                         linear_mode: str = "dense", radix: int = 3):
+                         linear_mode: str = "dense", radix: int = 3,
+                         evalmod: str = "cosine"):
     """fn(ct_data, rot_keys_stack, conj_key, relin_key) -> refreshed ct.
 
     ct_data: u64[..., 2, 1, N] at the LAST level of the chain (NTT form)
@@ -256,12 +264,24 @@ def build_ckks_bootstrap(context: SealContext, scale: float, encoder,
     rot_keys_stack stacked for `rot_steps`, conj_key stacked for the
     single conjugation element 2N-1.
 
+    evalmod="cosine" (default): the modular-reduction stage is the
+    Chebyshev-cosine EvalMod (models/evalmod.py) — a degree-d Chebyshev
+    fit of cos((2 pi t - pi/2)/2^r) evaluated by Paterson-Stockmeyer,
+    then r ~ 3-4 double-angle squarings.  The refresh error floor is
+    the rescale noise amplified by 2^r * q0/(2 pi scale); dropping r
+    from the exp trick's 10-12 to 3-4 buys ~2 orders of magnitude of
+    output precision AND fewer burned levels.  evalmod="exp" keeps the
+    round-3 path (deg-7 Taylor of exp + r double-angle squarings) for
+    comparison.
+
     composed=True (default): fn is an already-compiled Python callable
     chaining per-stage jitted programs (seconds of compile each);
     composed=False returns one jittable function (a single deep XLA
     graph — only for fusion experiments).  Outputs are bit-identical.
 
-    Level cost: dense 8 + r; split 2*ceil(log2(s)/radix) + 4 + r.
+    Level cost (D_E = the EvalMod depth: ceil-split Chebyshev depth
+    + 1 + r for "cosine", 4 + r for "exp"): dense 4 + D_E; split
+    2*ceil(log2(s)/radix) + D_E.
     Requirements: the chain's base prime q0 must be >> scale (the output
     error floor tracks q0/(2 pi scale) — see the module docstring), the
     special-prime budget must cover top-level key switches, and slot
@@ -276,8 +296,16 @@ def build_ckks_bootstrap(context: SealContext, scale: float, encoder,
     s = encoder.slots
     if K is None:
         K = max(12, int(math.ceil(4.5 * math.sqrt(n / 18.0))))
-    if r is None:
-        r = int(math.ceil(math.log2(2 * math.pi * (K + 1.5) / 0.15)))
+    if evalmod not in ("cosine", "exp"):
+        raise ValueError(f"unknown evalmod {evalmod!r}")
+    if evalmod == "cosine":
+        from .evalmod import ChebyEvalMod, plan_evalmod
+
+        r, cos_coeffs, em_depth = plan_evalmod(K, r)
+    else:
+        if r is None:
+            r = int(math.ceil(math.log2(2 * math.pi * (K + 1.5) / 0.15)))
+        em_depth = 4 + r
     if linear_mode not in ("dense", "split"):
         raise ValueError(f"unknown linear_mode {linear_mode!r}")
     if linear_mode == "split":
@@ -286,10 +314,18 @@ def build_ckks_bootstrap(context: SealContext, scale: float, encoder,
             raise ValueError("split mode needs a power-of-two slot count")
         Gn = (m_st + radix - 1) // radix
         base = Gn
-        n_levels = 2 * Gn + 4 + r
+        # cosine split spends ONE extra shared normalization level: the
+        # halves-extraction conjugation happens on 2^F-amplified values
+        # (its key-switch noise would otherwise land directly on the
+        # EvalMod input y, amplified by q0 (K+1)/scale ~ 2^17+ at the
+        # output — the measured 6.5e-4 split floor), then one
+        # plain-mult+rescale returns to scale Dl before the engine.
+        norm_extra = 1 if evalmod == "cosine" else 0
+        n_levels = 2 * Gn + em_depth + norm_extra
     else:
         base = 2
-        n_levels = 8 + r
+        norm_extra = 0
+        n_levels = 4 + em_depth
 
     # ---- chain walk: top -> levels used by each stage -------------------
     cds = [context.get_context_data(context.first_parms_id)]
@@ -313,11 +349,20 @@ def build_ckks_bootstrap(context: SealContext, scale: float, encoder,
     raise_plan = ModRaisePlan(context, last_cd.parms_id, top_cd.parms_id)
     Dl = float(scale)
     gamma = 2j * math.pi * Dl / (float(q0) * float(2 ** r))
-    lvl_s2c = base + 4 + r
+    F_bits = 12                      # split-cosine extraction headroom
+    lvl_s2c = base + em_depth + norm_extra
 
     # ---- shared primitive helpers ---------------------------------------
     conj_elt = 2 * n - 1
-    conj_levels = (0, lvl_s2c) if linear_mode == "dense" else (base, lvl_s2c)
+    if evalmod == "cosine":
+        # cosine mode needs conjugation only where the coefficient halves
+        # are extracted: after C2S in split mode, on the raised ct in
+        # dense mode — EvalMod's output is already (real) sin, so S2C
+        # needs no imaginary-part extraction.
+        conj_levels = (0,) if linear_mode == "dense" else (base,)
+    else:
+        conj_levels = ((0, lvl_s2c) if linear_mode == "dense"
+                       else (base, lvl_s2c))
     conj_plans = {lvl: KeySwitchPlan(context, cds[lvl].parms_id)
                   for lvl in conj_levels}
     galois_tools = {lvl: cds[lvl].galois_tool for lvl in conj_levels}
@@ -448,31 +493,52 @@ def build_ckks_bootstrap(context: SealContext, scale: float, encoder,
             return fn, idx
 
         # CoeffToSlot: Gn groups, scale-preserving (delta = dropped prime),
-        # with gamma/2 FOLDED INTO THE DIAGONALS — spread as
-        # |gamma/2|^(1/Gn) per group (phase on the first) so each group's
+        # with the total front constant FOLDED INTO THE DIAGONALS — spread
+        # as |c|^(1/Gn) per group (phase on the first) so each group's
         # plaintext values stay well above the encode quantum.  Folding
-        # the constant into the Taylor coefficients instead (a_k (c)^k
-        # down to ~1e-47) quantizes them to garbage at any fixed encode
-        # scale while the un-shrunk EvalMod input grows as (q0 K/Dl)^k —
+        # the constant into the EvalMod coefficients instead (down to
+        # ~1e-47) quantizes them to garbage at any fixed encode scale
+        # while the un-shrunk EvalMod input grows as (q0 K/Dl)^k —
         # encode rounding alone then contributes ~2^-46 * |x|^4 ~ 1e9.
-        gmag = abs(gamma / 2.0) ** (1.0 / Gn)
-        gphase = (gamma / 2.0) / abs(gamma / 2.0)
+        #   exp mode:    gamma/2 = i pi Dl / (q0 2^r)  (imaginary)
+        #   cosine mode: Dl / (2 q0 (K+1))             (real): the chain
+        #     output t then holds (v_a + i v_b)/(2 q0 (K+1)), so the
+        #     conjugation sum/difference hands EvalMod y_a and i*y_b with
+        #     y_h = v_h/(q0 (K+1)) in [-1, 1].
+        gtot = (Dl * (2.0 ** F_bits) / (2.0 * float(q0) * (K + 1))
+                if evalmod == "cosine" else gamma / 2.0)
+        gmag = abs(gtot) ** (1.0 / Gn)
+        gphase = gtot / abs(gtot)
         cfac = [gphase * gmag] + [gmag] * (Gn - 1)
         c2s_fns = [make_group(_scale_diagonals(g, cfac[gi]), gi, float(q[gi]))
                    for gi, g in enumerate(c2s_groups)]
 
-        # EvalMod per half.  The chain output holds (gamma/2)(a + i b);
-        # gamma is purely imaginary, so conjugation flips its sign and
-        # the usual sum/difference extraction SWAPS:
-        #   t - conj(t) = gamma * a        -> em_a constant 1
-        #   t + conj(t) = i * gamma * b    -> em_b constant -i
-        em_a, sigma_z = make_evalmod(base, Dl, 1.0)
-        em_b, _ = make_evalmod(base, Dl, -1j)
+        if evalmod == "cosine":
+            eng_a = ChebyEvalMod(context, cds, q, limbs, L, encoder,
+                                 base + 1, Dl, cos_coeffs, r, imag=False)
+            eng_b = ChebyEvalMod(context, cds, q, limbs, L, encoder,
+                                 base + 1, Dl, cos_coeffs, r, imag=True)
+            assert eng_a.depth == eng_b.depth == em_depth
+            assert math.isclose(eng_a.sigma_z, eng_b.sigma_z, rel_tol=1e-9)
+            em_a, em_b, sigma_z = eng_a.stage, eng_b.stage, eng_a.sigma_z
+        else:
+            # EvalMod per half (exp trick).  The chain output holds
+            # (gamma/2)(a + i b); gamma is purely imaginary, so
+            # conjugation flips its sign and the sum/difference SWAPS:
+            #   t - conj(t) = gamma * a        -> em_a constant 1
+            #   t + conj(t) = i * gamma * b    -> em_b constant -i
+            em_a, sigma_z = make_evalmod(base, Dl, 1.0)
+            em_b, _ = make_evalmod(base, Dl, -1j)
 
         # SlotToCoeff: first group carries kappa (the sin -> frac constant)
         # for the a-half and i*kappa for the b-half, plus the Dl/sigma_z
         # realignment in its encode scale; later groups are scale-neutral.
-        kap = complex(q0) / (4j * math.pi * Dl)
+        # cosine mode's w_h is already the REAL sin(2 pi t_h), so kappa =
+        # q0/(2 pi Dl) with no imaginary-part extraction; exp mode's w is
+        # exp(2 pi i t) and kappa = q0/(4 i pi Dl) pairs with the
+        # conjugation difference in stage_s2c_first.
+        kap = (float(q0) / (2.0 * math.pi * Dl) if evalmod == "cosine"
+               else complex(q0) / (4j * math.pi * Dl))
         delta1 = float(q[lvl_s2c]) * Dl / sigma_z
         s2c_a = make_group(_scale_diagonals(s2c_groups[0], kap),
                            lvl_s2c, delta1)
@@ -494,20 +560,46 @@ def build_ckks_bootstrap(context: SealContext, scale: float, encoder,
                 return rescale(fn(t, rot_keys_stack[idx]), gi)
             return run_g
 
-        def stage_split(t, conj_key):
-            tc = conjugate(t, base, conj_key)
-            return ct_sub(t, tc, base), ct_add(t, tc, base)
+        if evalmod == "cosine":
+            # real fold at 2^F headroom (see the norm_extra note):
+            #   t + conj(t) = 2 Re(t) = 2^F * y_a,
+            #   t - conj(t) = 2i Im(t) = 2^F * i * y_b
+            # then ONE shared normalization level (value-preserving
+            # scale move Dl*2^F -> Dl) dilutes the conjugation
+            # key-switch noise by 2^F before it can reach the EvalMod
+            # input y.
+            pt_norm = np.asarray(encoder.encode(
+                1.0, float(q[base]) / (2.0 ** F_bits),
+                cds[base].parms_id).data)
 
-        def stage_s2c_first(wa, wb, conj_key, rot_keys_stack):
-            wac = conjugate(wa, lvl_s2c, conj_key)
-            wbc = conjugate(wb, lvl_s2c, conj_key)
-            xa = ct_sub(wa, wac, lvl_s2c)
-            xb = ct_sub(wb, wbc, lvl_s2c)
-            fa, ia = s2c_a
-            fb, ib = s2c_b
-            y = ct_add(fa(xa, rot_keys_stack[ia]),
-                       fb(xb, rot_keys_stack[ib]), lvl_s2c)
-            return rescale(y, lvl_s2c)
+            def stage_split(t, conj_key):
+                tc = conjugate(t, base, conj_key)
+                xa = plain_mul(ct_add(t, tc, base), pt_norm, base)
+                xb = plain_mul(ct_sub(t, tc, base), pt_norm, base)
+                return rescale(xa, base), rescale(xb, base)
+
+            # EvalMod output is already the real sin — no extraction
+            def stage_s2c_first(wa, wb, conj_key, rot_keys_stack):
+                fa, ia = s2c_a
+                fb, ib = s2c_b
+                y = ct_add(fa(wa, rot_keys_stack[ia]),
+                           fb(wb, rot_keys_stack[ib]), lvl_s2c)
+                return rescale(y, lvl_s2c)
+        else:
+            def stage_split(t, conj_key):
+                tc = conjugate(t, base, conj_key)
+                return ct_sub(t, tc, base), ct_add(t, tc, base)
+
+            def stage_s2c_first(wa, wb, conj_key, rot_keys_stack):
+                wac = conjugate(wa, lvl_s2c, conj_key)
+                wbc = conjugate(wb, lvl_s2c, conj_key)
+                xa = ct_sub(wa, wac, lvl_s2c)
+                xb = ct_sub(wb, wbc, lvl_s2c)
+                fa, ia = s2c_a
+                fb, ib = s2c_b
+                y = ct_add(fa(xa, rot_keys_stack[ia]),
+                           fb(xb, rot_keys_stack[ib]), lvl_s2c)
+                return rescale(y, lvl_s2c)
 
         def make_s2c_stage(gi):
             fn, idx = s2c_rest[gi - 1]
@@ -561,9 +653,13 @@ def build_ckks_bootstrap(context: SealContext, scale: float, encoder,
     E, Minv = derive_slot_matrices(encoder)
     # C2S diagonal scale: exactly the two primes its product rescales by
     delta_c2s = float(q[0]) * float(q[1])
-    # u_h = W_h @ [z; conj z], W_h = gamma * Minv rows of half h
-    Wz = [gamma * Minv[:s, :s], gamma * Minv[s:, :s]]        # act on z
-    Wc = [gamma * Minv[:s, s:], gamma * Minv[s:, s:]]        # act on conj z
+    # u_h = W_h @ [z; conj z], W_h = c * Minv rows of half h.  The front
+    # constant c: exp mode gamma (EvalMod input 2 pi i t / 2^r); cosine
+    # mode Dl/(q0 (K+1)) — both coefficient halves then arrive as the
+    # REAL y_h = v_h/(q0 (K+1)) in [-1, 1] and ONE engine serves both.
+    gfront = (Dl / (float(q0) * (K + 1)) if evalmod == "cosine" else gamma)
+    Wz = [gfront * Minv[:s, :s], gfront * Minv[s:, :s]]      # act on z
+    Wc = [gfront * Minv[:s, s:], gfront * Minv[s:, s:]]      # act on conj z
 
     top_id = top_cd.parms_id
     c2s = []
@@ -583,25 +679,45 @@ def build_ckks_bootstrap(context: SealContext, scale: float, encoder,
 
     # after C2S + two rescales: sigma_u = Dl * delta_c2s / (q0*q1) = Dl
     sigma_u = Dl * delta_c2s / (float(q[0]) * float(q[1]))
-    stage_evalmod, sigma_z = make_evalmod(2, sigma_u, 1.0)
+    if evalmod == "cosine":
+        engine = ChebyEvalMod(context, cds, q, limbs, L, encoder, 2,
+                              sigma_u, cos_coeffs, r, imag=False)
+        assert engine.depth == em_depth
+        stage_evalmod, sigma_z = engine.stage, engine.sigma_z
+    else:
+        stage_evalmod, sigma_z = make_evalmod(2, sigma_u, 1.0)
 
-    # ---- S2C at level 6 + r ---------------------------------------------
+    # ---- S2C at level 2 + em_depth ---------------------------------------
     s2c_id = cds[lvl_s2c].parms_id
     delta_s2c = float(q[lvl_s2c]) * float(q[lvl_s2c + 1]) * Dl / sigma_z
-    kap = float(q0) / (2 * math.pi * Dl) / 2j
-    Cz = [kap * E[:, :s], kap * E[:, s:]]                     # act on w_h
-    Cc = [-kap * E[:, :s], -kap * E[:, s:]]                   # act on conj w_h
     s2c = []
-    for h in range(2):
-        fz, steps_z = build_ckks_matvec_bsgs(
-            context, _matrix_diagonals(Cz[h]), delta_s2c, encoder,
-            parms_id=s2c_id, baby=baby)
-        fc, steps_c = build_ckks_matvec_bsgs(
-            context, _matrix_diagonals(Cc[h]), delta_s2c, encoder,
-            parms_id=s2c_id, baby=baby)
-        if steps_z != rot_steps or steps_c != rot_steps:
-            raise AssertionError("BSGS step sets must agree across maps")
-        s2c.append((fz, fc))
+    if evalmod == "cosine":
+        # w_h is already the real sin(2 pi t_h) ~ 2 pi Dl alpha_h / q0:
+        # ONE matvec per half (kappa E columns of that half), no
+        # conjugation / imaginary-part extraction needed.
+        kap = float(q0) / (2 * math.pi * Dl)
+        Ch = [kap * E[:, :s], kap * E[:, s:]]                 # act on w_h
+        for h in range(2):
+            fz, steps_z = build_ckks_matvec_bsgs(
+                context, _matrix_diagonals(Ch[h]), delta_s2c, encoder,
+                parms_id=s2c_id, baby=baby)
+            if steps_z != rot_steps:
+                raise AssertionError("BSGS step sets must agree across maps")
+            s2c.append((fz, None))
+    else:
+        kap = float(q0) / (2 * math.pi * Dl) / 2j
+        Cz = [kap * E[:, :s], kap * E[:, s:]]                 # act on w_h
+        Cc = [-kap * E[:, :s], -kap * E[:, s:]]               # act on conj w_h
+        for h in range(2):
+            fz, steps_z = build_ckks_matvec_bsgs(
+                context, _matrix_diagonals(Cz[h]), delta_s2c, encoder,
+                parms_id=s2c_id, baby=baby)
+            fc, steps_c = build_ckks_matvec_bsgs(
+                context, _matrix_diagonals(Cc[h]), delta_s2c, encoder,
+                parms_id=s2c_id, baby=baby)
+            if steps_z != rot_steps or steps_c != rot_steps:
+                raise AssertionError("BSGS step sets must agree across maps")
+            s2c.append((fz, fc))
     out_cd = cds[lvl_s2c + 2]
     out_scale = sigma_z * delta_s2c / (float(q[lvl_s2c]) *
                                        float(q[lvl_s2c + 1]))
@@ -619,6 +735,8 @@ def build_ckks_bootstrap(context: SealContext, scale: float, encoder,
 
     def stage_s2c(h, w, conj_key, rot_keys_stack):
         fz, fc = s2c[h]
+        if fc is None:                         # cosine: w is real already
+            return fz(w, rot_keys_stack)
         wc = conjugate(w, lvl_s2c, conj_key)
         return add_poly(fz(w, rot_keys_stack),
                         fc(wc, rot_keys_stack), limbs[lvl_s2c])

@@ -60,11 +60,19 @@ import numpy as np
 __all__ = ["fit_cos_cheby", "choose_r", "plan_evalmod", "ChebyEvalMod"]
 
 
-def fit_cos_cheby(K: int, r: int, tol: float = 1e-9, max_degree: int = 2046):
+def fit_cos_cheby(K: int, r: int, tol: float = 1e-12, max_degree: int = 2046):
     """Chebyshev-basis coefficients (numpy convention, index = T-degree)
     of f(y) = cos((2 pi (K+1) y - pi/2) / 2^r) on y in [-1, 1], trimmed
     at relative `tol`.  Uses Chebyshev-point interpolation (numerically
-    the FFT of f at the nodes — exact to float precision)."""
+    the FFT of f at the nodes — exact to float precision).
+
+    tol default 1e-12: the fit residual reaches the bootstrap output
+    multiplied by ~4^r * q0/(2 pi scale) * O(sqrt(n)) (the double-angle
+    slope, the SlotToCoeff kappa, and coherent matvec accumulation) —
+    at q0/scale = 2^14 that's ~10^4-10^5, so a 1e-9 fit already costs
+    ~1e-4 of refresh error in EXACT arithmetic (measured in the numpy
+    simulation) while 1e-12 buys ~1e-8 at the SAME Chebyshev depth
+    (the Bessel tail decays super-exponentially: +4-6 degree only)."""
     from numpy.polynomial import chebyshev as C
 
     c_arg = 2.0 * math.pi * (K + 1) / (2.0 ** r)
@@ -100,7 +108,7 @@ def _plan_lt(d: int):
     return l, t
 
 
-def choose_r(K: int, r: int = None, tol: float = 1e-9):
+def choose_r(K: int, r: int = None, tol: float = 1e-12):
     """Pick the double-angle count: smallest total level cost
     ceil-split depth + 1 + r, tie-broken toward SMALLER r (every halving
     of 2^r halves the noise amplification).  Returns (r, coeffs)."""
@@ -117,7 +125,7 @@ def choose_r(K: int, r: int = None, tol: float = 1e-9):
     return best[1], best[2]
 
 
-def plan_evalmod(K: int, r: int = None, tol: float = 1e-9):
+def plan_evalmod(K: int, r: int = None, tol: float = 1e-12):
     """(r, coeffs, depth): everything build_ckks_bootstrap needs to walk
     the modulus chain BEFORE constructing the engine.  depth = levels
     consumed from the engine's input level to its output level."""

@@ -186,17 +186,35 @@ def test_special_fft_stages_factor_the_slot_transform():
         assert np.abs(t - 3.0 * z).max() < 1e-9
 
 
-def _run_bootstrap_e2e(linear_mode, radix=3):
+def _run_bootstrap_e2e(linear_mode, radix=3, evalmod="cosine", tol=1e-4):
     """Full refresh at N=128: exhaust the chain, bootstrap, decrypt —
-    same message, same scale.  r=8 explicit: deg-7 Taylor at arg <=
+    same message, same scale.
+
+    evalmod="exp" (round-3 path): r=8 explicit — deg-7 Taylor at arg <=
     2pi*K'/2^r ~ 0.35 rad still contributes < 1e-4 and keeps the chain
-    compileable.  45-bit working primes: the output error floor is the
-    squaring-chain noise amplified by q0/(2*pi*scale), so precision
-    tracks scale/q0 — measured 1.4e-2 max at 40-bit primes, ~2e-4 at
-    45-bit (dense mode)."""
+    compileable; the output error floor is the squaring-chain noise
+    amplified by 2^r * q0/(2*pi*scale) — measured 1.4e-2 max at 40-bit
+    primes, ~2e-4 at 45-bit (dense mode).
+
+    evalmod="cosine" (default): Chebyshev-cosine EvalMod with auto r —
+    the 2^r amplification drops ~2 orders of magnitude, so the refresh
+    must land below 1e-4 at the same 45-bit primes."""
+    from gemini_seal_tpu.models.evalmod import plan_evalmod
+
     n = 128
-    r = 8
-    bits = [59] + [45] * 17 + [59]
+    if evalmod == "exp":
+        r = 8
+        em_depth = 4 + r
+    else:
+        r = None
+        K = max(12, int(math.ceil(4.5 * math.sqrt(n / 18.0))))
+        r_auto, _, em_depth = plan_evalmod(K)
+    if linear_mode == "split":
+        gn = (int(math.log2(n // 2)) + radix - 1) // radix
+        n_levels = 2 * gn + em_depth + (1 if evalmod == "cosine" else 0)
+    else:
+        n_levels = 4 + em_depth
+    bits = [59] + [45] * (n_levels + 1) + [59]
     ctx = _ckks_context(n, bits)
     kg = KeyGenerator(ctx)
     enc = Encryptor(ctx, public_key=kg.public_key())
@@ -207,7 +225,8 @@ def _run_bootstrap_e2e(linear_mode, radix=3):
     scale = 2.0**45
 
     fn, out_pid, out_scale, rot_steps, conj_elt = build_ckks_bootstrap(
-        ctx, scale, encoder, r=r, linear_mode=linear_mode, radix=radix
+        ctx, scale, encoder, r=r, linear_mode=linear_mode, radix=radix,
+        evalmod=evalmod,
     )
     elts = [tool.get_elt_from_step(s) for s in rot_steps]
     gk = kg.galois_keys(elts + [conj_elt])
@@ -230,11 +249,12 @@ def _run_bootstrap_e2e(linear_mode, radix=3):
             as_complex=True,
         )
     )[:s]
-    assert np.abs(got - msg).max() < 2e-3
+    err = np.abs(got - msg).max()
+    assert err < tol, f"refresh error {err:.2e} above {tol:.0e}"
     L_out = len(ctx.get_context_data(out_pid).parms.coeff_modulus)
     assert L_out >= 2  # usable multiplicative depth restored
     assert math.isclose(out_scale, scale, rel_tol=1e-9)
-    return len(rot_steps), L_out
+    return len(rot_steps), L_out, err
 
 
 @pytest.mark.bootstrap_e2e
@@ -245,10 +265,16 @@ def test_bootstrap_e2e():
 @pytest.mark.bootstrap_e2e
 def test_bootstrap_e2e_split():
     """Log-depth FFT-factored linear maps: same refresh quality with
-    ~half the rotation keys and O(2^radix) plaintext diagonals per level
-    (at N=128/radix=3 the level cost matches dense: 2+4+r+2)."""
-    n_keys, L_out = _run_bootstrap_e2e("split", radix=3)
+    ~half the rotation keys and O(2^radix) plaintext diagonals per level."""
+    n_keys, L_out, _ = _run_bootstrap_e2e("split", radix=3)
     # union of collapsed-group offsets: <= 2^(radix+1)-2 nonzero per
     # group, 2*ceil(log2(s)/radix) groups — O(2^radix * log s), beating
     # dense's 2*sqrt(s) once s is large (at s=64 it's 21, measured)
     assert n_keys <= 4 * (2 ** 3)
+
+
+@pytest.mark.bootstrap_e2e
+def test_bootstrap_e2e_exp_legacy():
+    """The round-3 exp-trick EvalMod still refreshes (looser 2e-3 floor:
+    its r=8 double-angle chain amplifies rescale noise 2^8)."""
+    _run_bootstrap_e2e("dense", evalmod="exp", tol=2e-3)

@@ -27,6 +27,13 @@ if grep -q "oracle not built" "$LOG"; then
   exit 1
 fi
 
+echo "== bootstrap e2e (split mode, cosine EvalMod) =="
+# the flagship beyond-reference capability refreshes end-to-end in the
+# default gate (VERDICT r3 item 1c); split-mode compiles are seconds
+# post the round-3 85x BSGS compile fix
+GST_BOOTSTRAP_E2E=1 python -m pytest tests/test_bootstrap.py -q \
+  -k "split" -m bootstrap_e2e
+
 echo "== driver entry points =="
 python __graft_entry__.py
 
