@@ -56,6 +56,7 @@ __all__ = [
     "prepermute_galois_stack",
     "build_ckks_mlp",
     "build_ckks_matmul_square",
+    "build_ckks_attention",
     "build_ckks_inverse",
     "build_ckks_rsqrt",
     "build_ckks_sqrt",
@@ -504,7 +505,8 @@ def build_ckks_poly_eval(context: SealContext, coeffs, scale: float,
                          coeff_precision_bits: int = 30,
                          fused: bool = False,
                          composed: bool = False,
-                         rotate_mode: str = "tree"):
+                         rotate_mode: str = "tree",
+                         parms_id=None):
     """Deep encrypted polynomial evaluation (BASELINE config 5).
 
     Computes p(x) = sum_k coeffs[k] * x^k over len(coeffs)-2 multiplicative
@@ -546,7 +548,7 @@ def build_ckks_poly_eval(context: SealContext, coeffs, scale: float,
     if degree < 2:
         raise ValueError("need a polynomial of degree >= 2")
     n_levels = degree - 1              # multiplies in the power chain
-    ids = [context.first_parms_id]
+    ids = [parms_id if parms_id is not None else context.first_parms_id]
     while len(ids) < n_levels + 1:
         nxt = context.get_context_data(ids[-1]).next_context_data
         if nxt is None:
@@ -2281,3 +2283,168 @@ def build_ckks_matmul_square(context: SealContext, d: int, scale: float,
     step.rot_steps = rot_steps
     out_scale = (Dl * Dl * q[1]) / (q[1] * q[2])
     return step, ids[3], out_scale
+
+
+def build_ckks_attention(context: SealContext, d: int, scale: float,
+                         encoder, msg_bound: float = 0.5, iters: int = 4,
+                         parms_id=None):
+    """Encrypted single-head attention: softmax(Q @ K^T / sqrt(d)) @ V
+    with Q, K^T, V ALL encrypted (d x d row-major packed, K supplied
+    pre-transposed by the client — transposition is a client-side slot
+    permutation at packing time).  No reference analogue at any layer:
+    it composes three capabilities the per-op reference cannot express —
+    the JKLS encrypted matmul, an encrypted row-wise softmax (deg-4
+    exp Taylor with 1/sqrt(d) folded into the coefficients, a masked
+    block-rowsum matvec with the Goldschmidt range reduction folded into
+    its 0/1 diagonals, and the Goldschmidt reciprocal), and a second
+    encrypted matmul — into ONE composed pipeline of jitted stages.
+
+    Level cost: 3 (QK^T) + 3 (exp) + 1 (exp realignment) + 1 (rowsum)
+    + iters+1 (reciprocal) + 1 (P = exp * recip) + 1 (P realignment)
+    + 3 (P @ V) = 14 + iters.
+
+    Accuracy contract: slot values of Q, K, V within [-msg_bound,
+    msg_bound]; the logits then satisfy |S|/sqrt(d) <= sqrt(d) *
+    msg_bound^2, which must stay inside the deg-4 exp Taylor's ~1e-3
+    window (<= ~0.8) and pins the Goldschmidt window via the rowsum
+    range reduction R = (rmin + rmax)/2.
+
+    Returns (run, out_parms_id, out_scale, rot_steps):
+    run(ctQ, ctKT, ctV, rot_keys_stack, relin_key) — Q/K^T/V encrypted
+    at `scale` at the top of the chain; rot_keys_stack stacked for
+    `rot_steps` (the union over both matmuls and the rowsum map).
+    """
+    import math as _math
+
+    import jax
+    import numpy as np
+
+    from ..ops.rnsops import divide_and_round_q_last_ntt
+
+    if parms_id is None:
+        parms_id = context.first_parms_id
+    s = encoder.slots
+    if d * d != s:
+        raise ValueError(f"need d*d == slots ({d}^2 != {s})")
+    Dl = float(scale)
+
+    # ---- stage 1: S = Q @ K^T (3 levels) ---------------------------------
+    mm1, pid_s, sc_s = build_ckks_matmul_square(
+        context, d, Dl, encoder, parms_id=parms_id)
+
+    # ---- stage 2: E = exp(S / sqrt(d)) (3 levels) -------------------------
+    a = 1.0 / _math.sqrt(d)
+    exp_coeffs = [a ** k / _math.factorial(k) for k in range(5)]
+    exp_fn, pid_e70, sc_e70 = build_ckks_poly_eval(
+        context, exp_coeffs, sc_s, encoder, parms_id=pid_s)
+
+    # poly_eval lands at ~scale^2 (its linear-combination convention);
+    # ONE value-preserving realignment brings E back to exactly Dl so
+    # the rowsum masks encode at full precision and the Goldschmidt
+    # scale track stays stationary (same trick as examples/ex14).
+    cd_e70 = context.get_context_data(pid_e70)
+    q_e70 = float(cd_e70.parms.coeff_modulus[-1].value)
+    pt_align_e = np.asarray(
+        encoder.encode(1.0, Dl * q_e70 / sc_e70, pid_e70).data)
+    limbs_e70 = cd_e70.limb_constants
+    pid_e = cd_e70.next_context_data.parms_id
+    sc_e = Dl
+    cd_e = context.get_context_data(pid_e)
+
+    def stage_align_e(e_ct):
+        x = jnp.stack([
+            dyadic_product(e_ct[..., 0, :, :], pt_align_e, limbs_e70),
+            dyadic_product(e_ct[..., 1, :, :], pt_align_e, limbs_e70),
+        ], axis=-3)
+        return divide_and_round_q_last_ntt(
+            x, cd_e70.device_rns_tool, cd_e70.ntt_tables)
+
+    # ---- stage 3: rowsum/R — block-local masked matvec (1 level) ----------
+    bx = _math.sqrt(d) * msg_bound * msg_bound
+    rmin, rmax = d * _math.exp(-bx), d * _math.exp(bx)
+    R = 0.5 * (rmin + rmax)
+    i_idx = np.arange(s) // d
+    j_idx = np.arange(s) % d
+    rs_diags = {}
+    for o in range(d):
+        lo = ((j_idx + o) < d).astype(float) / R     # stay in row
+        hi = ((j_idx + o) >= d).astype(float) / R    # wrapped part
+        if lo.any():
+            rs_diags[o] = lo.tolist()
+        if o and hi.any():
+            rs_diags[o - d] = hi.tolist()
+    q_e = float(cd_e.parms.coeff_modulus[-1].value)
+    rs_fn = build_ckks_matvec(context, rs_diags, q_e, encoder,
+                              parms_id=pid_e)
+    pid_r = cd_e.next_context_data.parms_id
+    sc_r = sc_e                                       # scale-preserving
+
+    def stage_rowsum(e_ct, keys):
+        out = rs_fn(e_ct, keys)
+        return divide_and_round_q_last_ntt(
+            out, cd_e.device_rns_tool, cd_e.ntt_tables)
+
+    # ---- stage 4: recip = R / rowsum (iters + 1 levels) --------------------
+    inv_fn, pid_i, sc_i = build_ckks_inverse(
+        context, sc_r, encoder, iters=iters, parms_id=pid_r)
+    cd_i = context.get_context_data(pid_i)
+    L_i = len(cd_i.parms.coeff_modulus)
+
+    # ---- stage 5: P = E * recip (1 level); values R * softmax --------------
+    mul_p = build_ckks_mul_relin_rescale(context, pid_i)
+    q_i = float(cd_i.parms.coeff_modulus[-1].value)
+    pid_p = cd_i.next_context_data.parms_id
+    sc_p = sc_e * sc_i / q_i
+
+    # ---- stage 6: realign P to exactly Dl (1 level) ------------------------
+    cd_p = context.get_context_data(pid_p)
+    L_p = len(cd_p.parms.coeff_modulus)
+    q_p = float(cd_p.parms.coeff_modulus[-1].value)
+    pt_align = np.asarray(
+        encoder.encode(1.0, Dl * q_p / sc_p, pid_p).data)
+    pid_p2 = cd_p.next_context_data.parms_id
+    limbs_p = cd_p.limb_constants
+
+    def stage_align(p_ct):
+        x = jnp.stack([
+            dyadic_product(p_ct[..., 0, :, :], pt_align, limbs_p),
+            dyadic_product(p_ct[..., 1, :, :], pt_align, limbs_p),
+        ], axis=-3)
+        return divide_and_round_q_last_ntt(
+            x, cd_p.device_rns_tool, cd_p.ntt_tables)
+
+    # ---- stage 7: out = P @ V (3 levels); fold 1/R into out_scale ----------
+    mm2, pid_o, sc_o = build_ckks_matmul_square(
+        context, d, Dl, encoder, parms_id=pid_p2)
+    L_p2 = len(context.get_context_data(pid_p2).parms.coeff_modulus)
+    out_scale = sc_o * R                  # values carry R*softmax @ V
+
+    # ---- rotation-key plumbing: one global stack ---------------------------
+    step_set = set(mm1.rot_steps) | set(mm2.rot_steps)
+    step_set |= {st for st in rs_diags if st != 0}
+    rot_steps = sorted(step_set)
+    sidx = {st: i for i, st in enumerate(rot_steps)}
+    idx_mm1 = np.asarray([sidx[st] for st in mm1.rot_steps], dtype=np.int64)
+    idx_mm2 = np.asarray([sidx[st] for st in mm2.rot_steps], dtype=np.int64)
+    rs_steps = [st for st in sorted(rs_diags) if st != 0]
+    idx_rs = np.asarray([sidx[st] for st in rs_steps], dtype=np.int64)
+
+    j_mm1 = jax.jit(mm1)
+    j_exp = jax.jit(lambda x, rk: stage_align_e(
+        exp_fn(x, rk, jnp.zeros((0,), jnp.uint64))))
+    j_rowsum = jax.jit(stage_rowsum)
+    j_inv = jax.jit(inv_fn)
+    j_p = jax.jit(lambda e, v, rk: mul_p(e[..., :L_i, :], v, rk))
+    j_align = jax.jit(stage_align)
+    j_mm2 = jax.jit(lambda p, v, ks, rk: mm2(p, v[..., :L_p2, :], ks, rk))
+
+    def run(ctQ, ctKT, ctV, rot_keys_stack, relin_key):
+        S = j_mm1(ctQ, ctKT, rot_keys_stack[idx_mm1], relin_key)
+        E = j_exp(S, relin_key)
+        rsum = j_rowsum(E, rot_keys_stack[idx_rs])
+        recip = j_inv(rsum, relin_key)
+        P = j_p(E, recip, relin_key)
+        P = j_align(P)
+        return j_mm2(P, ctV, rot_keys_stack[idx_mm2], relin_key)
+
+    return run, pid_o, out_scale, rot_steps
