@@ -616,8 +616,15 @@ def build_ckks_bootstrap(context: SealContext, scale: float, encoder,
             j_raise = jax.jit(stage_raise)
             j_c2s = [jax.jit(g) for g in c2s_stages]
             j_split = jax.jit(stage_split)
-            j_em_a = jax.jit(em_a)
-            j_em_b = jax.jit(em_b)
+            if evalmod == "cosine":
+                # the Chebyshev engine's primitives are internally
+                # jitted per level; an outer jit would re-inline the
+                # whole EvalMod into one monolithic graph (the N=4096
+                # graph is ~65 MB of MLIR and OOMs the compile helper)
+                j_em_a, j_em_b = em_a, em_b
+            else:
+                j_em_a = jax.jit(em_a)
+                j_em_b = jax.jit(em_b)
             j_s2c0 = jax.jit(stage_s2c_first)
             j_s2c = [jax.jit(g) for g in s2c_stages]
 
@@ -748,11 +755,13 @@ def build_ckks_bootstrap(context: SealContext, scale: float, encoder,
     if composed:
         # per-stage jitted programs: seconds of compile each instead of a
         # single deep graph (PERF.md compile-time note).  stage_evalmod
-        # compiles ONCE and serves both halves.
+        # compiles ONCE and serves both halves (cosine mode: the engine
+        # is internally jitted per level — see the split-mode note).
         j_raise = jax.jit(stage_raise)
         j_c2s = [jax.jit(lambda z, zc, ks, h=h: stage_c2s(h, z, zc, ks))
                  for h in range(2)]
-        j_evalmod = jax.jit(stage_evalmod)
+        j_evalmod = (stage_evalmod if evalmod == "cosine"
+                     else jax.jit(stage_evalmod))
         j_s2c = [jax.jit(lambda w, ck, ks, h=h: stage_s2c(h, w, ck, ks))
                  for h in range(2)]
         j_out = jax.jit(stage_out)

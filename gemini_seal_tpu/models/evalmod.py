@@ -167,6 +167,7 @@ class ChebyEvalMod:
 
     def __init__(self, context, cds, q, limbs, L, encoder, base: int,
                  Dl: float, coeffs, r: int, imag: bool):
+        import jax
         import jax.numpy as jnp
 
         from ..ops.dyadic import add_poly, dyadic_product, sub_poly
@@ -181,14 +182,26 @@ class ChebyEvalMod:
         self._enc = encoder
         self._imag = bool(imag)
         self.r = int(r)
+        self._jax = jax
         self._jnp = jnp
         self._add_poly = add_poly
         self._sub_poly = sub_poly
         self._dyadic = dyadic_product
         self._div_qlast = divide_and_round_q_last_ntt
         self._build_mul = build_ckks_mul_relin_rescale
+        # Per-level SHARED jitted primitives: composed callers then compile
+        # ~6 small programs per level instead of one monolithic EvalMod
+        # graph (the N=4096 whole-stage graph is ~65 MB of MLIR and OOMs
+        # the compile helper); plaintext constants are passed as runtime
+        # device-resident args so every leaf shares one program.  Under an
+        # outer jit the inner jits inline — both usage modes stay valid.
         self._muls = {}
         self._sqs = {}
+        self._adds = {}
+        self._subs = {}
+        self._pmuls = {}
+        self._padds = {}
+        self._rescales = {}
         self._basis = {}
         self.n_ct_mults = 0
 
@@ -226,40 +239,98 @@ class ChebyEvalMod:
     def _mul_fn(self, lvl):
         fn = self._muls.get(lvl)
         if fn is None:
-            fn = self._build_mul(self._ctx, self._cds[lvl].parms_id)
+            raw = self._build_mul(self._ctx, self._cds[lvl].parms_id)
+            nL = self._L[lvl]
+            fn = self._jax.jit(
+                lambda a, b, rk: raw(a[..., :nL, :], b[..., :nL, :], rk))
             self._muls[lvl] = fn
         return fn
 
     def _sq_fn(self, lvl):
         fn = self._sqs.get(lvl)
         if fn is None:
-            fn = self._build_mul(self._ctx, self._cds[lvl].parms_id,
-                                 square=True)
+            raw = self._build_mul(self._ctx, self._cds[lvl].parms_id,
+                                  square=True)
+            nL = self._L[lvl]
+            fn = self._jax.jit(lambda a, rk: raw(a[..., :nL, :], rk))
             self._sqs[lvl] = fn
         return fn
 
-    def _at(self, node, lvl):
-        """Mod-drop view of `node` at level lvl (limb slice; scale kept)."""
-        if node.lvl > lvl:
-            raise AssertionError("cannot raise a ciphertext's level")
-        nL = self._L[lvl]
-        return lambda env: node.run(env)[..., :nL, :]
+    def _addsub_fn(self, lvl, sub):
+        store = self._subs if sub else self._adds
+        fn = store.get(lvl)
+        if fn is None:
+            op = self._sub_poly if sub else self._add_poly
+            lim = self._limbs[lvl]
+            nL = self._L[lvl]
+            fn = self._jax.jit(
+                lambda x, y: op(x[..., :nL, :], y[..., :nL, :], lim))
+            store[lvl] = fn
+        return fn
+
+    def _pmul_fn(self, lvl):
+        fn = self._pmuls.get(lvl)
+        if fn is None:
+            lim = self._limbs[lvl]
+            nL = self._L[lvl]
+            dy = self._dyadic
+            jnp = self._jnp
+
+            def raw(x, pt):
+                x = x[..., :nL, :]
+                return jnp.stack([dy(x[..., 0, :, :], pt, lim),
+                                  dy(x[..., 1, :, :], pt, lim)], axis=-3)
+            fn = self._jax.jit(raw)
+            self._pmuls[lvl] = fn
+        return fn
+
+    def _padd_fn(self, lvl):
+        fn = self._padds.get(lvl)
+        if fn is None:
+            lim = self._limbs[lvl]
+            nL = self._L[lvl]
+            ap = self._add_poly
+            jnp = self._jnp
+
+            def raw(x, pt):
+                x = x[..., :nL, :]
+                c0 = ap(x[..., 0, :, :], pt, lim)
+                return jnp.concatenate(
+                    [c0[..., None, :, :], x[..., 1:, :, :]], axis=-3)
+            fn = self._jax.jit(raw)
+            self._padds[lvl] = fn
+        return fn
+
+    def _rescale_fn(self, lvl):
+        fn = self._rescales.get(lvl)
+        if fn is None:
+            cd = self._cds[lvl]
+            dq = self._div_qlast
+            nL = self._L[lvl]
+            fn = self._jax.jit(
+                lambda x: dq(x[..., :nL, :], cd.device_rns_tool,
+                             cd.ntt_tables))
+            self._rescales[lvl] = fn
+        return fn
+
+    def _dev(self, pt):
+        """Constants live on-device once (no per-call upload)."""
+        return self._jax.device_put(pt)
 
     def _ct_mul(self, a, b):
         lvl = max(a.lvl, b.lvl)
-        ra, rb = self._at(a, lvl), self._at(b, lvl)
         fn = self._mul_fn(lvl)
         self.n_ct_mults += 1
         sigma = a.sigma * b.sigma / float(self._q[lvl])
         return _Node(lvl + 1, sigma,
-                     lambda env: fn(ra(env), rb(env), env["rk"]))
+                     lambda env: fn(a.run(env), b.run(env), env["rk"]))
 
     def _ct_square(self, a):
         fn = self._sq_fn(a.lvl)
         self.n_ct_mults += 1
         sigma = a.sigma * a.sigma / float(self._q[a.lvl])
-        ra = self._at(a, a.lvl)
-        return _Node(a.lvl + 1, sigma, lambda env: fn(ra(env), env["rk"]))
+        return _Node(a.lvl + 1, sigma,
+                     lambda env: fn(a.run(env), env["rk"]))
 
     def _ct_add(self, a, b, sub=False):
         if a.lvl != b.lvl:
@@ -267,10 +338,9 @@ class ChebyEvalMod:
         if not math.isclose(a.sigma, b.sigma, rel_tol=1e-9):
             raise AssertionError(
                 f"scale mismatch in ct add: {a.sigma} vs {b.sigma}")
-        op = self._sub_poly if sub else self._add_poly
-        lim = self._limbs[a.lvl]
+        fn = self._addsub_fn(a.lvl, sub)
         return _Node(a.lvl, a.sigma,
-                     lambda env: op(a.run(env), b.run(env), lim))
+                     lambda env: fn(a.run(env), b.run(env)))
 
     def _encode(self, value, sigma, lvl):
         """Host-encode a constant (float or complex) at exact scale."""
@@ -279,39 +349,23 @@ class ChebyEvalMod:
         pt = self._enc.encode(value, float(sigma), self._cds[lvl].parms_id)
         return np.asarray(pt.data)
 
-    def _plain_mul(self, node, pt_data, lvl):
-        lim = self._limbs[lvl]
-        dy = self._dyadic
-        jnp = self._jnp
-        rn = self._at(node, lvl)
-
-        def run(env):
-            x = rn(env)
-            return jnp.stack([dy(x[..., 0, :, :], pt_data, lim),
-                              dy(x[..., 1, :, :], pt_data, lim)], axis=-3)
-        return run
+    def _plain_mul_node(self, node, pt_data, lvl, sigma_out):
+        fn = self._pmul_fn(lvl)
+        pt = self._dev(pt_data)
+        return _Node(lvl, sigma_out,
+                     lambda env: fn(node.run(env), pt))
 
     def _plain_add_const(self, node, value):
-        pt = self._encode(value, node.sigma, node.lvl)
-        lim = self._limbs[node.lvl]
-        ap = self._add_poly
-        jnp = self._jnp
+        pt = self._dev(self._encode(value, node.sigma, node.lvl))
+        fn = self._padd_fn(node.lvl)
+        return _Node(node.lvl, node.sigma,
+                     lambda env: fn(node.run(env), pt))
 
-        def run(env):
-            x = node.run(env)
-            c0 = ap(x[..., 0, :, :], pt, lim)
-            return jnp.concatenate([c0[..., None, :, :], x[..., 1:, :, :]],
-                                   axis=-3)
-        return _Node(node.lvl, node.sigma, run)
-
-    def _rescale(self, run, lvl, sigma):
-        """run at level lvl -> node at lvl+1, scale sigma/q[lvl]."""
-        cd = self._cds[lvl]
-        dq = self._div_qlast
-
-        def rrun(env):
-            return dq(run(env), cd.device_rns_tool, cd.ntt_tables)
-        return _Node(lvl + 1, sigma / float(self._q[lvl]), rrun)
+    def _rescale(self, node, lvl, sigma):
+        """node at level lvl -> node at lvl+1, scale sigma/q[lvl]."""
+        fn = self._rescale_fn(lvl)
+        return _Node(lvl + 1, sigma / float(self._q[lvl]),
+                     lambda env: fn(node.run(env)))
 
     def _align(self, node, lvl, sigma):
         """Value-preserving move to exactly (lvl, sigma): plain-mult by
@@ -323,8 +377,8 @@ class ChebyEvalMod:
             raise AssertionError("alignment needs one level of headroom")
         s_pt = sigma * float(self._q[lvl - 1]) / node.sigma
         pt = self._encode(1.0, s_pt, lvl - 1)
-        run = self._plain_mul(node, pt, lvl - 1)
-        out = self._rescale(run, lvl - 1, node.sigma * s_pt)
+        pm = self._plain_mul_node(node, pt, lvl - 1, node.sigma * s_pt)
+        out = self._rescale(pm, lvl - 1, pm.sigma)
         if not math.isclose(out.sigma, sigma, rel_tol=1e-9):
             raise AssertionError("alignment scale bookkeeping broke")
         return out
@@ -374,8 +428,7 @@ class ChebyEvalMod:
                 raise AssertionError("basis element deeper than leaf level")
             s_pt = sigma * float(self._q[lvl - 1]) / vk.sigma
             pt = self._encode(c, s_pt, lvl - 1)
-            run = self._plain_mul(vk, pt, lvl - 1)
-            node = _Node(lvl - 1, vk.sigma * s_pt, run)
+            node = self._plain_mul_node(vk, pt, lvl - 1, vk.sigma * s_pt)
             terms = node if terms is None else self._ct_add(terms, node)
         if terms is None:
             # constant polynomial: encode it directly as a "ciphertext"
@@ -384,8 +437,7 @@ class ChebyEvalMod:
             # so just return the constant folded into a zero-free path:
             raise AssertionError("leaf with no linear terms — degree-0 "
                                  "polynomials should be folded upstream")
-        out = self._rescale(lambda env: terms.run(env), lvl - 1,
-                            terms.sigma)
+        out = self._rescale(terms, lvl - 1, terms.sigma)
         c0 = complex(coeffs[0])
         if c0 != 0.0:
             out = self._plain_add_const(out, c0)
@@ -421,16 +473,14 @@ class ChebyEvalMod:
             # degree-0 quotient (d == g): fold it into one plaintext mult
             c = complex(qv[0]) if qnz.size else 0.0
             pt = self._encode(c, sigma_q, lvl - 1)
-            run = self._plain_mul(vg, pt, lvl - 1)
-            M = self._rescale(run, lvl - 1,
-                              vg.sigma * sigma_q)
+            pm = self._plain_mul_node(vg, pt, lvl - 1, vg.sigma * sigma_q)
+            M = self._rescale(pm, lvl - 1, pm.sigma)
         else:
             Q = self._eval(qv, lvl - 1, sigma_q)
             fn = self._mul_fn(lvl - 1)
             self.n_ct_mults += 1
-            rq, rg = self._at(Q, lvl - 1), self._at(vg, lvl - 1)
             M = _Node(lvl, sigma_q * vg.sigma / float(self._q[lvl - 1]),
-                      lambda env: fn(rq(env), rg(env), env["rk"]))
+                      lambda env: fn(Q.run(env), vg.run(env), env["rk"]))
         rv = np.asarray(rv, dtype=np.complex128)
         if np.abs(rv).max() == 0.0:
             return M
