@@ -44,6 +44,12 @@ __all__ = [
 _MASK32 = np.uint64(0xFFFFFFFF)
 _U32 = np.uint64(32)
 
+# Trace-time 64x64->128 MAC counter (see ops/ntt.TRACE_COUNTS): when set to
+# a list, accumulate_mulmod_128 appends the broadcast element count of each
+# partial product it accumulates.  Drives the contraction term of the
+# per-config floor model (tools/floor_model.py).
+TRACE_MACS = None
+
 
 def _u64(x, m=None):
     m = m or xp(x)
@@ -225,6 +231,11 @@ def accumulate_mulmod_128(pairs, p, ratio0, ratio1):
     """
     l0 = l1 = l2 = l3 = None
     for a, b in pairs:
+        if TRACE_MACS is not None:
+            cnt = 1
+            for d in np.broadcast_shapes(np.shape(a), np.shape(b)):
+                cnt *= int(d)
+            TRACE_MACS.append(cnt)
         hi, lo = mul64_wide(a, b)
         if l0 is None:
             l0, l1 = (lo & _MASK32), (lo >> _U32)

@@ -58,6 +58,25 @@ U64 = 0xFFFFFFFFFFFFFFFF
 # tools/bench_ntt_fused.py and tests/test_ntt.py do (under try/finally).
 FUSE_STAGES = 2
 
+# Trace-time transform counter for the per-config floor model
+# (tools/floor_model.py): when set to a list, every transform call appends
+# ("fwd"|"inv", rows, N) with rows = prod(all leading dims) — under
+# jax.eval_shape tracing this counts exactly the poly-limb NTT rows the
+# compiled program will execute.  None (default) costs nothing.
+# CAVEAT: JAX caches traces per (function object, avals) — a pipeline that
+# was already jit-executed or eval_shape'd will NOT re-trace, so enable
+# the counter and eval_shape a FRESHLY BUILT pipeline (what floor_model
+# does; pinned in tests/test_modops.py::test_trace_counters).
+TRACE_COUNTS = None
+
+
+def _count_rows(kind, x):
+    if TRACE_COUNTS is not None:
+        rows = 1
+        for d in x.shape[:-1]:
+            rows *= int(d)
+        TRACE_COUNTS.append((kind, rows, int(x.shape[-1])))
+
 
 def _shoupify(x: int, p: int) -> int:
     """floor(x * 2^64 / p) (reference: ntt.cpp:18-24)."""
@@ -225,6 +244,7 @@ def ntt_forward_lazy(x, tables):
     x: uint64[..., L, N]; tables: NTTTables (or its device mirror).
     Mirrors ntt_negacyclic_harvey_lazy (reference: ntt.cpp:292-342).
     """
+    _count_rows("fwd", x)
     if _host_fast(x, tables):
         return _native.ntt_forward(
             x, tables.root_powers, tables.scaled_root_powers, tables.modulus,
@@ -306,6 +326,7 @@ def ntt_inverse_lazy(x, tables):
     (reference: ntt.cpp:345-404) including the sequential reordered twiddle
     walk and the n^{-1} fold into the last butterfly layer.
     """
+    _count_rows("inv", x)
     if _host_fast(x, tables):
         return _native.ntt_inverse(
             x, tables.inv_root_powers, tables.scaled_inv_root_powers,

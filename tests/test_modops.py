@@ -88,3 +88,61 @@ def test_barrett_reduce_64():
     out = modops.barrett_reduce_64(jnp.asarray(x), jnp.uint64(p), jnp.uint64(r1))
     for i in range(128):
         assert int(out[i]) == int(x[i]) % p
+
+
+def test_trace_counters():
+    """ops/ntt.TRACE_COUNTS + ops/modops.TRACE_MACS count a freshly built
+    pipeline's exact work profile under eval_shape tracing (the floor
+    model's input, tools/floor_model.py), and stay inert by default.
+
+    Counts only register for a FRESH build: JAX caches traces per
+    (function, avals), so an already-executed pipeline won't re-trace —
+    the documented caveat at ops/ntt.py TRACE_COUNTS.
+    """
+    import jax
+
+    from gemini_seal_tpu import (
+        BatchEncoder, CoeffModulus, EncryptionParameters, Encryptor,
+        KeyGenerator, PlainModulus, SchemeType, SecLevelType, SealContext,
+    )
+    from gemini_seal_tpu.models.pipelines import build_bfv_mul_relin
+    from gemini_seal_tpu.ops import modops, ntt
+
+    assert ntt.TRACE_COUNTS is None
+    assert modops.TRACE_MACS is None
+
+    parms = EncryptionParameters(SchemeType.BFV)
+    parms.set_poly_modulus_degree(256)
+    parms.set_coeff_modulus(CoeffModulus.create(256, [30, 30, 30]))
+    parms.set_plain_modulus(PlainModulus.batching(256, 14))
+    parms.set_random_seed(tuple(range(8)))
+    ctx = SealContext(parms, sec_level=SecLevelType.none)
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    be = BatchEncoder(ctx)
+    rk = kg.relin_keys()
+    kdata = np.stack([np.asarray(pk.data.data) for pk in rk.key(2)])
+    a = np.asarray(enc.encrypt(be.encode([1, 2, 3])).data)
+
+    fn = build_bfv_mul_relin(ctx)
+    ntt.TRACE_COUNTS = []
+    modops.TRACE_MACS = []
+    try:
+        jax.eval_shape(fn, a, a, kdata)
+        fwd = sum(r for k, r, n in ntt.TRACE_COUNTS if k == "fwd")
+        inv = sum(r for k, r, n in ntt.TRACE_COUNTS if k == "inv")
+        ns = {n for _, _, n in ntt.TRACE_COUNTS}
+        macs = sum(modops.TRACE_MACS)
+    finally:
+        ntt.TRACE_COUNTS = None
+        modops.TRACE_MACS = None
+
+    # BEHZ multiply+relin at L=3 (n_ct=2): the exact row algebra —
+    # 2 operands x (q lift 2 + Bsk extend 3 rows x 2 components)... pinned
+    # as totals so kernel refactors that change the WORK fail loudly.
+    assert fwd == 28, fwd
+    assert inv == 21, inv
+    assert ns == {256}, ns
+    assert macs > 0
+    # every MAC entry is a positive element count
+    assert all(isinstance(c, int) and c > 0 for c in [macs])

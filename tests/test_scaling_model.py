@@ -165,3 +165,104 @@ def test_gspmd_bytes_anchor():
     want, _ = bytes_gspmd(batch // 2, n_ct, nsp, N, 4)
     assert abs(stats.total_bytes - want) / want < 0.25, \
         (stats.total_bytes, want)
+
+@needs4
+def test_behz_bytes_formula_matches_hlo():
+    """bytes_behz == the BEHZ five-gather schedule's HLO all-gather
+    bytes, exactly: 11 polynomial planes of [b, n_ct, N] over 5
+    collectives (2 operand extends, fast_floor, fastbconv_sk, relin
+    target)."""
+    from scaling_model import bytes_behz
+
+    from gemini_seal_tpu import BatchEncoder, PlainModulus
+    from gemini_seal_tpu.parallel.behz_sp import bfv_mul_relin_limb_sharded
+
+    batch = 2
+    parms = EncryptionParameters(SchemeType.BFV)
+    parms.set_poly_modulus_degree(2048)
+    parms.set_coeff_modulus(CoeffModulus.create(2048, [30] * 9))
+    parms.set_plain_modulus(PlainModulus.batching(2048, 20).value)
+    parms.set_random_seed(tuple(range(41, 49)))
+    ctx = SealContext(parms, sec_level=SecLevelType.none)
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    be = BatchEncoder(ctx)
+    rk = kg.relin_keys()
+    a = np.asarray(enc.encrypt(be.encode([3, 1, 4])).data)
+    kdata = np.stack([np.asarray(pk.data.data) for pk in rk.key(2)])
+    plan = KeySwitchPlan(ctx, ctx.first_parms_id)
+    n_ct, N = plan.n_ct_rns, a.shape[-1]
+    ab = np.broadcast_to(a, (batch,) + a.shape)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), axis_names=("limb",))
+    sh = NamedSharding(mesh, P(None, None, "limb", None))
+    da = jax.device_put(ab, sh)
+    fn = jax.jit(
+        lambda x, y: bfv_mul_relin_limb_sharded(x, y, kdata, ctx, mesh),
+        in_shardings=(sh, sh),
+    )
+    stats = collective_stats(fn.lower(da, da).compile().as_text())
+    want, n_coll = bytes_behz(batch, n_ct, 1, N, 4)
+    assert stats.count.get("all-gather", 0) == n_coll, stats
+    assert sum(stats.count.values()) == n_coll, stats
+    assert stats.total_bytes == want, (stats.total_bytes, want)
+
+
+@needs4
+def test_gspmd_bfv_bytes_anchor():
+    """bytes_gspmd_bfv's fitted kappa stays within 25% of the GSPMD HLO
+    of the in-core BEHZ multiply+relin at the limb=4 anchor shape."""
+    from scaling_model import bytes_gspmd_bfv
+
+    from gemini_seal_tpu import BatchEncoder, PlainModulus
+    from gemini_seal_tpu.models.pipelines import build_bfv_mul_relin
+
+    batch = 2
+    parms = EncryptionParameters(SchemeType.BFV)
+    parms.set_poly_modulus_degree(2048)
+    parms.set_coeff_modulus(CoeffModulus.create(2048, [30] * 9))
+    parms.set_plain_modulus(PlainModulus.batching(2048, 20).value)
+    parms.set_random_seed(tuple(range(41, 49)))
+    ctx = SealContext(parms, sec_level=SecLevelType.none)
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    be = BatchEncoder(ctx)
+    rk = kg.relin_keys()
+    a = np.asarray(enc.encrypt(be.encode([3, 1, 4])).data)
+    kdata = np.stack([np.asarray(pk.data.data) for pk in rk.key(2)])
+    plan = KeySwitchPlan(ctx, ctx.first_parms_id)
+    n_ct, nsp = plan.n_ct_rns, plan.n_ext - plan.n_ct_rns
+    N = a.shape[-1]
+    ab = np.broadcast_to(a, (batch,) + a.shape)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), axis_names=("limb",))
+    sh = NamedSharding(mesh, P(None, None, "limb", None))
+    ksh = NamedSharding(mesh, P())
+    da = jax.device_put(ab, sh)
+    dk = jax.device_put(kdata, ksh)
+    step = build_bfv_mul_relin(ctx)
+    fn = jax.jit(step, in_shardings=(sh, sh, ksh))
+    stats = collective_stats(fn.lower(da, da, dk).compile().as_text())
+    want, _ = bytes_gspmd_bfv(batch, n_ct, nsp, N, 4)
+    assert abs(stats.total_bytes - want) / want < 0.25, \
+        (stats.total_bytes, want)
+
+
+def test_bfv_prediction_marks_80pct_line():
+    """Qualitative claims of the BFV rows: the explicit schedules hold
+    >= 80% through their feasible limb widths on configs 1/2/3; GSPMD
+    on config 2 falls below 80% already at 2 chips (the reason the
+    explicit one-gather rotate schedule exists)."""
+    from scaling_model import CONFIGS, SCHEDULES, efficiency
+
+    c1 = CONFIGS["config 1 (BFV mul+relin, N=4096)"]
+    c2 = CONFIGS["config 2 (BFV rotate_rows, N=8192)"]
+    c3 = CONFIGS["config 3 (BFV mul+relin+chain, N=8192)"]
+    behz = SCHEDULES["BEHZ five-gather (behz_sp)"]
+    expl = SCHEDULES["explicit one-gather"]
+    gspmd_bfv = SCHEDULES["GSPMD-BFV (XLA-chosen)"]
+    assert efficiency(c1, behz, 2) >= 0.80
+    for C in (2, 4):
+        assert efficiency(c2, expl, C) >= 0.80
+        assert efficiency(c3, behz, C) >= 0.80
+    assert efficiency(c2, gspmd_bfv, 2) < 0.80

@@ -49,6 +49,23 @@ per latency slice, n_ct/L/nsp/N from the config's chain):
   comm.py's convention (all_to_all RESULT bytes; wire bytes are
   (C-1)/C of that).  Shrinks as 1/C — the deep-N layout.
 
+- BEHZ five-gather (parallel/behz_sp.py, the BFV configs):
+    bytes = 11 * b * n_ct * N * 8, 5 collectives
+  (2 operand extends of [b, 2, n_ct, N] + fast_floor and fastbconv_sk
+  gathers of [b, 3, n_ct, N] + the relin target [b, n_ct, N]: 11
+  polynomial planes — tests/test_scaling_model.py pins formula == HLO
+  exactly).  Independent of C; feasible for C dividing n_ct (= n_B).
+
+- GSPMD-BFV (XLA partitioning of build_bfv_mul_relin):
+    bytes ~= b * kappa_bfv * (n_ct + nsp) * N * 8, kappa_bfv ~ 9.0
+  fitted at the PERF.md anchor (10.1 MiB at N=2048, n_ct=8, nsp=1,
+  b=8, limb=4) and guarded within 25% by test_scaling_model.py.
+
+Limb sharding (explicit or GSPMD) is capped at C = n_ct for BFV — the
+table prints n/a beyond it; a dp axis extends total chips at 100%
+efficiency past that point (zero-ICI, pinned by
+tests/test_parallel_guards.py).
+
 Usage: python tools/scaling_model.py   (prints the PERF.md table)
 """
 
@@ -59,7 +76,21 @@ T_LAUNCH = 3e-6       # seconds per collective launch/sync
 
 # Measured single-chip anchors (PERF.md round-4 table, batch 128).
 # n_ct = first-level ciphertext limb count, nsp = special primes.
+# "schedules" names the rows printed for the config; "max_limb" caps the
+# feasible limb-shard width (n/a beyond — dp extends at 100%).
 CONFIGS = {
+    "config 1 (BFV mul+relin, N=4096)": dict(
+        T1=128.0 / 7704.0, b=128, N=4096, n_ct=2, nsp=1,
+        schedules=("GSPMD-BFV (XLA-chosen)", "BEHZ five-gather (behz_sp)"),
+        max_limb=2),
+    "config 2 (BFV rotate_rows, N=8192)": dict(
+        T1=128.0 / 4919.0, b=128, N=8192, n_ct=4, nsp=1,
+        schedules=("GSPMD-BFV (XLA-chosen)", "explicit one-gather"),
+        max_limb=4),
+    "config 3 (BFV mul+relin+chain, N=8192)": dict(
+        T1=128.0 / 1278.0, b=128, N=8192, n_ct=4, nsp=1,
+        schedules=("GSPMD-BFV (XLA-chosen)", "BEHZ five-gather (behz_sp)"),
+        max_limb=4),
     "config 4 (CKKS mul+relin+rescale, N=16384)": dict(
         T1=128.0 / 1166.83, b=128, N=16384, n_ct=5, nsp=1),
     "config 5 (deep CKKS poly4+rot, N=32768)": dict(
@@ -67,6 +98,7 @@ CONFIGS = {
 }
 
 GSPMD_KAPPA = 4.4     # fitted: see tests/test_scaling_model.py anchors
+GSPMD_KAPPA_BFV = 9.0  # fitted at the behz GSPMD anchor (PERF.md 10.1 MiB)
 CSP_N_TR = 16
 CSP_ROWS_PAD = 0.5
 
@@ -81,16 +113,37 @@ def bytes_gspmd(b, n_ct, nsp, N, C):
     return b * GSPMD_KAPPA * (n_ct + nsp) * N * 8, 20
 
 
+def bytes_gspmd_bfv(b, n_ct, nsp, N, C):
+    # the BEHZ step's gathered extension traffic: 1 all-reduce + ~42
+    # collective-permutes in the measured profile
+    return b * GSPMD_KAPPA_BFV * (n_ct + nsp) * N * 8, 43
+
+
 def bytes_csp(b, n_ct, nsp, N, C):
     rows_eff = n_ct + nsp + CSP_ROWS_PAD
     return CSP_N_TR * b * rows_eff * (N / C) * 8, CSP_N_TR
+
+
+def bytes_behz(b, n_ct, nsp, N, C):
+    # 5 tiled all-gathers totalling 11 polynomial planes of [b, n_ct, N]:
+    # 2 operand extends (2 planes each), fast_floor + fastbconv_sk
+    # (3 planes each: the size-3 convolution output), relin target (1)
+    return 11 * b * n_ct * N * 8, 5
 
 
 SCHEDULES = {
     "GSPMD (XLA-chosen)": bytes_gspmd,
     "explicit one-gather": bytes_explicit,
     "coeff-sharded (pipeline_csp)": bytes_csp,
+    "GSPMD-BFV (XLA-chosen)": bytes_gspmd_bfv,
+    "BEHZ five-gather (behz_sp)": bytes_behz,
 }
+
+# rows printed for configs that don't name their own schedule set
+DEFAULT_SCHEDULES = (
+    "GSPMD (XLA-chosen)", "explicit one-gather",
+    "coeff-sharded (pipeline_csp)",
+)
 
 
 def efficiency(cfg, sched_fn, C):
@@ -109,11 +162,16 @@ def main():
           " | ".join(f"eff @ {c} chips" for c in chips) + " |")
     print("|---|---|" + "---|" * len(chips))
     for cname, cfg in CONFIGS.items():
-        for sname, fn in SCHEDULES.items():
-            effs = [efficiency(cfg, fn, c) for c in chips]
-            cells = [
-                f"**{e:.0%}**" if e >= 0.80 else f"{e:.0%}" for e in effs
-            ]
+        max_limb = cfg.get("max_limb", max(chips))
+        for sname in cfg.get("schedules", DEFAULT_SCHEDULES):
+            fn = SCHEDULES[sname]
+            cells = []
+            for c in chips:
+                if c > max_limb:
+                    cells.append("n/a (dp)")
+                    continue
+                e = efficiency(cfg, fn, c)
+                cells.append(f"**{e:.0%}**" if e >= 0.80 else f"{e:.0%}")
             print(f"| {cname} | {sname} | " + " | ".join(cells) + " |")
 
 
