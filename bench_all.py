@@ -67,7 +67,8 @@ def main():
     ap.add_argument("--only", default="",
                     help="comma list of configs to run in isolation "
                          "(1..5, extra, cnn, train, bootstrap, logreg, relu, "
-                         "matmul); empty = all.  Isolated runs avoid "
+                         "matmul, attention); empty = all.  Isolated runs "
+                         "avoid "
                          "the 5-15%% steady-state drift of back-to-back "
                          "sweeps (PERF.md config-3 note).")
     cfg = ap.parse_args()
@@ -543,6 +544,71 @@ def main():
                          (da, db, dg, dr), lb, cfg.iters)
         emit(f"ckks_matmul_d{d}_n{n}_matmuls_per_s", ops,
              "encrypted_matmuls/s")
+
+    # ---- attention: encrypted single-head attention ----------------------
+    if _want("attention"):
+        # softmax(Q K^T / sqrt(d)) @ V with Q, K^T, V ALL encrypted (no
+        # reference analogue at any layer).  Chebyshev exp fitted over the
+        # actual logit window + auto-sized Goldschmidt reciprocal
+        # (attention_plan); composed per-stage jitted programs.
+        from gemini_seal_tpu.ciphertext import Ciphertext
+        from gemini_seal_tpu.models.pipelines import (
+            attention_plan,
+            build_ckks_attention,
+        )
+        for d in ((4,) if small else (16, 32)):
+            n = 2 * d * d
+            n_levels, a_iters, _bl = attention_plan(d)
+            bits = [50] + [40] * n_levels + [50]
+            parms = EncryptionParameters(SchemeType.CKKS)
+            parms.set_poly_modulus_degree(n)
+            parms.set_coeff_modulus(CoeffModulus.create(n, bits))
+            parms.set_random_seed(tuple(range(8)))
+            ctx = SealContext(parms, sec_level=SecLevelType.none)
+            kg = KeyGenerator(ctx)
+            enc = Encryptor(ctx, public_key=kg.public_key())
+            encoder = CKKSEncoder(ctx)
+            tool = ctx.first_context_data().galois_tool
+            scale = 2.0 ** 40
+            run, out_pid, out_scale, rsteps = build_ckks_attention(
+                ctx, d, scale, encoder)
+            elts = [tool.get_elt_from_step(s_) for s_ in rsteps]
+            gk = kg.galois_keys(elts)
+            rot_stack = jax.device_put(gk.stacked(*elts))
+            rks = jax.device_put(kg.relin_keys().stacked(2))
+            dec = Decryptor(ctx, kg.secret_key)
+            rng = np.random.default_rng(23)
+            Q, K, V = (rng.uniform(-0.5, 0.5, (d, d)) for _ in range(3))
+
+            def _pack(M):
+                return enc.encrypt(encoder.encode(
+                    M.reshape(-1).tolist(), scale))
+
+            ctQ, ctKT, ctV = _pack(Q), _pack(K.T), _pack(V)
+            # measured softmax-attention precision (decrypt once pre-timing)
+            out0 = np.asarray(run(np.asarray(ctQ.data),
+                                  np.asarray(ctKT.data),
+                                  np.asarray(ctV.data), rot_stack, rks))
+            got = np.asarray(encoder.decode(dec.decrypt(Ciphertext(
+                out0, out_pid, True, out_scale))))[: d * d].reshape(d, d)
+            S_ = Q @ K.T / np.sqrt(d)
+            P_ = np.exp(S_) / np.exp(S_).sum(axis=1, keepdims=True)
+            max_err = float(np.abs(got - P_ @ V).max())
+            lb = max(B // 8, 2)
+            dq, dk, dv = (jax.device_put(np.broadcast_to(
+                np.asarray(c.data), (lb,) + c.data.shape))
+                for c in (ctQ, ctKT, ctV))
+            cks = jax.jit(lambda salt, y: jnp.sum(y, dtype=jnp.uint64) + salt)
+            ops = _sync_time(
+                lambda s_, q_, k_, v_: cks(s_, run(q_, k_, v_, rot_stack,
+                                                   rks)),
+                (dq, dk, dv), lb, cfg.iters)
+            print(json.dumps({
+                "metric": f"ckks_attention_d{d}_n{n}_attns_per_s",
+                "value": round(ops, 3), "unit": "encrypted_attentions/s",
+                "max_err": max_err, "levels": n_levels,
+                "goldschmidt_iters": a_iters,
+            }), flush=True)
 
     # ---- relu: composite-minimax sign gate -------------------------------
     if _want("relu"):

@@ -38,6 +38,11 @@ def pytest_configure(config):
         "compile on a single host core; opt in with GST_BOOTSTRAP_E2E=1 "
         "(tools/run_bootstrap_e2e.sh)",
     )
+    config.addinivalue_line(
+        "markers",
+        "slow: minutes-scale single test (runs by default; deselect with "
+        "-m 'not slow' for a quick sweep)",
+    )
 
 
 def pytest_collection_modifyitems(config, items):

@@ -57,6 +57,7 @@ __all__ = [
     "build_ckks_mlp",
     "build_ckks_matmul_square",
     "build_ckks_attention",
+    "attention_plan",
     "build_ckks_inverse",
     "build_ckks_rsqrt",
     "build_ckks_sqrt",
@@ -2285,29 +2286,64 @@ def build_ckks_matmul_square(context: SealContext, d: int, scale: float,
     return step, ids[3], out_scale
 
 
+def attention_plan(d: int, msg_bound: float = 0.5, exp_degree: int = 4,
+                   iters: int = None, recip_target: float = 1e-5):
+    """Level/accuracy plan for `build_ckks_attention`.
+
+    With Q/K/V slot values in [-msg_bound, msg_bound], the logits are
+    bounded by B = sqrt(d) * msg_bound^2, so the softmax denominator
+    rowsum lies in [d*e^-B, d*e^B] and the Goldschmidt seed error after
+    the range reduction R = (rmin + rmax)/2 is |e_0| <= tanh(B).  When
+    `iters` is None the smallest m with tanh(B)^(2^(m+1)) <= recip_target
+    is chosen (a * x_m = 1 - e_0^(2^(m+1)), build_ckks_inverse).
+
+    Returns (n_levels, iters, logit_bound):
+    n_levels = 3 (QK^T) + exp_degree-1 (exp chain) + 1 (exp realign)
+    + 1 (rowsum) + iters+1 (reciprocal) + 1 (P = E*recip)
+    + 1 (P realign) + 3 (P @ V) = exp_degree + iters + 10.
+    """
+    import math as _math
+
+    B = _math.sqrt(d) * msg_bound * msg_bound
+    if iters is None:
+        e0 = _math.tanh(B)
+        m = 1
+        while e0 ** (2 ** (m + 1)) > recip_target:
+            m += 1
+        iters = m
+    return exp_degree + iters + 10, iters, B
+
+
 def build_ckks_attention(context: SealContext, d: int, scale: float,
-                         encoder, msg_bound: float = 0.5, iters: int = 4,
-                         parms_id=None):
+                         encoder, msg_bound: float = 0.5, iters: int = None,
+                         exp_mode: str = "cheby", exp_degree: int = 4,
+                         recip_target: float = 1e-5, parms_id=None):
     """Encrypted single-head attention: softmax(Q @ K^T / sqrt(d)) @ V
     with Q, K^T, V ALL encrypted (d x d row-major packed, K supplied
     pre-transposed by the client — transposition is a client-side slot
     permutation at packing time).  No reference analogue at any layer:
     it composes three capabilities the per-op reference cannot express —
-    the JKLS encrypted matmul, an encrypted row-wise softmax (deg-4
-    exp Taylor with 1/sqrt(d) folded into the coefficients, a masked
+    the JKLS encrypted matmul, an encrypted row-wise softmax (polynomial
+    exp with 1/sqrt(d) folded into the coefficients, a masked
     block-rowsum matvec with the Goldschmidt range reduction folded into
     its 0/1 diagonals, and the Goldschmidt reciprocal), and a second
     encrypted matmul — into ONE composed pipeline of jitted stages.
 
-    Level cost: 3 (QK^T) + 3 (exp) + 1 (exp realignment) + 1 (rowsum)
-    + iters+1 (reciprocal) + 1 (P = exp * recip) + 1 (P realignment)
-    + 3 (P @ V) = 14 + iters.
+    Level cost (see `attention_plan`): exp_degree + iters + 10; the
+    historical deg-4 shape is 14 + iters.
 
     Accuracy contract: slot values of Q, K, V within [-msg_bound,
-    msg_bound]; the logits then satisfy |S|/sqrt(d) <= sqrt(d) *
-    msg_bound^2, which must stay inside the deg-4 exp Taylor's ~1e-3
-    window (<= ~0.8) and pins the Goldschmidt window via the rowsum
-    range reduction R = (rmin + rmax)/2.
+    msg_bound]; the logits then satisfy |S|/sqrt(d) <= B = sqrt(d) *
+    msg_bound^2.  exp_mode picks the exp approximant over that window:
+    - "cheby" (default): degree-`exp_degree` Chebyshev interpolant of
+      exp(s/sqrt(d)) fitted over the ACTUAL raw-logit range
+      [-d*msg_bound^2, d*msg_bound^2] — near-minimax, so the window
+      widens with d instead of being pinned at the Taylor ~0.8 radius
+      (deg-4 interpolation error ~ (B/2)^5/60 at the window edge).
+    - "taylor": the legacy degree-4 Maclaurin series (valid |logit|
+      <= ~0.8 only; kept for comparison runs).
+    `iters=None` auto-sizes the Goldschmidt chain from tanh(B) so the
+    reciprocal's relative error is <= recip_target (attention_plan).
 
     Returns (run, out_parms_id, out_scale, rot_steps):
     run(ctQ, ctKT, ctV, rot_keys_stack, relin_key) — Q/K^T/V encrypted
@@ -2327,14 +2363,27 @@ def build_ckks_attention(context: SealContext, d: int, scale: float,
     if d * d != s:
         raise ValueError(f"need d*d == slots ({d}^2 != {s})")
     Dl = float(scale)
+    _, iters, _B = attention_plan(d, msg_bound, exp_degree, iters,
+                                  recip_target)
 
     # ---- stage 1: S = Q @ K^T (3 levels) ---------------------------------
     mm1, pid_s, sc_s = build_ckks_matmul_square(
         context, d, Dl, encoder, parms_id=parms_id)
 
-    # ---- stage 2: E = exp(S / sqrt(d)) (3 levels) -------------------------
+    # ---- stage 2: E = exp(S / sqrt(d)) (exp_degree - 1 levels) ------------
     a = 1.0 / _math.sqrt(d)
-    exp_coeffs = [a ** k / _math.factorial(k) for k in range(5)]
+    if exp_mode == "cheby":
+        Bs = d * msg_bound * msg_bound       # raw-logit (QK^T entry) bound
+        ch = np.polynomial.chebyshev.Chebyshev.interpolate(
+            lambda t, _a=a: np.exp(_a * t), exp_degree, domain=[-Bs, Bs])
+        exp_coeffs = ch.convert(kind=np.polynomial.polynomial.Polynomial
+                                ).coef.tolist()
+    elif exp_mode == "taylor":
+        if exp_degree != 4:
+            raise ValueError("taylor mode is the pinned legacy degree-4")
+        exp_coeffs = [a ** k / _math.factorial(k) for k in range(5)]
+    else:
+        raise ValueError(f"unknown exp_mode {exp_mode!r}")
     exp_fn, pid_e70, sc_e70 = build_ckks_poly_eval(
         context, exp_coeffs, sc_s, encoder, parms_id=pid_s)
 
