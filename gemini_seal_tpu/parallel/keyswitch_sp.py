@@ -205,13 +205,37 @@ def _hoist_digits(tgt_local, c, tab_own, plan, sp_rows, sp_tables,
     return dig_own, dig_sp
 
 
+def _sp_fold(acc_own, acc_sp, c, tab_own, plan, sp_rows, sp_tables,
+             is_ntt_form: bool):
+    """Row-sliced special-prime rescale (ops.keyswitch.rescale_special):
+    fold the replicated special-row accumulator into the device's own
+    rows and divide by P.  Bit-exact with the in-core pass per row."""
+    nsp = plan.n_sp_rns
+    sp_power = ntt_inverse_lazy(acc_sp, sp_tables)
+    scaled = modops.mul_mod(
+        sp_power, plan.inv_hat_pj_pj,
+        sp_rows["p"], sp_rows["r0"], sp_rows["r1"],
+    )
+    temp = _accum_terms_128(
+        [(scaled[..., None, j, :], c["neg"][:, j, None])
+         for j in range(nsp)],
+        c["p"], c["r0"], c["r1"],
+    )
+    if is_ntt_form:
+        temp = ntt_forward(temp, tab_own)
+        s = modops.add_mod(acc_own, temp, c["p"])
+    else:
+        normal_power = ntt_inverse(acc_own, tab_own)
+        s = modops.add_mod(normal_power, temp, c["p"])
+    return modops.mul_mod(s, c["invP"], c["p"], c["r0"], c["r1"])
+
+
 def _inner_rescale(dig_own, dig_sp, key_own, key_sp, c, tab_own, plan,
                    sp_rows, sp_tables, is_ntt_form: bool):
     """Key inner product + special-prime rescale on the device's rows
     (all local; sp rows computed redundantly).  key_own/key_sp:
     [nb, 2, rows, N] for one key set.  Returns (d0_local, d1_local)."""
     nb = plan.bundle_sel.shape[0]
-    nsp = plan.n_sp_rns
 
     outs = []
     for l in range(2):
@@ -223,24 +247,8 @@ def _inner_rescale(dig_own, dig_sp, key_own, key_sp, c, tab_own, plan,
             [(dig_sp[..., b, :, :], key_sp[b, l]) for b in range(nb)],
             sp_rows["p"], sp_rows["r0"], sp_rows["r1"],
         )
-        # special-prime rescale, own rows only (sp data replicated)
-        sp_power = ntt_inverse_lazy(acc_sp, sp_tables)
-        scaled = modops.mul_mod(
-            sp_power, plan.inv_hat_pj_pj,
-            sp_rows["p"], sp_rows["r0"], sp_rows["r1"],
-        )
-        temp = _accum_terms_128(
-            [(scaled[..., None, j, :], c["neg"][:, j, None])
-             for j in range(nsp)],
-            c["p"], c["r0"], c["r1"],
-        )
-        if is_ntt_form:
-            temp = ntt_forward(temp, tab_own)
-            s = modops.add_mod(acc_own, temp, c["p"])
-        else:
-            normal_power = ntt_inverse(acc_own, tab_own)
-            s = modops.add_mod(normal_power, temp, c["p"])
-        outs.append(modops.mul_mod(s, c["invP"], c["p"], c["r0"], c["r1"]))
+        outs.append(_sp_fold(acc_own, acc_sp, c, tab_own, plan, sp_rows,
+                             sp_tables, is_ntt_form))
     return outs[0], outs[1]
 
 

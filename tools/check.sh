@@ -30,9 +30,14 @@ fi
 echo "== bootstrap e2e (split mode, cosine EvalMod) =="
 # the flagship beyond-reference capability refreshes end-to-end in the
 # default gate (VERDICT r3 item 1c); split-mode compiles are seconds
-# post the round-3 85x BSGS compile fix
-GST_BOOTSTRAP_E2E=1 python -m pytest tests/test_bootstrap.py -q \
-  -k "split" -m bootstrap_e2e
+# post the round-3 85x BSGS compile fix.  Round 5 adds the non-toy
+# N=1024/nsp=2/radix=4 shape and the dp-sharded refresh.
+GST_BOOTSTRAP_E2E=1 python -m pytest tests/test_bootstrap.py \
+  tests/test_bootstrap_sp.py -q \
+  -k "split or dp_sharded" -m bootstrap_e2e
+
+echo "== doc coherence =="
+python tools/doc_guard.py
 
 echo "== driver entry points =="
 python __graft_entry__.py
