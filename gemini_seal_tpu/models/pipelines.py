@@ -2131,7 +2131,7 @@ def build_ckks_max(context: SealContext, scale: float, encoder,
 
 
 def build_ckks_matmul_square(context: SealContext, d: int, scale: float,
-                             encoder, parms_id=None):
+                             encoder, parms_id=None, heads: int = 1):
     """Encrypted matrix @ matrix for two d x d matrices packed row-major
     into d^2 slots (Jiang-Kim-Lauter-Song, CCS'18) — the encrypted
     linear-algebra primitive the per-op reference cannot express
@@ -2146,17 +2146,29 @@ def build_ckks_matmul_square(context: SealContext, d: int, scale: float,
     the reason for the row-major packing).  Total: 3 multiplicative
     levels and 3(d-1) distinct rotations for a d^3-work product.
 
+    heads > 1 batches H INDEPENDENT d x d products in one ciphertext:
+    head h packed in slots [h*d^2, (h+1)*d^2).  Every per-block linear
+    map rides the same global rotations; the two maps whose row wrap the
+    single-head layout absorbed into the mod-d^2 cycle (tau and psi^k)
+    split into an in-block part and a wrapped part one block lower —
+    tau grows to <= 2d-1 diagonals and each psi^k row shift becomes two
+    rotations whose {0,1} block masks FOLD INTO the phi^k masks on the
+    a-side (the contraction distributes a_k (*) (lo (*) b + hi (*) b')
+    = (a_k lo) (*) b + (a_k hi) (*) b'), so the level count stays 3 and
+    the contraction grows to <= 2d terms.  heads=1 keeps the original
+    d-term dataflow bit-for-bit.
+
     TPU schedule: sigma/tau ride the hoisted fused-moddown matvec; the
     k-loop's 2(d-1) + (d-1) shifts ride TWO hoisted mod-ups
     (build_ckks_rotate_many's stacked-table gather); the d ciphertext-
     ciphertext products are ONE exact 128-bit contraction over the k axis
     per output component; the degree-2 tail is relinearized ONCE.
 
-    Requires d*d == encoder.slots (pack smaller matrices by padding with
-    zeros to the next power of two and using that d).  Input ciphertexts
-    hold the packed matrices at `scale`; output holds packed C at
-    out_scale = scale^2 * q1 / (q1 * q2) (the returned value), 3 levels
-    down.  Decrypt-equal (not bit-identical) across mask/product
+    Requires heads*d*d == encoder.slots (pack smaller matrices by padding
+    with zeros to the next power of two and using that d).  Input
+    ciphertexts hold the packed matrices at `scale`; output holds packed
+    C at out_scale = scale^2 * q1 / (q1 * q2) (the returned value), 3
+    levels down.  Decrypt-equal (not bit-identical) across mask/product
     regroupings — same bounded-rounding argument as fused_moddown.
 
     Returns (fn, out_parms_id, out_scale); fn(ctA, ctB, rot_keys_stack,
@@ -2167,8 +2179,10 @@ def build_ckks_matmul_square(context: SealContext, d: int, scale: float,
     if parms_id is None:
         parms_id = context.first_parms_id
     s = encoder.slots
-    if d < 2 or d * d != s:
-        raise ValueError(f"need d >= 2 with d*d == slots ({d}^2 != {s})")
+    if d < 2 or heads < 1 or heads * d * d != s:
+        raise ValueError(
+            f"need d >= 2 with heads*d*d == slots ({heads}*{d}^2 != {s})")
+    P = d * d                                   # block (head) size
 
     ids = [parms_id]
     for _ in range(3):
@@ -2181,43 +2195,76 @@ def build_ckks_matmul_square(context: SealContext, d: int, scale: float,
     q = [float(c.parms.coeff_modulus[-1].value) for c in cds]
 
     Dl = float(scale)
-    i_idx = np.arange(s) // d
-    j_idx = np.arange(s) % d
+    u_idx = np.arange(s) % P                    # within-block offset
+    i_idx = u_idx // d
+    j_idx = u_idx % d
 
     # sigma: offset k (0..d-1) masks j < d-k rows i == k; offset k-d masks
-    # the wrapped tail j >= d-k (both as {0,1} slot vectors)
+    # the wrapped tail j >= d-k (both as {0,1} slot vectors).  Both
+    # offsets stay in-block under the masks (j < d-k keeps u+k < P;
+    # j >= d-k keeps u >= d-k), so the single-head steps tile verbatim.
     sigma_diags = {}
     for k in range(d):
-        m_lo = ((i_idx == k) & (j_idx < d - k)).astype(float)
-        if m_lo.any():
-            sigma_diags[k] = m_lo.tolist()
+        m_lo_s = ((i_idx == k) & (j_idx < d - k)).astype(float)
+        if m_lo_s.any():
+            sigma_diags[k] = m_lo_s.tolist()
         if k:
-            m_hi = ((i_idx == k) & (j_idx >= d - k)).astype(float)
-            sigma_diags[(k - d) % s] = m_hi.tolist()
-    # tau: offset d*j selects column j (the row wrap is absorbed by the
-    # cyclic rotation over s = d^2 slots)
-    tau_diags = {d * j: (j_idx == j).astype(float).tolist() for j in range(d)}
+            m_hi_s = ((i_idx == k) & (j_idx >= d - k)).astype(float)
+            sigma_diags[(k - d) % s] = m_hi_s.tolist()
+    # tau: offset d*j selects column j.  Single-head: the row wrap is
+    # absorbed by the cyclic rotation over s = P.  Multi-head: rows
+    # i >= d-j would cross into the next block, so they ride the wrapped
+    # offset d*j - P instead (one block lower).
+    tau_diags = {}
+    for j in range(d):
+        if heads == 1:
+            tau_diags[d * j] = (j_idx == j).astype(float).tolist()
+            continue
+        lo = ((j_idx == j) & (i_idx < d - j)).astype(float)
+        if lo.any():
+            tau_diags[d * j] = lo.tolist()
+        if j:
+            hi = ((j_idx == j) & (i_idx >= d - j)).astype(float)
+            tau_diags[(d * j - P) % s] = hi.tolist()
 
     sigma_fn = build_ckks_matvec(context, sigma_diags, q[0], encoder,
                                  parms_id=ids[0])
     tau_fn = build_ckks_matvec(context, tau_diags, q[0], encoder,
                                parms_id=ids[0])
 
-    # k-loop shifts at level 1, all hoisted
+    # k-loop shifts at level 1, all hoisted.  A-side steps are block-safe
+    # under the phi masks (same argument as sigma); B-side row shifts
+    # need the wrapped twin (d*k - P) when heads > 1.
     stepsA = sorted({k for k in range(1, d)} | {s - d + k for k in range(1, d)})
-    stepsB = [d * k for k in range(1, d)]
+    stepsB = sorted({d * k for k in range(1, d)}
+                    | ({(d * k - P) % s for k in range(1, d)}
+                       if heads > 1 else set()))
     rotA_fn = build_ckks_rotate_many(context, stepsA, parms_id=ids[1])
     rotB_fn = build_ckks_rotate_many(context, stepsB, parms_id=ids[1])
     posA = {st: r for r, st in enumerate(stepsA)}
     posB = {st: r for r, st in enumerate(stepsB)}
 
-    # phi^k masks, encoded in NTT plaintext form at level 1, scale q1
+    # phi^k masks, encoded in NTT plaintext form at level 1, scale q1.
+    # heads > 1 composes the psi^k block masks (i < d-k in place, i >=
+    # d-k from the wrapped rotation) into the a-side masks.
     def _mask(pred):
         v = pred.astype(float).tolist()
         return np.asarray(encoder.encode(v, q[1], ids[1]).data)
 
     m_lo = np.stack([_mask(j_idx < d - k) for k in range(d)])
     m_hi = np.stack([_mask(j_idx >= d - k) for k in range(1, d)])
+    if heads > 1:
+        # phi^k (j-) masks intersected with psi^k's block (i-) masks:
+        # _p pairs with the in-place row shift d*k, _w with the wrapped
+        # twin d*k - P (k >= 1; psi^0 is the identity)
+        m_lo_p = np.stack([_mask((j_idx < d - k) & (i_idx < d - k))
+                           for k in range(d)])
+        m_hi_p = np.stack([_mask((j_idx >= d - k) & (i_idx < d - k))
+                           for k in range(1, d)])
+        m_lo_w = np.stack([_mask((j_idx < d - k) & (i_idx >= d - k))
+                           for k in range(1, d)])
+        m_hi_w = np.stack([_mask((j_idx >= d - k) & (i_idx >= d - k))
+                           for k in range(1, d)])
 
     # master key order: union of every consumer's sorted step set
     rot_steps = sorted(set(sorted(sigma_diags) + list(tau_diags))
@@ -2243,35 +2290,56 @@ def build_ckks_matmul_square(context: SealContext, d: int, scale: float,
         rB = rotB_fn(tB, rot_keys_stack[idx_B])     # [RB, ..., 2, L1, N]
         lim = limbs[1]
 
-        # masked column shifts: a_k = m_lo[k] (*) rot_k(sA) + m_hi[k] (*)
-        # rot_{k-d}(sA)   (k = 0 is the unshifted row, low mask only)
-        a_parts = []
-        for k in range(d):
-            base = sA if k == 0 else rA[posA[k]]
+        def masked(base, mask, wrap=None, wmask=None):
             ak = jnp.stack([
-                dyadic_product(base[..., c, :, :], m_lo[k], lim)
+                dyadic_product(base[..., c, :, :], mask, lim)
                 for c in range(2)], axis=-3)
-            if k:
-                wrap = rA[posA[s - d + k]]
+            if wrap is not None:
                 hk = jnp.stack([
-                    dyadic_product(wrap[..., c, :, :], m_hi[k - 1], lim)
+                    dyadic_product(wrap[..., c, :, :], wmask, lim)
                     for c in range(2)], axis=-3)
                 ak = add_poly(ak, hk, lim)
-            a_parts.append(ak)
-        b_parts = [tB] + [rB[posB[d * k]] for k in range(1, d)]
+            return ak
+
+        # masked column shifts: a_k = m_lo[k] (*) rot_k(sA) + m_hi[k] (*)
+        # rot_{k-d}(sA)   (k = 0 is the unshifted row, low mask only)
+        if heads == 1:
+            a_parts = []
+            for k in range(d):
+                base = sA if k == 0 else rA[posA[k]]
+                wrap = rA[posA[s - d + k]] if k else None
+                a_parts.append(masked(base, m_lo[k], wrap,
+                                      m_hi[k - 1] if k else None))
+            b_parts = [tB] + [rB[posB[d * k]] for k in range(1, d)]
+        else:
+            # per-head products: psi^k splits into the in-place shift
+            # d*k and its wrapped twin d*k - P; the {0,1} block masks
+            # fold into the a-side (<= 2d contraction terms)
+            a_parts, b_parts = [], []
+            for k in range(d):
+                base = sA if k == 0 else rA[posA[k]]
+                wrap = rA[posA[s - d + k]] if k else None
+                a_parts.append(masked(base, m_lo_p[k], wrap,
+                                      m_hi_p[k - 1] if k else None))
+                b_parts.append(tB if k == 0 else rB[posB[d * k]])
+                if k:
+                    a_parts.append(masked(base, m_lo_w[k - 1], wrap,
+                                          m_hi_w[k - 1]))
+                    b_parts.append(rB[posB[(d * k - P) % s]])
 
         # C (degree 2) = sum_k a_k (*) b_k — one 128-bit contraction over
-        # the k axis per output component
+        # the k axis per output component (2d - 1 terms when heads > 1)
+        T = len(a_parts)
         p0 = modops.accumulate_mulmod_128(
             ((a_parts[k][..., 0, :, :], b_parts[k][..., 0, :, :])
-             for k in range(d)), lim.p, lim.ratio0, lim.ratio1)
+             for k in range(T)), lim.p, lim.ratio0, lim.ratio1)
         p1 = modops.accumulate_mulmod_128(
             ((a_parts[k][..., c, :, :], b_parts[k][..., 1 - c, :, :])
-             for k in range(d) for c in range(2)),
+             for k in range(T) for c in range(2)),
             lim.p, lim.ratio0, lim.ratio1)
         p2 = modops.accumulate_mulmod_128(
             ((a_parts[k][..., 1, :, :], b_parts[k][..., 1, :, :])
-             for k in range(d)), lim.p, lim.ratio0, lim.ratio1)
+             for k in range(T)), lim.p, lim.ratio0, lim.ratio1)
 
         # ONE relinearization of the shared degree-2 tail, then the two
         # closing rescales (q1: the mask scale, q2: one product prime)
@@ -2317,11 +2385,18 @@ def attention_plan(d: int, msg_bound: float = 0.5, exp_degree: int = 4,
 def build_ckks_attention(context: SealContext, d: int, scale: float,
                          encoder, msg_bound: float = 0.5, iters: int = None,
                          exp_mode: str = "cheby", exp_degree: int = 4,
-                         recip_target: float = 1e-5, parms_id=None):
-    """Encrypted single-head attention: softmax(Q @ K^T / sqrt(d)) @ V
+                         recip_target: float = 1e-5, parms_id=None,
+                         heads: int = 1):
+    """Encrypted attention: softmax(Q @ K^T / sqrt(d)) @ V
     with Q, K^T, V ALL encrypted (d x d row-major packed, K supplied
     pre-transposed by the client — transposition is a client-side slot
-    permutation at packing time).  No reference analogue at any layer:
+    permutation at packing time).  heads > 1 packs H INDEPENDENT heads
+    as contiguous d^2-slot blocks (heads*d*d == slots) and runs ALL of
+    them in the one pipeline: the matmuls ride the block-masked JKLS
+    schedule (build_ckks_matmul_square heads>1), and every softmax stage
+    (exp, rowsum, Goldschmidt) is slot-local or j-masked, so it is
+    head-oblivious by construction — multi-head self-attention for the
+    cost of one ciphertext chain.  No reference analogue at any layer:
     it composes three capabilities the per-op reference cannot express —
     the JKLS encrypted matmul, an encrypted row-wise softmax (polynomial
     exp with 1/sqrt(d) folded into the coefficients, a masked
@@ -2360,15 +2435,15 @@ def build_ckks_attention(context: SealContext, d: int, scale: float,
     if parms_id is None:
         parms_id = context.first_parms_id
     s = encoder.slots
-    if d * d != s:
-        raise ValueError(f"need d*d == slots ({d}^2 != {s})")
+    if heads * d * d != s:
+        raise ValueError(f"need heads*d*d == slots ({heads}*{d}^2 != {s})")
     Dl = float(scale)
     _, iters, _B = attention_plan(d, msg_bound, exp_degree, iters,
                                   recip_target)
 
     # ---- stage 1: S = Q @ K^T (3 levels) ---------------------------------
     mm1, pid_s, sc_s = build_ckks_matmul_square(
-        context, d, Dl, encoder, parms_id=parms_id)
+        context, d, Dl, encoder, parms_id=parms_id, heads=heads)
 
     # ---- stage 2: E = exp(S / sqrt(d)) (exp_degree - 1 levels) ------------
     a = 1.0 / _math.sqrt(d)
@@ -2464,7 +2539,7 @@ def build_ckks_attention(context: SealContext, d: int, scale: float,
 
     # ---- stage 7: out = P @ V (3 levels); fold 1/R into out_scale ----------
     mm2, pid_o, sc_o = build_ckks_matmul_square(
-        context, d, Dl, encoder, parms_id=pid_p2)
+        context, d, Dl, encoder, parms_id=pid_p2, heads=heads)
     L_p2 = len(context.get_context_data(pid_p2).parms.coeff_modulus)
     out_scale = sc_o * R                  # values carry R*softmax @ V
 

@@ -130,6 +130,53 @@ def test_encrypted_attention_boundary_inputs():
 
 
 @pytest.mark.slow
+def test_encrypted_attention_multihead():
+    """heads=2 packed attention: both heads' softmax(Q_h K_h^T/sqrt(d))
+    V_h decrypt from ONE pipeline run (block-masked JKLS matmuls;
+    the softmax stages are head-oblivious)."""
+    d, H = 4, 2
+    n = 2 * H * d * d
+    n_levels, _, _ = attention_plan(d, 0.5, 4, 4)
+    parms = EncryptionParameters(SchemeType.CKKS)
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(
+        CoeffModulus.create(n, [50] + [40] * n_levels + [50]))
+    parms.set_random_seed(tuple(range(11, 19)))
+    ctx = SealContext(parms, sec_level=SecLevelType.none)
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    dec = Decryptor(ctx, kg.secret_key)
+    scale = 2.0 ** 40
+    run, out_pid, out_scale, rot_steps = build_ckks_attention(
+        ctx, d, scale, encoder, iters=4, heads=H)
+    tool = ctx.first_context_data().galois_tool
+    elts = [tool.get_elt_from_step(st) for st in rot_steps]
+    gk = kg.galois_keys(elts)
+    rot_stack = gk.stacked(*elts)
+    rks = kg.relin_keys().stacked(2)
+
+    rng = np.random.default_rng(31)
+    Q = rng.uniform(-0.5, 0.5, (H, d, d))
+    K = rng.uniform(-0.5, 0.5, (H, d, d))
+    V = rng.uniform(-0.5, 0.5, (H, d, d))
+
+    def pack(M):
+        return enc.encrypt(encoder.encode(M.reshape(-1).tolist(), scale))
+
+    KT = np.stack([K[h].T for h in range(H)])
+    out = np.asarray(run(np.asarray(pack(Q).data), np.asarray(pack(KT).data),
+                         np.asarray(pack(V).data), rot_stack, rks))
+    got = np.asarray(encoder.decode(dec.decrypt(Ciphertext(
+        out, out_pid, True, out_scale))))[: H * d * d].reshape(H, d, d)
+    S = Q @ KT / np.sqrt(d)              # per head: Q_h @ K_h^T
+    P = np.exp(S) / np.exp(S).sum(axis=2, keepdims=True)
+    want = P @ V
+    err = np.abs(got - want).max()
+    assert err < 5e-4, f"multi-head attention error {err:.2e}"
+
+
+@pytest.mark.slow
 def test_encrypted_attention_d8_wide_window():
     """d=8: logit bound B = 0.707 exceeds nothing yet, but the Taylor
     window is already 6x worse than cheby here (1.7e-3 vs 1.1e-4 fit

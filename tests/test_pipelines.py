@@ -1347,6 +1347,49 @@ def test_ckks_matmul_square():
     assert np.abs(got2 - A2 @ B2).max() < 1e-2
 
 
+def test_ckks_matmul_square_multihead():
+    """heads=4 independent d x d products packed as contiguous d^2-slot
+    blocks in ONE ciphertext: the block-masked JKLS schedule (tau/psi row
+    wraps split into in-block + one-block-lower rotations) decrypts to
+    every head's A_h @ B_h, still 3 levels."""
+    import jax
+    from gemini_seal_tpu.ciphertext import Ciphertext
+    from gemini_seal_tpu.models.pipelines import build_ckks_matmul_square
+
+    d, H = 4, 4
+    n = 2 * H * d * d                   # slots = H * d^2
+    ctx, kg = ckks_setup(n=n, bits=(50, 40, 40, 40, 40, 50))
+    enc = Encryptor(ctx, public_key=kg.public_key())
+    encoder = CKKSEncoder(ctx)
+    dec = Decryptor(ctx, kg.secret_key)
+    tool = ctx.first_context_data().galois_tool
+    scale = 2.0 ** 40
+
+    fn, out_pid, out_scale = build_ckks_matmul_square(ctx, d, scale, encoder,
+                                                      heads=H)
+    elts = [tool.get_elt_from_step(s) for s in fn.rot_steps]
+    gk = kg.galois_keys(elts)
+    gk_stack = gk.stacked(*elts)
+    rk = kg.relin_keys().stacked(2)
+
+    rng = np.random.default_rng(29)
+    A = rng.uniform(-1, 1, size=(H, d, d))
+    B = rng.uniform(-1, 1, size=(H, d, d))
+    ctA = enc.encrypt(encoder.encode(A.reshape(-1).tolist(), scale))
+    ctB = enc.encrypt(encoder.encode(B.reshape(-1).tolist(), scale))
+    out = np.asarray(
+        jax.jit(fn)(np.asarray(ctA.data), np.asarray(ctB.data), gk_stack, rk)
+    )
+    got = np.asarray(encoder.decode(
+        dec.decrypt(Ciphertext(out, out_pid, True, out_scale))
+    ))[: H * d * d].reshape(H, d, d)
+    want = A @ B                         # batched per-head product
+    assert np.abs(got - want).max() < 1e-2
+    L_in = len(ctx.get_context_data(ctx.first_parms_id).parms.coeff_modulus)
+    L_out = len(ctx.get_context_data(out_pid).parms.coeff_modulus)
+    assert L_in - L_out == 3
+
+
 def test_ckks_inverse():
     """Goldschmidt reciprocal: x_m ~ 1/a with quadratic convergence for
     slot values in (0, 2); one level per iteration."""
