@@ -67,7 +67,8 @@ def main():
     ap.add_argument("--only", default="",
                     help="comma list of configs to run in isolation "
                          "(1..5, extra, cnn, train, bootstrap, logreg, relu, "
-                         "matmul, attention); empty = all.  Isolated runs "
+                         "matmul, attention, 65536); empty = all.  Isolated "
+                         "runs "
                          "avoid "
                          "the 5-15%% steady-state drift of back-to-back "
                          "sweeps (PERF.md config-3 note).")
@@ -448,19 +449,19 @@ def main():
         # factored slot maps) keeps the plaintext grids at O(2^radix)
         # diagonals per level, so N=4096 fits; --small shrinks to the
         # e2e-test shape.
-        import math as _math
-
-        from gemini_seal_tpu.models.bootstrap import build_ckks_bootstrap
-        from gemini_seal_tpu.models.evalmod import plan_evalmod
+        from gemini_seal_tpu.models.bootstrap import (
+            build_ckks_bootstrap,
+            plan_bootstrap_chain,
+        )
         if small:
             n, nsp, radix = 128, 1, 3
         else:
             n, nsp, radix = 4096, 3, 4
-        K = max(12, int(_math.ceil(4.5 * _math.sqrt(n / 18.0))))
-        _, _, em_depth = plan_evalmod(K)
-        gn = (int(_math.log2(n // 2)) + radix - 1) // radix
-        n_levels = 2 * gn + em_depth + 1   # +1: split-cosine norm level
-        bits = [59] + [45] * (n_levels + 1) + [59] * nsp
+        # 59-bit primes on every bootstrap-consumed level (the Dl_em
+        # layout): collapses the q0/Dl noise amplification — measured
+        # 4e-2 -> ~1e-6 refresh error at this shape (round 5)
+        bits, n_levels, K = plan_bootstrap_chain(n, radix=radix, nsp=nsp,
+                                                 restored=2)
         parms = EncryptionParameters(SchemeType.CKKS)
         parms.set_poly_modulus_degree(n)
         parms.set_coeff_modulus(CoeffModulus.create(n, bits))
@@ -609,6 +610,51 @@ def main():
                 "max_err": max_err, "levels": n_levels,
                 "goldschmidt_iters": a_iters,
             }), flush=True)
+
+    # ---- 65536: the reference's size cap, on the chip ---------------------
+    if _want("65536"):
+        # N = 65536 is SEAL_POLY_MOD_DEGREE_MAX (reference defines.h:53) —
+        # the one size every prior measured row stopped short of.  Times
+        # the forward/inverse NTT (rows/s, comparable with the PERF.md
+        # microbench sweep) and one mul+relin+rescale step.
+        n = 2048 if small else 65536
+        bits = [50, 40, 40, 50]
+        parms = EncryptionParameters(SchemeType.CKKS)
+        parms.set_poly_modulus_degree(n)
+        parms.set_coeff_modulus(CoeffModulus.create(n, bits))
+        parms.set_random_seed(tuple(range(8)))
+        ctx = SealContext(parms, sec_level=SecLevelType.none)
+        cd = ctx.first_context_data()
+        tabs = cd.ntt_tables
+        L = len(cd.parms.coeff_modulus)
+        rng = np.random.default_rng(9)
+        nb = max(B * 8192 // n, 1)
+        x = np.stack([
+            rng.integers(0, int(m.value), (nb, 2, n), dtype=np.uint64)
+            for m in cd.parms.coeff_modulus
+        ], axis=2)
+        dx = jax.device_put(x)
+        fstep = checksum_jit(lambda y: ntt_forward(y, tabs))
+        rows = nb * 2 * L
+        fwd = _sync_time(lambda s_, y: fstep(s_, y), (dx,), rows, cfg.iters)
+        emit(f"ntt_fwd_n{n}_rows_per_s", fwd, "poly_limb_rows/s")
+        from gemini_seal_tpu.ops.ntt import ntt_inverse
+        istep = checksum_jit(lambda y: ntt_inverse(y, tabs))
+        inv = _sync_time(lambda s_, y: istep(s_, y), (dx,), rows, cfg.iters)
+        emit(f"ntt_inv_n{n}_rows_per_s", inv, "poly_limb_rows/s")
+        kg = KeyGenerator(ctx)
+        enc = Encryptor(ctx, public_key=kg.public_key())
+        encoder = CKKSEncoder(ctx)
+        ct = enc.encrypt(encoder.encode([0.5, -1.25, 2.0], 2.0 ** 40))
+        rk = np.stack([np.asarray(pk.data.data)
+                       for pk in kg.relin_keys().key(2)])
+        lb = max(B // 8, 2)
+        a = np.broadcast_to(np.asarray(ct.data), (lb,) + ct.data.shape)
+        step = checksum_jit(build_ckks_mul_relin_rescale(ctx))
+        da, dk = jax.device_put(a), jax.device_put(rk)
+        ops = _sync_time(lambda s_, p, k: step(s_, p, p, k), (da, dk),
+                         lb, cfg.iters)
+        emit(f"ckks_mul_relin_rescale_n{n}_ops_per_s", ops, "ct_ops/s")
 
     # ---- relu: composite-minimax sign gate -------------------------------
     if _want("relu"):

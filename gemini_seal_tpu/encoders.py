@@ -330,7 +330,10 @@ class CKKSEncoder:
         if scale <= 0 or int(math.log2(scale)) + 1 >= cd.total_coeff_modulus_bit_count:
             raise ValueError("scale out of bounds")
         coeffd = value * scale
-        if abs(coeffd) >= 2.0 ** cd.total_coeff_modulus_bit_count:
+        # compare in bit space: 2.0**bits overflows float64 for chains
+        # past 1024 total bits (e.g. the 59-bit bootstrap layout)
+        if (coeffd != 0.0 and math.frexp(abs(coeffd))[1]
+                > cd.total_coeff_modulus_bit_count):
             raise ValueError("encoded value is too large")
         n = self._n
         # A constant polynomial evaluates to the constant at every NTT

@@ -42,20 +42,25 @@ E = embedding_forward(I_n) column-gathered through the generator-5
 index map; the butterfly factorization is pinned by tests against the
 dense product.
 
-Precision: the floor is the rescale/encode noise of the EvalMod chain
-AMPLIFIED by 2^r (each double-angle squaring doubles phase error) and
-by the final q0/(2 pi scale) constant that turns sin(2 pi t) back into
-m — output error tracks 2^r * q0/scale.  The exp flavor needs
-r = ceil(log2(2 pi (K+1.5)/0.15)) ~ 8-12 squarings (its deg-7 Taylor
-only converges below 0.15 rad) and measured 1.4e-2 max error at 40-bit
-primes / ~2e-4 at 45-bit; the cosine flavor's Chebyshev fit covers the
-whole mod-raised range directly, cutting r to 2-4 and the floor by ~2
-orders of magnitude (see tests/test_bootstrap.py and the PERF.md
-bootstrap row for measured numbers).  The sin cubic term (relative
+Precision: the floor is the LINEAR stages' key-switch/mod-down rounding
+noise (~||s||_1 ~ N coefficient units) amplified by (K+1) * q0 / Dl_em,
+where Dl_em is the scale the EvalMod plane runs at (round-5 diagnosis,
+tools/bootstrap_diag.py: the Chebyshev engine itself contributes < 4e-8
+at every probed shape; f_bits dilution and Paterson-Stockmeyer quotient
+growth both measured flat).  Running EvalMod at the 45-bit message
+scale under q0 = 2^59 costs a 2^14 amplification — the measured 4e-2
+wall at N=4096 — so the split-cosine path derives Dl_em from ITS OWN
+chain level's prime width and the production layout
+(plan_bootstrap_chain) gives every bootstrap-consumed level a 59-bit
+prime: measured max refresh error 3.6e-8 (N=128, K=12), 1.2e-6
+(N=1024, K=34), see the PERF.md bootstrap rows.  The exp flavor
+(legacy, 45-bit) needs r ~ 8-12 squarings and measured 1.4e-2 at
+40-bit primes / ~2e-4 at 45-bit.  The sin cubic term (relative
 ~(2 pi |m| scale/q0)^2/6) sits far below either floor.  The secret is
 SEAL's DENSE ternary key, so the mod-raise overflow bound K is
-~4.5*sqrt(N/18) (empirical, tools: /tmp-level sim), larger than
-sparse-key HEAAN's.
+~4.5*sqrt(N/18) (~4.4 sigma of the lift residual, measured exactly by
+tools/modraise_bound.py: max|I| = 52-61 over trials at N=4096 vs
+K=68), larger than sparse-key HEAAN's.
 
 Level cost (D_E = EvalMod depth: Chebyshev Paterson-Stockmeyer
 ceil(log2(deg+1)) + 1 + r for cosine, 4 + r for exp):
@@ -83,6 +88,35 @@ __all__ = [
     "mod_raise",
     "build_ckks_bootstrap",
 ]
+
+
+def plan_bootstrap_chain(n: int, radix: int = 3, K: int = None,
+                         r: int = None, scale_bits: int = 45,
+                         em_bits: int = 59, restored: int = 1,
+                         nsp: int = 3):
+    """Modulus-chain layout for a split-cosine refresh: the SINGLE source
+    of truth the bench/tests/tools share (round 5).
+
+    The bootstrap-consumed levels get `em_bits`-wide primes (59 default):
+    the refresh error floor is the linear stages' rounding noise
+    amplified by (K+1) * q0 / Dl_em, so running the EvalMod plane at the
+    native prime width collapses the q0/Dl amplification that walled the
+    45-bit layout at ~4e-2 (N=4096).  The `restored` post-refresh levels
+    keep the user's `scale_bits` primes.
+
+    Returns (bits, n_levels, K): pass bits to CoeffModulus.create and
+    encrypt at scale 2**scale_bits.
+    """
+    from .evalmod import plan_evalmod
+
+    if K is None:
+        K = max(12, int(math.ceil(4.5 * math.sqrt(n / 18.0))))
+    _, _, em_depth = plan_evalmod(K, r)
+    gn = (int(math.log2(n // 2)) + radix - 1) // radix
+    n_levels = 2 * gn + em_depth + 1
+    bits = ([59] + [scale_bits] * restored + [em_bits] * n_levels
+            + [59] * nsp)
+    return bits, n_levels, K
 
 
 def derive_slot_matrices(encoder):
@@ -236,7 +270,7 @@ def build_ckks_bootstrap(context: SealContext, scale: float, encoder,
                          r: int = None, baby: int = None,
                          composed: bool = True,
                          linear_mode: str = "dense", radix: int = 3,
-                         evalmod: str = "cosine"):
+                         evalmod: str = "cosine", f_bits: int = None):
     """fn(ct_data, rot_keys_stack, conj_key, relin_key) -> refreshed ct.
 
     ct_data: u64[..., 2, 1, N] at the LAST level of the chain (NTT form)
@@ -278,6 +312,14 @@ def build_ckks_bootstrap(context: SealContext, scale: float, encoder,
     chaining per-stage jitted programs (seconds of compile each);
     composed=False returns one jittable function (a single deep XLA
     graph — only for fusion experiments).  Outputs are bit-identical.
+
+    f_bits (split-cosine only): extraction-headroom bits — the
+    conjugation key-switch noise is diluted 2^f_bits by the shared
+    normalization level.  Default auto-scales with the ring size and
+    the EvalMod window: 12 + log2-ish(N/128) + log2-ish((K+1)/13)
+    (the round-5 N=4096 calibration; the norm constant's rounding is
+    folded EXACTLY into the C2S constants, so larger f_bits costs
+    nothing in quantization).
 
     Level cost (D_E = the EvalMod depth: ceil-split Chebyshev depth
     + 1 + r for "cosine", 4 + r for "exp"): dense 4 + D_E; split
@@ -349,7 +391,16 @@ def build_ckks_bootstrap(context: SealContext, scale: float, encoder,
     raise_plan = ModRaisePlan(context, last_cd.parms_id, top_cd.parms_id)
     Dl = float(scale)
     gamma = 2j * math.pi * Dl / (float(q0) * float(2 ** r))
-    F_bits = 12                      # split-cosine extraction headroom
+    # split-cosine extraction headroom: the conjugation key-switch noise
+    # lands on 2^F-amplified values and is diluted 2^F-fold by the shared
+    # normalization level, so F sets the refresh's conj-noise floor.  The
+    # default grows with the ring (KS noise ~ sqrt(N)) and with the
+    # EvalMod amplification (K+1) — the N=128 floor measurements pinned
+    # F=12; each doubling of N and of (K+1) buys one more dilution bit.
+    if f_bits is None:
+        f_bits = (12 + max(0, (n // 2).bit_length() - 7)
+                  + max(0, (K + 1).bit_length() - 4))
+    F_bits = min(int(f_bits), 30)
     lvl_s2c = base + em_depth + norm_extra
 
     # ---- shared primitive helpers ---------------------------------------
@@ -505,7 +556,33 @@ def build_ckks_bootstrap(context: SealContext, scale: float, encoder,
         #     output t then holds (v_a + i v_b)/(2 q0 (K+1)), so the
         #     conjugation sum/difference hands EvalMod y_a and i*y_b with
         #     y_h = v_h/(q0 (K+1)) in [-1, 1].
-        gtot = (Dl * (2.0 ** F_bits) / (2.0 * float(q0) * (K + 1))
+        # The normalization plaintext stores round(q[base]/2^F): its
+        # quantization multiplies y by the EXACTLY KNOWN gamma_n =
+        # round(sig_n)/sig_n, which the EvalMod frequency then amplifies
+        # by (K+1) q0/Dl — at K=68 the raw 2^-34 rounding alone would
+        # floor the refresh at ~7e-5.  Fold 1/gamma_n into the C2S
+        # constant (whose 45-bit-scale diagonals quantize ~2^-42) so the
+        # norm level is exact by construction.
+        gamma_n = 1.0
+        if evalmod == "cosine":
+            sig_n = float(q[base]) / (2.0 ** F_bits)
+            gamma_n = round(sig_n) / sig_n
+        # EvalMod WORKING SCALE Dl_em: the refresh error floor is the
+        # linear stages' mod-down/rescale rounding (~||s||_1 ~ N
+        # coefficient units) amplified by (K+1) * q0 / (EvalMod scale) —
+        # at Dl = 2^45 under q0 = 2^59 that's a 2^14 amplification, the
+        # measured 4e-2 N=4096 wall (round-5 diagnosis: engine-only noise
+        # is 6e-9; F-dilution and PS-quotient growth both measured flat).
+        # Run the engine at the native width of ITS OWN chain levels
+        # instead: with 59-bit EvalMod primes the amplification collapses
+        # to ~(K+1).  Dl_em derives from the first engine level's prime,
+        # so a legacy all-45-bit chain reproduces the old behavior
+        # exactly; the Dl_em/Dl ratio folds into the C2S constant and the
+        # S2C kappa, and the S2C realignment returns the USER scale Dl.
+        Dl_em = (float(2 ** int(round(math.log2(float(q[base + 1])))))
+                 if evalmod == "cosine" else Dl)
+        gtot = (Dl_em * (2.0 ** F_bits)
+                / (2.0 * float(q0) * (K + 1) * gamma_n)
                 if evalmod == "cosine" else gamma / 2.0)
         gmag = abs(gtot) ** (1.0 / Gn)
         gphase = gtot / abs(gtot)
@@ -515,9 +592,9 @@ def build_ckks_bootstrap(context: SealContext, scale: float, encoder,
 
         if evalmod == "cosine":
             eng_a = ChebyEvalMod(context, cds, q, limbs, L, encoder,
-                                 base + 1, Dl, cos_coeffs, r, imag=False)
+                                 base + 1, Dl_em, cos_coeffs, r, imag=False)
             eng_b = ChebyEvalMod(context, cds, q, limbs, L, encoder,
-                                 base + 1, Dl, cos_coeffs, r, imag=True)
+                                 base + 1, Dl_em, cos_coeffs, r, imag=True)
             assert eng_a.depth == eng_b.depth == em_depth
             assert math.isclose(eng_a.sigma_z, eng_b.sigma_z, rel_tol=1e-9)
             em_a, em_b, sigma_z = eng_a.stage, eng_b.stage, eng_a.sigma_z

@@ -464,6 +464,15 @@ class ChebyEvalMod:
         tg = np.zeros(g + 1)
         tg[g] = 1.0
         qv, rv = C.chebdiv(coeffs, tg)
+        # Divide by 2*T_g instead of T_g: chebdiv's quotient carries a
+        # factor-2 coefficient growth per recursion level (T_a T_b =
+        # (T_{a+b} + T_{|a-b|})/2), which compounds to ~deg/m at the top
+        # of the tree — the round-5 measured noise floor at degree 152
+        # (K=68) was 13x the degree-46 floor from exactly this.  Halving
+        # the quotient keeps every recursive coefficient vector O(1);
+        # the missing 2 returns as one ciphertext ADD of the product
+        # (value-exact, scale-free).
+        qv = qv * 0.5
         vg = self._V(g)
         if self._imag:
             qv = qv * ((-1j) ** (g % 4))       # i^{-g} phase fold
@@ -471,7 +480,7 @@ class ChebyEvalMod:
         qnz = np.nonzero(np.abs(qv) > 0)[0]
         if qnz.size == 0 or qnz[-1] == 0:
             # degree-0 quotient (d == g): fold it into one plaintext mult
-            c = complex(qv[0]) if qnz.size else 0.0
+            c = 2.0 * complex(qv[0]) if qnz.size else 0.0
             pt = self._encode(c, sigma_q, lvl - 1)
             pm = self._plain_mul_node(vg, pt, lvl - 1, vg.sigma * sigma_q)
             M = self._rescale(pm, lvl - 1, pm.sigma)
@@ -479,8 +488,9 @@ class ChebyEvalMod:
             Q = self._eval(qv, lvl - 1, sigma_q)
             fn = self._mul_fn(lvl - 1)
             self.n_ct_mults += 1
-            M = _Node(lvl, sigma_q * vg.sigma / float(self._q[lvl - 1]),
-                      lambda env: fn(Q.run(env), vg.run(env), env["rk"]))
+            Mh = _Node(lvl, sigma_q * vg.sigma / float(self._q[lvl - 1]),
+                       lambda env: fn(Q.run(env), vg.run(env), env["rk"]))
+            M = self._ct_add(Mh, Mh)           # the folded factor 2
         rv = np.asarray(rv, dtype=np.complex128)
         if np.abs(rv).max() == 0.0:
             return M

@@ -40,10 +40,11 @@ from gemini_seal_tpu.models.bootstrap import (
 from gemini_seal_tpu.ops.ntt import ntt_forward, ntt_inverse
 
 
-def _ckks_context(n, bits, seed=(1, 2, 3, 4, 5, 6, 7, 8)):
+def _ckks_context(n, bits, seed=(1, 2, 3, 4, 5, 6, 7, 8), nsp=1):
     parms = EncryptionParameters(SchemeType.CKKS)
     parms.set_poly_modulus_degree(n)
     parms.set_coeff_modulus(CoeffModulus.create(n, bits))
+    parms.set_n_special_primes(nsp)
     parms.set_random_seed(seed)
     return SealContext(parms, sec_level=SecLevelType.none)
 
@@ -186,8 +187,9 @@ def test_special_fft_stages_factor_the_slot_transform():
         assert np.abs(t - 3.0 * z).max() < 1e-9
 
 
-def _run_bootstrap_e2e(linear_mode, radix=3, evalmod="cosine", tol=1e-4):
-    """Full refresh at N=128: exhaust the chain, bootstrap, decrypt —
+def _run_bootstrap_e2e(linear_mode, radix=3, evalmod="cosine", tol=1e-4,
+                       n=128, nsp=1):
+    """Full refresh at N=`n`: exhaust the chain, bootstrap, decrypt —
     same message, same scale.
 
     evalmod="exp" (round-3 path): r=8 explicit — deg-7 Taylor at arg <=
@@ -196,12 +198,13 @@ def _run_bootstrap_e2e(linear_mode, radix=3, evalmod="cosine", tol=1e-4):
     amplified by 2^r * q0/(2*pi*scale) — measured 1.4e-2 max at 40-bit
     primes, ~2e-4 at 45-bit (dense mode).
 
-    evalmod="cosine" (default): Chebyshev-cosine EvalMod with auto r —
-    the 2^r amplification drops ~2 orders of magnitude, so the refresh
-    must land below 1e-4 at the same 45-bit primes."""
+    evalmod="cosine" (default): Chebyshev-cosine EvalMod with auto r.
+    Split mode uses the round-5 Dl_em layout (59-bit primes on every
+    bootstrap-consumed level): the refresh error floor collapses from
+    the 45-bit layout's q0/Dl-amplified ~4e-5 to the ~1e-7 regime, so
+    split tests pin tol=1e-6."""
     from gemini_seal_tpu.models.evalmod import plan_evalmod
 
-    n = 128
     if evalmod == "exp":
         r = 8
         em_depth = 4 + r
@@ -214,8 +217,13 @@ def _run_bootstrap_e2e(linear_mode, radix=3, evalmod="cosine", tol=1e-4):
         n_levels = 2 * gn + em_depth + (1 if evalmod == "cosine" else 0)
     else:
         n_levels = 4 + em_depth
-    bits = [59] + [45] * (n_levels + 1) + [59]
-    ctx = _ckks_context(n, bits)
+    # exp mode and dense mode stay on the legacy all-45 layout (their
+    # scale algebra is stationary at 45-bit primes); split-cosine gets
+    # the 59-bit Dl_em levels
+    em = 59 if (evalmod == "cosine" and linear_mode == "split") else 45
+    bits = [59] + [45] * (2 if em == 45 else 1) \
+        + [em] * (n_levels - (1 if em == 45 else 0)) + [59] * nsp
+    ctx = _ckks_context(n, bits, nsp=nsp)
     kg = KeyGenerator(ctx)
     enc = Encryptor(ctx, public_key=kg.public_key())
     encoder = CKKSEncoder(ctx)
@@ -265,8 +273,9 @@ def test_bootstrap_e2e():
 @pytest.mark.bootstrap_e2e
 def test_bootstrap_e2e_split():
     """Log-depth FFT-factored linear maps: same refresh quality with
-    ~half the rotation keys and O(2^radix) plaintext diagonals per level."""
-    n_keys, L_out, _ = _run_bootstrap_e2e("split", radix=3)
+    ~half the rotation keys and O(2^radix) plaintext diagonals per level.
+    Round-5 Dl_em layout: pins the 1e-6 floor (measured 3.6e-8)."""
+    n_keys, L_out, _ = _run_bootstrap_e2e("split", radix=3, tol=1e-6)
     # union of collapsed-group offsets: <= 2^(radix+1)-2 nonzero per
     # group, 2*ceil(log2(s)/radix) groups — O(2^radix * log s), beating
     # dense's 2*sqrt(s) once s is large (at s=64 it's 21, measured)
@@ -278,3 +287,16 @@ def test_bootstrap_e2e_exp_legacy():
     """The round-3 exp-trick EvalMod still refreshes (looser 2e-3 floor:
     its r=8 double-angle chain amplifies rescale noise 2^8)."""
     _run_bootstrap_e2e("dense", evalmod="exp", tol=2e-3)
+
+
+@pytest.mark.bootstrap_e2e
+def test_bootstrap_e2e_n1024_production():
+    """Non-toy shape (VERDICT r4 item 2): N=1024, nsp=2 special primes,
+    radix=4 (the bench configuration's radix) — K=34, so the Chebyshev
+    degree (90) and double-angle count are production-sized, not the
+    N=128 toy's.  On the round-5 Dl_em layout the measured refresh error
+    is 1.2e-6 max (med 2.5e-7); tol=5e-6 pins it with ~4x headroom —
+    37x below the 45-bit layout's floor at this shape."""
+    _, L_out, err = _run_bootstrap_e2e("split", radix=4, n=1024, nsp=2,
+                                       tol=5e-6)
+    assert L_out >= 2

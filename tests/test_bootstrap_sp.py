@@ -204,16 +204,14 @@ def test_bootstrap_dp_sharded_refresh_e2e():
     batch: both batch rows decrypt to the refreshed message, identical to
     each other and within the e2e tolerance — the flagship capability
     scales over the batch axis with zero schedule changes."""
-    from gemini_seal_tpu.models.bootstrap import build_ckks_bootstrap
-    from gemini_seal_tpu.models.evalmod import plan_evalmod
+    from gemini_seal_tpu.models.bootstrap import (
+        build_ckks_bootstrap,
+        plan_bootstrap_chain,
+    )
     from gemini_seal_tpu.parallel.mesh import make_he_mesh
 
     n, radix = 128, 3
-    K = max(12, int(math.ceil(4.5 * math.sqrt(n / 18.0))))
-    _, _, em_depth = plan_evalmod(K)
-    gn = (int(math.log2(n // 2)) + radix - 1) // radix
-    n_levels = 2 * gn + em_depth + 1
-    bits = [59] + [45] * (n_levels + 1) + [59]
+    bits, n_levels, K = plan_bootstrap_chain(n, radix=radix, nsp=1)
     ctx = _ckks_context(n, bits)
     kg = KeyGenerator(ctx)
     enc = Encryptor(ctx, public_key=kg.public_key())
@@ -252,4 +250,4 @@ def test_bootstrap_dp_sharded_refresh_e2e():
     got = np.asarray(encoder.decode(dec.decrypt(
         Ciphertext(out[0], out_pid, True, out_scale)), as_complex=True))[:s]
     err = np.abs(got - msg).max()
-    assert err < 1e-4, f"dp-sharded refresh error {err:.2e}"
+    assert err < 1e-6, f"dp-sharded refresh error {err:.2e}"

@@ -34,7 +34,7 @@ echo "== bootstrap e2e (split mode, cosine EvalMod) =="
 # N=1024/nsp=2/radix=4 shape and the dp-sharded refresh.
 GST_BOOTSTRAP_E2E=1 python -m pytest tests/test_bootstrap.py \
   tests/test_bootstrap_sp.py -q \
-  -k "split or dp_sharded" -m bootstrap_e2e
+  -k "split or n1024 or dp_sharded" -m bootstrap_e2e
 
 echo "== doc coherence =="
 python tools/doc_guard.py
